@@ -1,0 +1,3 @@
+"""High-level composed models (the framework's "model zoo"): terrain tile
+model, physics world model, voxel model, lighting bake, city/universe gen."""
+from . import terrain_model  # noqa: F401

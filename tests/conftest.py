@@ -1,0 +1,18 @@
+"""Test configuration: force CPU with an 8-device virtual mesh so sharding
+tests run anywhere (the driver separately dry-runs the multi-chip path).
+
+Note: the axon sitecustomize pins JAX_PLATFORMS=axon, so the env var alone
+is not enough — we must update the config after importing jax.
+"""
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,87 @@
+"""Erosion tests: batched TPU kernel vs sequential oracle, invariants."""
+import numpy as np
+import jax.numpy as jnp
+
+import w3d
+from w3d.ops import erosion as E
+
+
+def island(n=64, amp=2.0):
+    yy, xx = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    hm = (1.0 - ((xx - n / 2) ** 2 + (yy - n / 2) ** 2) / (n / 2) ** 2) * amp
+    hm += 0.1 * np.sin(xx * 0.7) * np.sin(yy * 0.9)
+    return hm.astype(np.float32)
+
+
+PARAMS = E.ErosionParams(
+    erode_amount=1.0, water_plane_z=0.0, half_dxy=0.06,
+    zmin=-2.0, zmax=2.0, rock_thresh=0.75,
+)
+
+
+def test_droplet_starts_match_reference_seeding():
+    xi, zi = E.droplet_starts(16, 64, 64)
+    xi, zi = np.asarray(xi), np.asarray(zi)
+    from w3d.utils.rng import RandGen
+    g = RandGen()
+    for it in range(16):
+        g.set_state(it + 11, 79 * it + 121)
+        assert xi[it] == E.PAD + g.rand() % 64
+        assert zi[it] == E.PAD + g.rand() % 64
+
+
+def test_erode_deterministic():
+    hm = jnp.asarray(island())
+    o1 = np.asarray(E.erode(hm, 100, PARAMS, batch_size=32, max_steps=64))
+    o2 = np.asarray(E.erode(hm, 100, PARAMS, batch_size=32, max_steps=64))
+    np.testing.assert_array_equal(o1, o2)
+
+
+def test_erode_matches_oracle_statistically():
+    hm = island()
+    ref = E.erode_reference(hm.copy(), 200, PARAMS)
+    out = np.asarray(E.erode(jnp.asarray(hm), 200, PARAMS, batch_size=64, max_steps=128))
+    dref = ref - hm
+    dout = out - hm
+    # net material moved matches closely
+    assert abs(dout.mean() - dref.mean()) < 0.15 * abs(dref.mean()) + 1e-6
+    assert abs(dout.std() - dref.std()) < 0.2 * dref.std() + 1e-6
+    m = (np.abs(dref) > 1e-6) | (np.abs(dout) > 1e-6)
+    c = np.corrcoef(dref[m], dout[m])[0, 1]
+    assert c > 0.8, f"erosion delta correlation too low: {c}"
+
+
+def test_erode_small_batches_converge_to_oracle():
+    """Smaller batches -> more sequential coupling -> closer to the oracle."""
+    hm = island()
+    ref = E.erode_reference(hm.copy(), 100, PARAMS)
+    dref = ref - hm
+    outs = {}
+    for bs in (100, 10):
+        out = np.asarray(E.erode(jnp.asarray(hm), 100, PARAMS, batch_size=bs, max_steps=128))
+        m = np.abs(ref - hm) > 1e-6
+        outs[bs] = np.corrcoef(dref[m], (out - hm)[m])[0, 1]
+    assert outs[10] > 0.75
+
+
+def test_erode_only_lowers_or_deposits_in_bounds():
+    hm = island()
+    p = PARAMS._replace(water_plane_z=-100.0)  # no ocean
+    out = np.asarray(E.erode(jnp.asarray(hm), 50, p, batch_size=32, max_steps=64))
+    delta = out - hm
+    # erosion should both erode (negative) and deposit (positive) somewhere
+    assert delta.min() < 0
+    assert delta.max() > 0
+
+
+def test_min_zval_clamp():
+    hm = island()
+    out = np.asarray(E.erode(jnp.asarray(hm), 200, PARAMS, min_zval=-0.5,
+                             batch_size=64, max_steps=64))
+    assert out.min() >= -0.5 - 1e-6
+
+
+def test_zero_iters_noop_shapewise():
+    hm = island()
+    out = np.asarray(E.erode(jnp.asarray(hm), 1, PARAMS, batch_size=1, max_steps=4))
+    assert out.shape == hm.shape
