@@ -1,1 +1,2 @@
-"""(subpackage)"""
+"""Scene description: coll-obj DSL parser, scene assembly."""
+from . import cobj  # noqa: F401

@@ -1,19 +1,20 @@
 """Benchmark harness — prints ONE JSON line.
 
-Metric (BASELINE.json): terrain tile generation throughput —
-128x128-zval tiles, each = 90-term sine-table noise + glaciation + 512
-droplets of hydraulic erosion (the `tile_t::create_zvals` +
-`apply_erosion` hot path, tiled_mesh.cpp:467-546 / erosion.cpp:14).
+Combined metric (BASELINE.json): terrain tiles/sec (noise + erosion) and
+physics steps/sec at 10K objects.  `value` is the combined speedup vs the
+single-thread CPU baseline (geometric mean of the two ratios); the raw
+numbers ride along as extra fields.
 
-Baseline anchor: single-thread C++-class throughput for the same workload.
-The noise eval is ~1.5 MFLOP/tile and the 512-droplet walk ~2.5 MFLOP of
-branchy scalar code with random memory access; a modern core sustains
-roughly 200 tiles/sec on this (the reference budgets <=3 CPU tiles per
-~17 ms frame when interactive, tiled_mesh.cpp:2314-2316).  We use 200/s.
+Baselines (single-thread C++-class throughput, see BASELINE.md):
+* terrain: ~200 tiles/s (128^2 zvals via 90-term sine sums + 512-droplet
+  erosion per tile; the reference budgets <=3 CPU tiles per ~17ms frame,
+  tiled_mesh.cpp:2314-2316).
+* physics: ~40 frames/s for 10K objects x 10 substeps of integrate +
+  collide (process_groups, build_world.cpp:310-600; LG_STEPS_PER_FRAME=10).
 
-Note: each timed rep uses *different* tile origins — the axon TPU relay
-memoizes identical (executable, input) pairs, so repeating one input
-measures the cache, not the chip.  Results are forced with a host read.
+Note: each timed rep uses different inputs — the axon TPU relay memoizes
+identical (executable, input) pairs; results are forced with a host read
+(`block_until_ready` alone has been observed to return early here).
 """
 
 import json
@@ -23,14 +24,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_TILES_PER_SEC = 200.0
+BASE_TILES_PER_SEC = 200.0
+BASE_PHYS_FPS = 40.0
 NUM_TILES = 256
+NUM_OBJS = 10000
+PHYS_SUBSTEPS = 10
 
 
-def main():
-    import jax
-
-    import w3d  # noqa: F401
+def bench_terrain(jax):
     from w3d.models import terrain_model as TMOD
     from w3d.utils.constants import WorldConst
 
@@ -39,25 +40,51 @@ def main():
         tile_size=128, erosion_iters_tt=512, erosion_batch=512, erosion_steps=64,
     )
     table, x0, y0, ze, wpz = TMOD.example_inputs(mcfg, world, num_tiles=NUM_TILES)
-
-    def fn(table, x0, y0, ze, wpz):
-        return TMOD.tile_batch_step(table, x0, y0, ze, wpz, mcfg, world).sum()
-
-    jfn = jax.jit(fn)
-    float(jfn(table, x0, y0, ze, wpz))  # compile + warm
-
+    jfn = jax.jit(lambda t, a, b, c, d: TMOD.tile_batch_step(t, a, b, c, d, mcfg, world).sum())
+    float(jfn(table, x0, y0, ze, wpz))
     reps = 5
     t0 = time.perf_counter()
     for i in range(reps):
         float(jfn(table, x0 + float(i + 1) * NUM_TILES, y0, ze, wpz))
     dt = (time.perf_counter() - t0) / reps
-    tiles_per_sec = NUM_TILES / dt
+    return NUM_TILES / dt
 
+
+def bench_physics(jax):
+    from w3d.models import physics_model as PM
+    from w3d.utils.constants import WorldConst
+
+    world = WorldConst()
+    sw = PM.build_spheres_world(num_objects=NUM_OBJS, world=world)
+    f = jax.jit(lambda s: PM.frame_step(s, substeps=PHYS_SUBSTEPS, world=world,
+                                        obj_collisions=True))
+    cur = f(sw)
+    float(cur.state.px.sum())
+    reps = 50
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        cur = f(cur)
+    float(cur.state.px.sum())
+    dt = (time.perf_counter() - t0) / reps
+    return 1.0 / dt
+
+
+def main():
+    import jax
+    import w3d  # noqa: F401
+
+    tiles = bench_terrain(jax)
+    phys = bench_physics(jax)
+    r_t = tiles / BASE_TILES_PER_SEC
+    r_p = phys / BASE_PHYS_FPS
+    combined = (r_t * r_p) ** 0.5
     print(json.dumps({
-        "metric": "terrain_tiles_per_sec",
-        "value": round(tiles_per_sec, 2),
-        "unit": "tiles/s (128x128 sine noise + glaciate + 512-droplet erosion)",
-        "vs_baseline": round(tiles_per_sec / BASELINE_TILES_PER_SEC, 2),
+        "metric": "terrain_tiles_and_physics_speedup",
+        "value": round(combined, 2),
+        "unit": "geomean speedup vs 1-core CPU (tiles/s/200, phys_fps/40)",
+        "vs_baseline": round(combined, 2),
+        "terrain_tiles_per_sec": round(tiles, 1),
+        "physics_frames_per_sec_10k": round(phys, 1),
     }))
 
 

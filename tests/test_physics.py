@@ -1,0 +1,185 @@
+"""Physics tests: integrator behavior, collisions, invariants, determinism."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import w3d
+from w3d.physics import types as PT, step as PS, cobjs as PC
+from w3d.models import physics_model as PM
+from w3d.utils.constants import WorldConst
+
+W = WorldConst(mesh_x=64, mesh_y=64)
+TABLE = PT.make_type_table()
+
+
+def flat_env(mesh_z=-0.5, wpz=-100.0, wind=(0.0, 0.0, 0.0)):
+    return PS.PhysicsEnv(
+        mesh_height=jnp.full((64, 64), mesh_z, jnp.float32),
+        water_plane_z=jnp.float32(wpz),
+        wind=jnp.asarray(wind, jnp.float32),
+        temperature=jnp.float32(20.0),
+        base_gravity=jnp.float32(1.0),
+        zmin=jnp.float32(-5.0),
+    )
+
+
+def balls(n, z=2.0, vel=0.0, otype="BALL", seed=0):
+    rng = np.random.default_rng(seed)
+    pos = np.stack([rng.uniform(-2, 2, n), rng.uniform(-2, 2, n), np.full(n, z)], 1)
+    v = np.full((n, 3), vel, np.float32)
+    return PS.make_state(pos, v, np.full(n, PT.type_id(otype)), TABLE)
+
+
+def run(st, env, frames, cobjs=None, substeps=4, oc=False):
+    for _ in range(frames):
+        st = PS.step_objects(st, env, cobjs, TABLE, substeps=substeps,
+                             world=W, obj_collisions=oc)
+    return st
+
+
+def test_type_table_values():
+    b = PT.type_id("BALL")
+    assert abs(float(TABLE.elasticity[b]) - 0.92) < 1e-6
+    assert abs(float(TABLE.gravity[b]) - 0.3) < 1e-6
+    assert abs(float(TABLE.radius[b]) - 0.042) < 1e-6
+    assert float(TABLE.mass[b]) == 1.0  # fudged mass (Physics.cpp:578)
+    r = PT.type_id("ROCKET")
+    assert abs(float(TABLE.terminal_vel[r]) - 0.5) < 1e-6  # override (Physics.cpp:579)
+    s = PT.type_id("SNOW")
+    assert abs(float(TABLE.terminal_vel[s]) - 1.0 / 0.4) < 1e-5
+
+
+def test_gravity_and_terminal_velocity():
+    st = balls(8, z=3.0)
+    env = flat_env(mesh_z=-100.0)  # no floor
+    st = run(st, env, 30)
+    vz = np.asarray(st.vz)
+    tv = float(TABLE.terminal_vel[PT.type_id("BALL")])
+    assert (vz < 0).all()
+    assert (vz >= -tv - 1e-4).all()  # clamped at terminal velocity
+
+
+def test_ball_settles_on_mesh():
+    st = balls(16, z=1.0)
+    env = flat_env(mesh_z=-0.5)
+    st = run(st, env, 400)
+    s = np.asarray(st.status)
+    pz = np.asarray(st.pz)
+    assert (s > 0).all()
+    rest = -0.5 + 0.042
+    assert np.allclose(pz, rest, atol=0.05), pz[:4]
+    # settled: low speed
+    speed = np.sqrt(np.asarray(st.vx) ** 2 + np.asarray(st.vy) ** 2 + np.asarray(st.vz) ** 2)
+    assert (speed < 2.5).all()
+
+
+def test_bounce_conserves_no_energy_gain():
+    st = balls(32, z=2.0)
+    env = flat_env(mesh_z=-0.5)
+    e0 = None
+    for _ in range(50):
+        st = PS.step_objects(st, env, None, TABLE, substeps=4, world=W,
+                             obj_collisions=False)
+        pz = np.asarray(st.pz)
+        v2 = np.asarray(st.vx)**2 + np.asarray(st.vy)**2 + np.asarray(st.vz)**2
+        g_eff = PT.GRAVITY * 0.3
+        e = v2 / 2 + g_eff * (pz + 0.5)
+        if e0 is None:
+            e0 = e
+        assert (e <= e0 * 1.02 + 1.0).all()  # no systematic energy gain
+
+
+def test_cobj_cube_rest():
+    """Balls dropped onto a raised cube rest on its top face."""
+    sp = w3d.scene.cobj.SceneParse()
+    lay = w3d.scene.cobj.CobjLayer(elasticity=0.5)
+    sp.cobjs.append(w3d.scene.cobj.RawCobj(PC.COLL_CUBE, (-3, -3, -3), (3, 3, 0.5),
+                                           layer=lay))
+    co = w3d.scene.cobj.pack_cobjs(sp)
+    st = balls(16, z=2.0)
+    env = flat_env(mesh_z=-3.5)
+    st = run(st, env, 500, cobjs=co)
+    pz = np.asarray(st.pz)
+    alive = np.asarray(st.status) > 0
+    assert alive.all()
+    assert (pz[alive] > 0.5).all()         # on top of the cube
+    assert np.allclose(pz[alive], 0.542, atol=0.08)
+
+
+def test_narrow_phase_shapes():
+    """Each shape reports sensible penetration + outward normal."""
+    sp = w3d.scene.cobj.SceneParse()
+    lay = w3d.scene.cobj.CobjLayer()
+    C = w3d.scene.cobj
+    sp.cobjs.append(C.RawCobj(PC.COLL_CUBE, (-1, -1, -1), (1, 1, 1), layer=lay))
+    sp.cobjs.append(C.RawCobj(PC.COLL_SPHERE, (5.0, 0.0, 0.0), r1=1.0, layer=lay))
+    sp.cobjs.append(C.RawCobj(PC.COLL_CYLINDER, (10.0, 0.0, -1.0), (10.0, 0.0, 1.0),
+                              1.0, 1.0, layer=lay))
+    sp.cobjs.append(C.RawCobj(PC.COLL_CAPSULE, (15.0, 0.0, 0.0), (16.0, 0.0, 0.0),
+                              0.5, 0.5, layer=lay))
+    co = C.pack_cobjs(sp)
+    # just outside +x face of each
+    px = jnp.asarray([1.2, 6.2, 11.2, 16.6])
+    py = jnp.zeros(4)
+    pz = jnp.zeros(4)
+    rad = jnp.full(4, 0.3)
+    hit, pen, nx, ny, nz, _, _ = PC.deepest_hits(px, py, pz, rad, co)
+    assert bool(hit.all())
+    np.testing.assert_allclose(np.asarray(pen), [0.1, 0.1, 0.1, 0.2], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nx), 1.0, atol=1e-5)
+
+
+def test_pair_collision_separates_overlap():
+    pos = np.array([[0.0, 0.0, 1.0], [0.05, 0.0, 1.0]], np.float32)  # overlapping r=0.042
+    vel = np.array([[1.0, 0.0, 0.0], [-1.0, 0.0, 0.0]], np.float32)  # approaching
+    st = PS.make_state(pos, vel, np.full(2, PT.type_id("BALL")), TABLE)
+    dpx, dpy, dpz, dvx, dvy, dvz = PS.sphere_pair_collisions(
+        st.px, st.py, st.pz, st.vx, st.vy, st.vz,
+        jnp.full(2, 0.042), jnp.ones(2), jnp.full(2, 0.92), jnp.ones(2, bool))
+    dpx = np.asarray(dpx)
+    dvx = np.asarray(dvx)
+    assert dpx[0] < 0 and dpx[1] > 0          # pushed apart
+    assert dvx[0] < 0 and dvx[1] > 0          # velocities reversed
+    # momentum conserved (equal masses): sum of impulses = 0
+    assert abs(dvx.sum()) < 1e-4
+
+
+def test_step_deterministic_and_jit_stable():
+    st = balls(64, z=1.5, seed=3)
+    env = flat_env()
+    a = run(st, env, 10)
+    b = run(st, env, 10)
+    np.testing.assert_array_equal(np.asarray(a.px), np.asarray(b.px))
+    np.testing.assert_array_equal(np.asarray(a.vz), np.asarray(b.vz))
+
+
+def test_water_float_and_sink():
+    # LEAF floats (density 0.3), ROCK sinks (1.8)
+    n = 4
+    for otype, floats in (("LEAF", True), ("ROCK", False)):
+        st = balls(n, z=0.4, otype=otype)
+        env = flat_env(mesh_z=-1.0, wpz=0.0)
+        st = run(st, env, 200)
+        pz = np.asarray(st.pz)
+        rad = float(TABLE.radius[PT.type_id(otype)])
+        if floats:
+            assert (pz > -0.5).all(), pz  # floating near surface
+        else:
+            assert np.allclose(pz, -1.0 + rad, atol=0.05), pz  # on the bottom
+
+
+def test_lifetime_kill():
+    st = balls(8, z=0.5, otype="SAND")  # short lifetime
+    env = flat_env()
+    life = int(TABLE.lifetime[PT.type_id("SAND")])
+    st = run(st, env, life + 2)
+    assert (np.asarray(st.status) == 0).all()
+
+
+def test_spheres_world_end_to_end():
+    sw = PM.build_spheres_world(num_objects=512, world=W)
+    for _ in range(20):
+        sw = PM.frame_step(sw, substeps=2, world=W, obj_collisions=True)
+    s = np.asarray(sw.state.status)
+    assert (s > 0).sum() > 480
+    assert np.isfinite(np.asarray(sw.state.pz)).all()
