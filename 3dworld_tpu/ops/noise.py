@@ -191,6 +191,70 @@ def apply_noise_shape_final(z: jax.Array, shape: int) -> jax.Array:
 # Gradient noise: simplex + perlin, hash-based (stateless, vectorizes freely)
 # ---------------------------------------------------------------------------
 
+# 3D separable sine noise (noise_gen_3d, upsurface.cpp:16-72): used for
+# voxel density fields, planet surfaces, voxel rocks.
+SINES_PER_FREQ = 12
+MAX_FREQ_BINS = 5
+TOT_NUM_SINES = SINES_PER_FREQ * MAX_FREQ_BINS
+M_ATTEN_FACTOR = 0.5
+F_ATTEN_FACTOR = 0.4
+
+
+class SineTable3D(NamedTuple):
+    mag: jax.Array  # [K]
+    fx: jax.Array
+    px: jax.Array
+    fy: jax.Array
+    py: jax.Array
+    fz: jax.Array
+    pz: jax.Array
+
+
+def gen_sine_table_3d(mag: float = 1.0, freq: float = 1.0,
+                      rseed1: int = 1, rseed2: int = 1) -> SineTable3D:
+    """noise_gen_3d::gen_sines (upsurface.cpp:16-38): 5 frequency bins x 12
+    sines; per bin mag *= 0.5, freq /= 0.4; draw order matches exactly."""
+    rg = RandGen(rseed1, rseed2)
+    out = np.zeros((TOT_NUM_SINES, 7), np.float32)
+    m, f = mag, freq
+    for i in range(MAX_FREQ_BINS):
+        for j in range(SINES_PER_FREQ):
+            k = SINES_PER_FREQ * i + j
+            out[k, 0] = rg.rand_uniform(0.2, 1.0) * m
+            out[k, 1] = rg.rand_uniform(0.1, 1.0) * f
+            out[k, 2] = rg.randd() * TWO_PI
+            out[k, 3] = rg.rand_uniform(0.1, 1.0) * f
+            out[k, 4] = rg.randd() * TWO_PI
+            out[k, 5] = rg.rand_uniform(0.1, 1.0) * f
+            out[k, 6] = rg.randd() * TWO_PI
+        m *= M_ATTEN_FACTOR
+        f /= F_ATTEN_FACTOR
+    return SineTable3D(*(jnp.asarray(out[:, i]) for i in range(7)))
+
+
+def eval_sine3d_grid(table: SineTable3D, start, step, nx: int, ny: int, nz: int,
+                     num_sines: int | None = None) -> jax.Array:
+    """Separable 3D sine eval on a regular grid -> [nz, ny, nx].
+
+    gen_xyz_vals + get_val (upsurface.cpp:41-72): per-axis term tables,
+    val = sum_k mag_k * sin_x * sin_y * sin_z.  On TPU: the (z,y) pair
+    table contracts against the x table as one (nz*ny, K)@(K, nx) matmul.
+    """
+    sx, sy, sz = start
+    dx, dy, dz = step
+    xi = sx + dx * jnp.arange(nx, dtype=jnp.float32)
+    yi = sy + dy * jnp.arange(ny, dtype=jnp.float32)
+    zi = sz + dz * jnp.arange(nz, dtype=jnp.float32)
+    mask = 1.0
+    if num_sines is not None and num_sines < TOT_NUM_SINES:
+        mask = (jnp.arange(TOT_NUM_SINES) < num_sines).astype(jnp.float32)
+    xv = jnp.sin(table.fx[None, :] * xi[:, None] + table.px[None, :]) * (table.mag * mask)[None, :]
+    yv = jnp.sin(table.fy[None, :] * yi[:, None] + table.py[None, :])  # [ny,K]
+    zv = jnp.sin(table.fz[None, :] * zi[:, None] + table.pz[None, :])  # [nz,K]
+    zy = zv[:, None, :] * yv[None, :, :]                               # [nz,ny,K]
+    return jnp.einsum("zyk,xk->zyx", zy, xv, preferred_element_type=jnp.float32)
+
+
 _F2 = 0.5 * (np.sqrt(3.0) - 1.0)
 _G2 = (3.0 - np.sqrt(3.0)) / 6.0
 
@@ -237,6 +301,87 @@ def simplex2d(x: jax.Array, y: jax.Array, seed: int = 0) -> jax.Array:
         + corner(x2, y2, ii + 1, jj + 1)
     )
     return 70.0 * n
+
+
+_F3 = 1.0 / 3.0
+_G3 = 1.0 / 6.0
+
+
+def _grad_hash3(ix, iy, iz, seed: int):
+    h = ix.astype(jnp.uint32) ^ (iy.astype(jnp.uint32) * jnp.uint32(2654435761)) \
+        ^ (iz.astype(jnp.uint32) * jnp.uint32(0x9E3779B1))
+    return xxhash_u32(h, seed)
+
+
+def _grad_dot3(h, x, y, z):
+    """Dot with one of 12 edge-vector gradients selected by hash bits."""
+    hb = h & jnp.uint32(15)
+    u = jnp.where(hb < 8, x, y)
+    v = jnp.where(hb < 4, y, jnp.where((hb == 12) | (hb == 14), x, z))
+    return jnp.where((hb & 1) == 0, u, -u) + jnp.where((hb & 2) == 0, v, -v)
+
+
+def simplex3d(x: jax.Array, y: jax.Array, z: jax.Array, seed: int = 0) -> jax.Array:
+    """3D simplex noise in approx [-1, 1] (Gustavson's construction;
+    the reference evaluates glm::simplex / gen_voxel_weights.comp)."""
+    s = (x + y + z) * _F3
+    i = jnp.floor(x + s)
+    j = jnp.floor(y + s)
+    k = jnp.floor(z + s)
+    t = (i + j + k) * _G3
+    x0 = x - (i - t)
+    y0 = y - (j - t)
+    z0 = z - (k - t)
+    # simplex traversal order from the component ranking (branchless form of
+    # the standard 6-case decision tree); c1=x>=y, c2=y>=z, c3=x>=z
+    c1 = x0 >= y0
+    c2 = y0 >= z0
+    c3 = x0 >= z0
+    f = lambda b: b.astype(jnp.float32)
+    i1 = f(c1 & (c2 | c3))
+    j1 = f(~c1 & c2)
+    k1 = 1.0 - i1 - j1
+    i2 = f(c1 | (c2 & c3))
+    j2 = f(~c1 | c2)
+    k2 = f(~c2 | (~c1 & ~c3))
+    x1 = x0 - i1 + _G3
+    y1 = y0 - j1 + _G3
+    z1 = z0 - k1 + _G3
+    x2 = x0 - i2 + 2.0 * _G3
+    y2 = y0 - j2 + 2.0 * _G3
+    z2 = z0 - k2 + 2.0 * _G3
+    x3 = x0 - 1.0 + 3.0 * _G3
+    y3 = y0 - 1.0 + 3.0 * _G3
+    z3 = z0 - 1.0 + 3.0 * _G3
+    ii = i.astype(jnp.int32)
+    jj = j.astype(jnp.int32)
+    kk = k.astype(jnp.int32)
+
+    def corner(cx, cy, cz, di, dj, dk):
+        t_ = jnp.maximum(0.6 - cx * cx - cy * cy - cz * cz, 0.0)
+        t2 = t_ * t_
+        g = _grad_dot3(_grad_hash3(ii + di, jj + dj, kk + dk, seed), cx, cy, cz)
+        return t2 * t2 * g
+
+    n = (corner(x0, y0, z0, 0, 0, 0)
+         + corner(x1, y1, z1, i1.astype(jnp.int32), j1.astype(jnp.int32), k1.astype(jnp.int32))
+         + corner(x2, y2, z2, i2.astype(jnp.int32), j2.astype(jnp.int32), k2.astype(jnp.int32))
+         + corner(x3, y3, z3, 1, 1, 1))
+    return 32.0 * n
+
+
+def fbm3d(x, y, z, rx: float, ry: float, octaves: int = 5, mag: float = 1.0,
+          freq: float = 1.0, mode: int = MGEN_SIMPLEX, seed: int = 0):
+    """3D fBm (voxels.cpp:355-365 / gen_voxel_weights.comp): lacunarity
+    1.92, gain 0.5, fixed offset (rx, ry, rx-ry)."""
+    lacunarity, gain = 1.92, 0.5
+    val = jnp.zeros_like(x)
+    m, f = mag, 0.25 * freq
+    for _ in range(octaves):
+        val = val + m * simplex3d(f * x + rx, f * y + ry, f * z + (rx - ry), seed)
+        m *= gain
+        f *= lacunarity
+    return val
 
 
 def _fade(t: jax.Array) -> jax.Array:

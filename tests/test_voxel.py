@@ -1,0 +1,166 @@
+"""Voxel engine tests: 3D noise, grid pipeline, marching tets, brushes."""
+import numpy as np
+import jax.numpy as jnp
+
+import w3d
+from w3d.ops import noise as N
+from w3d.voxel import grid as VG, mc as MC, edit as VE
+from w3d.utils.constants import WorldConst
+
+W = WorldConst()
+
+
+def test_sine3d_separable_matches_direct():
+    t = N.gen_sine_table_3d(1.0, 1.0, 5, 7)
+    grid = np.asarray(N.eval_sine3d_grid(t, (0.1, 0.2, 0.3), (0.5, 0.4, 0.3), 4, 5, 6))
+    mag, fx, px, fy, py, fz, pz = (np.asarray(a) for a in t)
+    for z in range(6):
+        for y in range(5):
+            for x in range(4):
+                xv = 0.1 + 0.5 * x
+                yv = 0.2 + 0.4 * y
+                zv = 0.3 + 0.3 * z
+                direct = np.sum(mag * np.sin(fx * xv + px) * np.sin(fy * yv + py)
+                                * np.sin(fz * zv + pz))
+                assert abs(grid[z, y, x] - direct) < 1e-3
+
+
+def test_sine3d_table_reference_draw_order():
+    """5 bins x 12 sines, mag halves and freq /0.4 per bin (upsurface.cpp:16)."""
+    t = N.gen_sine_table_3d(2.0, 1.0, 3, 3)
+    mag = np.asarray(t.mag)
+    assert mag.shape == (60,)
+    # bin mags: in [0.2,1]*2*(0.5^bin)
+    for b in range(5):
+        mb = mag[b * 12:(b + 1) * 12]
+        hi = 2.0 * 0.5 ** b
+        assert (mb <= hi + 1e-6).all() and (mb >= 0.2 * hi - 1e-6).all()
+
+
+def test_simplex3d_stats():
+    k = 32
+    xs = jnp.linspace(0.0, 17.0, k)
+    xv, yv, zv = jnp.meshgrid(xs, xs, xs)
+    v = np.asarray(N.simplex3d(xv, yv, zv))
+    assert np.isfinite(v).all()
+    assert abs(v.mean()) < 0.1
+    assert 0.05 < v.std() < 1.0
+    assert v.min() >= -1.5 and v.max() <= 1.5
+
+
+def test_voxel_grid_deterministic():
+    p = VG.VoxelParams(xsize=16, ysize=16, zsize=8, remove_unconnected=0)
+    a = np.asarray(VG.make_voxel_grid(p, W).values)
+    b = np.asarray(VG.make_voxel_grid(p, W).values)
+    np.testing.assert_array_equal(a, b)
+    p2 = p._replace(geom_rseed=999)
+    c = np.asarray(VG.make_voxel_grid(p2, W).values)
+    assert not np.allclose(a, c)
+
+
+def test_z_gradient():
+    p = VG.VoxelParams(xsize=8, ysize=8, zsize=16, mag=1e-6, z_gradient=2.0,
+                       normalize_to_1=False, remove_unconnected=0)
+    v = np.asarray(VG.make_voxel_grid(p, W).values)
+    col = v[:, 4, 4]
+    assert (np.diff(col) > 0).all()  # monotonically increasing with z
+
+
+def test_edge_attenuation_opens_borders():
+    p = VG.VoxelParams(xsize=24, ysize=24, zsize=16, mag=2.0,
+                       atten_at_edges=VG.ATTEN_EDGES, atten_thresh=2.0,
+                       normalize_to_1=False, remove_unconnected=0)
+    v = np.asarray(VG.make_voxel_grid(p, W).values)
+    # border columns should be pushed toward air (values raised)
+    p0 = p._replace(atten_at_edges=VG.ATTEN_NONE)
+    v0 = np.asarray(VG.make_voxel_grid(p0, W).values)
+    assert v[:, 0, :].mean() > v0[:, 0, :].mean()
+    assert v[-1].mean() > v0[-1].mean()  # top attenuated
+    # note: the reference formula (voxels.cpp:405-421) attenuates the bottom
+    # face too despite the "5 edges" comment; we match the formula
+    assert v[0].mean() > v0[0].mean()
+    # center is untouched (v = 0.25 - vx*vy*vz <= 0 there)
+    assert np.allclose(v[8, 12, 12], v0[8, 12, 12])
+
+
+def test_classify_outside_simple_box():
+    # a solid box in the middle of air
+    v = np.ones((12, 12, 12), np.float32)      # air (>= iso)
+    v[4:8, 4:8, 4:8] = -1.0                    # solid
+    out = np.asarray(VG.classify_outside(jnp.asarray(v), 0.0))
+    assert out[0, 0, 0]
+    assert not out[5, 5, 5]
+    assert out.sum() == 12 ** 3 - 4 ** 3
+
+
+def test_classify_outside_enclosed_cavity():
+    v = np.ones((12, 12, 12), np.float32)
+    v[2:10, 2:10, 2:10] = -1.0                 # solid shell
+    v[5:7, 5:7, 5:7] = 1.0                     # air cavity inside
+    out = np.asarray(VG.classify_outside(jnp.asarray(v), 0.0))
+    assert not out[5, 5, 5]                    # cavity is NOT outside
+
+
+def test_remove_unconnected():
+    v = np.ones((12, 12, 12), np.float32)
+    v[0:4, 4:8, 4:8] = -1.0                    # grounded column
+    v[8:10, 2:4, 2:4] = -1.0                   # floating blob
+    out = np.asarray(VG.remove_unconnected(jnp.asarray(v), 0.0))
+    assert (out[0:4, 4:8, 4:8] < 0).all()      # grounded stays
+    assert (out[8:10, 2:4, 2:4] > 0).all()     # floater removed
+
+
+def _sphere_field(n=20, r=0.6):
+    xs = np.linspace(-1, 1, n, dtype=np.float32)
+    zv, yv, xv = np.meshgrid(xs, xs, xs, indexing="ij")
+    return np.sqrt(xv * xv + yv * yv + zv * zv) - r  # <0 inside
+
+
+def test_marching_tets_sphere():
+    f = _sphere_field()
+    vsz = (2.0 / 19,) * 3
+    vx, vy, vz, valid = MC.marching_tets(jnp.asarray(f), 0.0, (-1.0, -1.0, -1.0), vsz)
+    tris = MC.compact_triangles(vx, vy, vz, valid)
+    assert len(tris) > 500
+    # every vertex lies near the sphere surface
+    d = np.abs(np.linalg.norm(tris.reshape(-1, 3), axis=1) - 0.6)
+    assert d.max() < 0.06, d.max()
+    # watertight: every undirected edge is shared by exactly 2 triangles
+    q = np.round(tris / 1e-5).astype(np.int64)
+    edges = {}
+    for t in q:
+        for a, b in ((0, 1), (1, 2), (2, 0)):
+            key = (tuple(t[a]), tuple(t[b]))
+            key = tuple(sorted(key))
+            edges[key] = edges.get(key, 0) + 1
+    counts = np.array(list(edges.values()))
+    assert (counts == 2).mean() > 0.99, (counts != 2).sum()
+
+
+def test_brush_adds_and_journal_roundtrip(tmp_path):
+    p = VG.VoxelParams(xsize=16, ysize=16, zsize=8, remove_unconnected=0)
+    vg = VG.make_voxel_grid(p, W)
+    j = VE.BrushJournal()
+    j.add(VE.Brush((0.0, 0.0, 0.0), 1.0, 0.5, VE.VB_SHAPE_LINEAR))
+    j.add(VE.Brush((1.0, 1.0, 0.0), 0.5, -0.3, VE.VB_SHAPE_QUADRATIC))
+    v1 = np.asarray(j.replay(vg.values, vg.lo_pos, vg.vsz))
+    path = str(tmp_path / "brushes.npy")
+    j.save(path)
+    j2 = VE.BrushJournal.load(path)
+    v2 = np.asarray(j2.replay(vg.values, vg.lo_pos, vg.vsz))
+    np.testing.assert_array_equal(v1, v2)
+    # positive weight adds material (lowers density) at the brush center
+    c = np.asarray(vg.values)[4, 8, 8]
+    assert v1[4, 8, 8] < c + 1e-6
+
+
+def test_brush_shapes_differ():
+    v = jnp.zeros((8, 16, 16))
+    lo, vsz = (-1.0, -1.0, -0.5), (0.125, 0.125, 0.125)
+    outs = []
+    for shape in (VE.VB_SHAPE_CUBE, VE.VB_SHAPE_CONSTANT, VE.VB_SHAPE_LINEAR,
+                  VE.VB_SHAPE_QUADRATIC):
+        outs.append(np.asarray(VE.apply_brush(v, lo, vsz, (0., 0., 0.), 0.4, 1.0, shape)))
+    for i in range(len(outs)):
+        for k in range(i + 1, len(outs)):
+            assert not np.allclose(outs[i], outs[k])
