@@ -50,6 +50,13 @@ class CobjSet(NamedTuple):
     elasticity: jax.Array  # [M] cp.elastic
     friction: jax.Array    # [M] surface friction factor
     is_movable: jax.Array  # [M] bool
+    # material / lighting properties (cobj_params: color, specular, shine)
+    color_r: jax.Array     # [M]
+    color_g: jax.Array
+    color_b: jax.Array
+    alpha: jax.Array
+    specular: jax.Array
+    shine: jax.Array
 
     @property
     def size(self) -> int:
@@ -67,6 +74,9 @@ def empty_cobjs(capacity: int) -> CobjSet:
         pnorm=z3,
         elasticity=z, friction=z,
         is_movable=jnp.zeros((capacity,), bool),
+        color_r=jnp.ones((capacity,)), color_g=jnp.ones((capacity,)),
+        color_b=jnp.ones((capacity,)), alpha=jnp.ones((capacity,)),
+        specular=z, shine=jnp.ones((capacity,)),
     )
 
 

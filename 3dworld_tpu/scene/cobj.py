@@ -173,6 +173,9 @@ def pack_cobjs(parse: SceneParse, capacity: int | None = None) -> CobjSet:
     pnorm = np.zeros((capacity, 3), np.float32)
     elas = np.zeros(capacity, np.float32)
     fric = np.zeros(capacity, np.float32)
+    col = np.ones((capacity, 4), np.float32)
+    spec = np.zeros(capacity, np.float32)
+    shine = np.ones(capacity, np.float32)
     for i, c in enumerate(parse.cobjs[:capacity]):
         shape[i] = c.shape
         p1[i] = c.p1
@@ -180,6 +183,9 @@ def pack_cobjs(parse: SceneParse, capacity: int | None = None) -> CobjSet:
         r2[i] = c.r2
         elas[i] = c.layer.elasticity
         fric[i] = c.layer.friction
+        col[i] = c.layer.color
+        spec[i] = c.layer.specular
+        shine[i] = c.layer.shininess
         if c.shape == COLL_POLYGON:
             npts[i] = len(c.pts)
             for k, p in enumerate(c.pts[:4]):
@@ -197,6 +203,9 @@ def pack_cobjs(parse: SceneParse, capacity: int | None = None) -> CobjSet:
         pts=jnp.asarray(pts), pnorm=jnp.asarray(pnorm),
         elasticity=jnp.asarray(elas), friction=jnp.asarray(fric),
         is_movable=jnp.zeros(capacity, bool),
+        color_r=jnp.asarray(col[:, 0]), color_g=jnp.asarray(col[:, 1]),
+        color_b=jnp.asarray(col[:, 2]), alpha=jnp.asarray(col[:, 3]),
+        specular=jnp.asarray(spec), shine=jnp.asarray(shine),
     )
 
 
