@@ -1,1 +1,4 @@
-"""(subpackage)"""
+"""Water & weather: ripples, valley flooding, smoke diffusion, accumulation."""
+from . import ripples  # noqa: F401
+from . import smoke    # noqa: F401
+from . import valleys  # noqa: F401

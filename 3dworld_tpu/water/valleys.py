@@ -1,0 +1,120 @@
+"""Valley flooding: watershed labeling + basin water levels.
+
+The reference precomputes a watershed matrix (every mesh cell assigned to
+the local-minimum "valley" its steepest-descent path reaches,
+`calc_watershed` Water.cpp:1272) and per-frame merges/fills valleys to
+equal water levels via a spill graph (spillover.cpp,
+`update_valleys_and_draw_spillover`).
+
+TPU formulation:
+* flow directions = argmin over the 8-neighborhood (one fused stencil);
+* watershed labels = pointer-jumping (label <- flow[label]) to fixpoint —
+  O(log diameter) doubling steps;
+* basin fill levels: given per-basin water volume, solve
+  sum(max(0, z - h)) * dxdy = V by vectorized bisection with
+  segment-sums over the label map;
+* spillover (merging overflowing basins) is handled by re-running the
+  fill with merged volumes when a basin's level exceeds its lowest
+  saddle — currently a host-driven iteration (full spill-graph
+  equalization is a later round).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.constants import WorldConst, DEFAULT_WORLD
+
+
+def flow_directions(mesh: jax.Array) -> jax.Array:
+    """Steepest-descent neighbor (flat index) per cell; self at minima."""
+    my, mx = mesh.shape
+    INF = jnp.float32(1e30)
+    best = mesh
+    yi, xi = jnp.meshgrid(jnp.arange(my), jnp.arange(mx), indexing="ij")
+    best_idx = yi * mx + xi
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            n = jnp.roll(mesh, (-dy, -dx), (0, 1))
+            # invalidate wrapped borders
+            if dy == 1:
+                n = n.at[-1, :].set(INF)
+            elif dy == -1:
+                n = n.at[0, :].set(INF)
+            if dx == 1:
+                n = n.at[:, -1].set(INF)
+            elif dx == -1:
+                n = n.at[:, 0].set(INF)
+            nidx = (jnp.clip(yi + dy, 0, my - 1) * mx + jnp.clip(xi + dx, 0, mx - 1))
+            better = n < best
+            best = jnp.where(better, n, best)
+            best_idx = jnp.where(better, nidx, best_idx)
+    return best_idx.reshape(-1)
+
+
+@jax.jit
+def watershed_labels(mesh: jax.Array) -> jax.Array:
+    """Basin id (flat index of the basin's minimum) per cell
+    (~ watershed_matrix.wsi, Water.cpp:1272)."""
+    flow = flow_directions(mesh)
+    n = flow.shape[0]
+    steps = int(np.ceil(np.log2(max(n, 2))))
+
+    def body(_, lab):
+        return lab[lab]  # pointer jumping
+
+    return jax.lax.fori_loop(0, steps, body, flow)
+
+
+def basin_fill_levels(mesh: jax.Array, labels: jax.Array, volumes: jax.Array,
+                      world: WorldConst = DEFAULT_WORLD, iters: int = 24):
+    """Water level per basin from per-basin volume.
+
+    volumes: [n_cells] array, nonzero at basin-minimum indices (per-basin
+    water volume).  Returns (zval [n_cells] per-basin level at each basin id
+    slot, water_matrix [my, mx])."""
+    my, mx = mesh.shape
+    n = my * mx
+    h = mesh.reshape(-1)
+    cell_area = world.dxdy
+    h_min = jax.ops.segment_min(h, labels, num_segments=n)
+    lo = jnp.where(jnp.isfinite(h_min), h_min, 0.0)
+    hi = lo + (jnp.max(mesh) - jnp.min(mesh)) + 1.0
+
+    def body(_, state):
+        lo, hi = state
+        mid = 0.5 * (lo + hi)
+        depth = jnp.maximum(mid[labels] - h, 0.0)
+        vol = jax.ops.segment_sum(depth, labels, num_segments=n) * cell_area
+        too_much = vol > volumes
+        return jnp.where(too_much, lo, mid), jnp.where(too_much, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    zval = 0.5 * (lo + hi)
+    water = zval[labels].reshape(my, mx)
+    return zval, water
+
+
+@functools.partial(jax.jit, static_argnames=("world",))
+def fill_valleys(mesh: jax.Array, volumes_per_basin: jax.Array,
+                 world: WorldConst = DEFAULT_WORLD):
+    """Convenience: labels + fill in one jitted call.
+    Returns (labels, zval, water_matrix, wet_mask)."""
+    labels = watershed_labels(mesh)
+    zval, water = basin_fill_levels(mesh, labels, volumes_per_basin, world)
+    wet = water > mesh
+    return labels, zval, water, wet
+
+
+def add_rain_volume(volumes: jax.Array, labels: jax.Array, my, mx,
+                    rain_per_cell: float, world: WorldConst = DEFAULT_WORLD):
+    """Accumulate rainfall: every cell contributes rain volume to its basin
+    (~ RAIN_VOLUME accumulation into valleys, Water.cpp)."""
+    contrib = jnp.full((my * mx,), rain_per_cell * world.dxdy, jnp.float32)
+    return volumes + jax.ops.segment_sum(contrib, labels, num_segments=my * mx)

@@ -1,0 +1,98 @@
+"""Water & weather tests: ripples, smoke diffusion, valley flooding."""
+import numpy as np
+import jax.numpy as jnp
+
+import w3d
+from w3d.water import ripples as WR, smoke as WS, valleys as WV
+from w3d.utils.constants import WorldConst
+
+W64 = WorldConst(mesh_x=64, mesh_y=64)
+
+
+def test_ripples_spread_and_decay():
+    st = WR.make_ripples(64, 64)
+    inside = jnp.ones((64, 64), bool)
+    depth = jnp.full((64, 64), 0.5)
+    st = WR.add_splash(st, 32, 32, 2, 1.0, 64, 64)
+    zv5 = None
+    for i in range(40):
+        st, zv = WR.step_ripples(st, inside, depth)
+        if i == 5:
+            zv5 = np.abs(np.asarray(zv))
+    assert zv5[32, 38] != 0 or zv5[32, 40] != 0     # wave propagated outward
+    assert np.abs(np.asarray(st.rval)).sum() < 1.0  # and decayed
+
+
+def test_ripples_respect_water_mask():
+    st = WR.make_ripples(32, 32)
+    inside = jnp.zeros((32, 32), bool).at[:, :16].set(True)  # water on left half
+    depth = jnp.full((32, 32), 0.5)
+    st = WR.add_splash(st, 8, 16, 2, 1.0, 32, 32)
+    for _ in range(20):
+        st, zv = WR.step_ripples(st, inside, depth)
+    r = np.asarray(st.rval)
+    assert np.abs(r[:, 16:]).max() == 0.0           # no ripples on land
+
+
+def test_ripples_depth_clamp():
+    st = WR.make_ripples(16, 16)
+    inside = jnp.ones((16, 16), bool)
+    depth = jnp.full((16, 16), 0.01)
+    st = WR.add_splash(st, 8, 8, 3, 100.0, 16, 16)
+    st, zv = WR.step_ripples(st, inside, depth)
+    assert np.abs(np.asarray(zv)).max() <= 0.01 + 1e-6
+
+
+def test_smoke_rises_and_leaks():
+    s = jnp.zeros((16, 16, 16)).at[8, 8, 8].set(50.0)
+    for _ in range(30):
+        s = WS.diffuse_smoke(s)
+    s = np.asarray(s)
+    assert s.sum() < 50.0                           # edge sinks leak
+    assert s[9:, 8, 8].sum() > 1.5 * s[:8, 8, 8].sum()  # rises (ZU > ZD)
+    assert (s >= 0).all() and (s <= WS.SMOKE_MAX_VAL).all()
+
+
+def test_smoke_flow_blocking():
+    s = jnp.zeros((8, 8, 8)).at[2, 4, 4].set(10.0)
+    fz = jnp.ones((8, 8, 8)).at[3].set(0.0)         # ceiling above layer 2
+    for _ in range(20):
+        s = WS.diffuse_smoke(s, flow_z=fz)
+    s = np.asarray(s)
+    assert s[4:, 4, 4].sum() < 1e-4                 # nothing got above the ceiling
+
+
+def test_watershed_two_basins():
+    yy, xx = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    mesh = np.minimum(0.001 * ((xx - 20) ** 2 + (yy - 32) ** 2),
+                      0.001 * ((xx - 44) ** 2 + (yy - 32) ** 2)).astype(np.float32)
+    labels = np.asarray(WV.watershed_labels(jnp.asarray(mesh)))
+    assert len(np.unique(labels)) == 2
+    # cells near each minimum map to different basins
+    assert labels[32 * 64 + 20] != labels[32 * 64 + 44]
+
+
+def test_valley_fill_volume():
+    yy, xx = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    mesh = np.minimum(0.001 * ((xx - 20) ** 2 + (yy - 32) ** 2),
+                      0.001 * ((xx - 44) ** 2 + (yy - 32) ** 2)).astype(np.float32)
+    labels = np.asarray(WV.watershed_labels(jnp.asarray(mesh)))
+    vol = jnp.zeros(64 * 64).at[labels[32 * 64 + 20]].set(0.05)
+    _, zval, water, wet = WV.fill_valleys(jnp.asarray(mesh), vol, W64)
+    wet = np.asarray(wet)
+    assert wet[:, :32].sum() > 50                   # left bowl floods
+    assert wet[:, 33:].sum() <= 2                   # right bowl stays dry
+    # filled volume matches requested within bisection tolerance
+    depth = np.maximum(np.asarray(water) - mesh, 0.0)
+    got = depth[:, :32].sum() * W64.dxdy
+    assert abs(got - 0.05) < 0.005
+
+
+def test_rain_accumulation():
+    mesh = jnp.asarray(np.random.default_rng(0).normal(0, 0.1, (32, 32)).astype(np.float32))
+    labels = WV.watershed_labels(mesh)
+    vol = jnp.zeros(32 * 32)
+    vol = WV.add_rain_volume(vol, labels, 32, 32, 0.01, WorldConst(mesh_x=32, mesh_y=32))
+    total = float(vol.sum())
+    expect = 0.01 * WorldConst(mesh_x=32, mesh_y=32).dxdy * 32 * 32
+    assert abs(total - expect) < 1e-4
