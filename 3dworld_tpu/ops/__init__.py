@@ -1,3 +1,6 @@
 """Array-program kernels (JAX/Pallas): noise, erosion, stencils, ray ops."""
 from . import noise    # noqa: F401
 from . import erosion  # noqa: F401
+from . import ao       # noqa: F401
+from . import shadows  # noqa: F401
+from . import ray      # noqa: F401
