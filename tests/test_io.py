@@ -1,0 +1,162 @@
+"""I/O tests: heightmap PNG/BMP codecs, modmap journal, checkpoint,
+profiler, config parser, OBJ model loading (native + fallback)."""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+import w3d
+from w3d.export import heightmap_io as HIO
+from w3d.utils import checkpoint as CK, profiler as PROF, config as CFG
+from w3d.scene.model3d import load_obj, _parse_obj_python, model_to_cobjs
+from w3d.native import get_native
+
+
+def test_png16_roundtrip(tmp_path):
+    img = (np.random.default_rng(0).integers(0, 65536, (33, 47))).astype(np.uint16)
+    p = str(tmp_path / "h.png")
+    HIO.write_png_gray(p, img, bit_depth=16)
+    back = HIO.read_png_gray(p)
+    np.testing.assert_array_equal(img, back)
+
+
+def test_png8_roundtrip(tmp_path):
+    img = (np.random.default_rng(1).integers(0, 256, (17, 21))).astype(np.uint8)
+    p = str(tmp_path / "h8.png")
+    HIO.write_png_gray(p, img, bit_depth=8)
+    np.testing.assert_array_equal(img, HIO.read_png_gray(p))
+
+
+def test_bmp_roundtrip(tmp_path):
+    img = (np.random.default_rng(2).integers(0, 256, (15, 13))).astype(np.uint8)
+    p = str(tmp_path / "h.bmp")
+    HIO.write_bmp_gray(p, img)
+    np.testing.assert_array_equal(img, HIO.read_bmp_gray(p))
+
+
+def test_heightmap_scale_roundtrip(tmp_path):
+    h = np.random.default_rng(3).uniform(0.0, 0.05, (16, 16)).astype(np.float32)
+    p = str(tmp_path / "hm.png")
+    HIO.write_heightmap(p, h, bit_depth=16)
+    back = HIO.read_heightmap(p)
+    # 16-bit quantization: step = 0.0008/256
+    assert np.abs(back - h).max() < 2 * HIO.READ_MESH_H_SCALE / 256
+
+
+def test_modmap_journal(tmp_path):
+    j = CK.ModmapJournal()
+    j.add(8, 8, 4, 0.5, 1)
+    j.add(2, 2, 2, -0.2, 0)
+    hm = jnp.zeros((16, 16))
+    h1 = np.asarray(j.apply(hm))
+    assert h1[8, 8] > 0.4 and h1[2, 2] < -0.1
+    p = str(tmp_path / "m.modmap.npy")
+    j.save(p)
+    j2 = CK.ModmapJournal.load(p)
+    np.testing.assert_allclose(np.asarray(j2.apply(hm)), h1, rtol=1e-6)
+    j2.undo()
+    assert len(j2.edits) == 1
+
+
+def test_checkpoint_pytree_roundtrip(tmp_path):
+    from w3d.physics import types as PT, step as PS
+    table = PT.make_type_table()
+    st = PS.make_state(np.zeros((8, 3)), np.ones((8, 3)), np.zeros(8, np.int32), table)
+    p = str(tmp_path / "state.npz")
+    CK.save_pytree(p, st)
+    st2 = CK.load_pytree(p, st)
+    np.testing.assert_array_equal(np.asarray(st.vx), np.asarray(st2.vx))
+    np.testing.assert_array_equal(np.asarray(st.status), np.asarray(st2.status))
+
+
+def test_profiler():
+    prof = PROF.TimingProfiler()
+    with prof.time("stage_a"):
+        sum(range(1000))
+    with prof.time("stage_a"):
+        sum(range(1000))
+    assert prof.entries["stage_a"].count == 2
+    assert "stage_a" in prof.report()
+
+
+def test_config_parser(tmp_path):
+    p = tmp_path / "cfg.txt"
+    inc = tmp_path / "inc.txt"
+    inc.write_text("mesh_scale 2.0\n")
+    p.write_text("""
+mesh_size 192 192 16  # comment
+scene_size 4.0 4.0 1.25
+rand_seed 7
+erosion_iters 5000
+include inc.txt
+coll_obj_file coll_objs/spheres.txt
+sphere_gen metal_prob 0.2
+unknown_keyword 42
+toggle_reflections
+num_light_rays 10000 10000 20000000 1000000
+""")
+    cfg = CFG.load_config(str(p))
+    assert cfg.mesh_size == (192, 192, 16)
+    assert cfg.scene_size == (4.0, 4.0, 1.25)
+    assert cfg.rand_seed == 7
+    assert cfg.erosion_iters == 5000
+    assert cfg.mesh_scale == 2.0                # from include
+    assert cfg.coll_obj_file == "coll_objs/spheres.txt"
+    assert cfg.sphere_gen["metal_prob"] == "0.2"
+    assert cfg.extra["unknown_keyword"] == "42"
+    assert "toggle_reflections" in cfg.extra
+    assert cfg.num_light_rays == (10000, 10000, 20000000, 1000000)
+    w = cfg.world_const()
+    assert w.mesh_x == 192 and w.z_scene == 1.25
+
+
+def test_reference_scene_config_parses():
+    path = "/root/reference/scene_config/config_spheres.txt"
+    if not os.path.exists(path):
+        return
+    cfg = CFG.load_config(path)
+    assert cfg.mesh_size == (192, 192, 16)
+    assert cfg.rand_seed == 0
+    assert cfg.coll_obj_file.endswith("spheres.txt")
+
+
+OBJ_SRC = b"""
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+vn 0 0 1
+vt 0 0
+f 1//1 2//1 3//1 4//1
+"""
+
+
+def test_obj_python_parser():
+    m = _parse_obj_python(OBJ_SRC)
+    assert m.num_verts == 4
+    assert m.num_faces == 2      # quad fan-triangulated
+    assert (m.face_normals == 0).all()
+
+
+def test_obj_native_matches_python(tmp_path):
+    native = get_native()
+    if native is None:
+        return  # no compiler in this environment
+    m_py = _parse_obj_python(OBJ_SRC)
+    pos, nrm, uv, fv, fn, ft = native.parse_obj(OBJ_SRC)
+    np.testing.assert_allclose(np.frombuffer(pos, np.float32).reshape(-1, 3),
+                               m_py.positions)
+    np.testing.assert_array_equal(np.frombuffer(fv, np.int32).reshape(-1, 3),
+                                  m_py.faces)
+
+
+def test_load_obj_cache(tmp_path):
+    p = str(tmp_path / "m.obj")
+    with open(p, "wb") as f:
+        f.write(OBJ_SRC)
+    m1 = load_obj(p)
+    assert os.path.exists(p + ".model3d.npz")
+    m2 = load_obj(p)  # from cache
+    np.testing.assert_array_equal(m1.positions, m2.positions)
+    sp = model_to_cobjs(m1)
+    assert len(sp.cobjs) == 2
