@@ -35,6 +35,7 @@ from . import universe   # noqa: F401
 from . import models     # noqa: F401
 from . import export     # noqa: F401
 from . import native     # noqa: F401
+from . import veg        # noqa: F401
 
 __version__ = "0.1.0"
 

@@ -1,0 +1,95 @@
+"""Grass: per-blade tile blocks with wind animation and burn/cut state.
+
+The reference generates per-blade grass quads in tile blocks with density
+maps, wind sway, and burnable/cuttable per-blade state (grass.cpp:1141,
+grass_tile_manager_t grass.h:58).  TPU form: a tile's blades are hashed
+SoA arrays (position/dir/height), wind sway is one fused elementwise
+program over all blades, and burn/cut state is a per-blade scalar.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils import rng as w3d_rng
+
+
+class GrassBlock(NamedTuple):
+    """SoA blades for one tile block."""
+
+    x: jax.Array
+    y: jax.Array
+    z: jax.Array
+    dir_x: jax.Array    # blade lean direction
+    dir_y: jax.Array
+    height: jax.Array
+    width: jax.Array
+    burn: jax.Array     # 0 = green, 1 = fully burned
+    cut: jax.Array      # remaining height fraction (cuttable state)
+
+
+def gen_grass_block(seed: int, tile_x0: float, tile_y0: float,
+                    zvals, grass_weight, world, blades_per_cell: int = 4,
+                    grass_length: float = 0.02) -> GrassBlock:
+    """Blades for a tile: positions hashed per (cell, blade); density
+    gated by the biome grass weight (grass density maps)."""
+    my, mx = zvals.shape
+    n = my * mx * blades_per_cell
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    cell = idx // blades_per_cell
+    h1 = w3d_rng.xxhash_u32(idx, seed=seed)
+    h2 = w3d_rng.xxhash_u32(idx, seed=seed + 1)
+    h3 = w3d_rng.xxhash_u32(idx, seed=seed + 2)
+    u1 = (h1 >> 8).astype(jnp.float32) / (1 << 24)
+    u2 = (h2 >> 8).astype(jnp.float32) / (1 << 24)
+    u3 = (h3 >> 8).astype(jnp.float32) / (1 << 24)
+    cy = (cell // mx).astype(jnp.float32)
+    cx = (cell % mx).astype(jnp.float32)
+    gx = tile_x0 + cx + u1
+    gy = tile_y0 + cy + u2
+    x = gx * world.dx
+    y = gy * world.dy
+    z = jnp.take(zvals.reshape(-1), cell)
+    gw = jnp.take(grass_weight.reshape(-1), cell)
+    keep = u3 < gw  # density by grass biome weight
+    ang = 2 * np.pi * ((h1 ^ h2).astype(jnp.float32) % 1024) / 1024.0
+    height = grass_length * (0.7 + 0.6 * u2) * keep.astype(jnp.float32)
+    return GrassBlock(
+        x=x, y=y, z=z,
+        dir_x=jnp.cos(ang), dir_y=jnp.sin(ang),
+        height=height, width=jnp.full((n,), 0.1 * grass_length),
+        burn=jnp.zeros((n,)), cut=jnp.ones((n,)),
+    )
+
+
+@jax.jit
+def wind_sway(block: GrassBlock, wind_x, wind_y, time):
+    """Per-blade wind offset at the blade tip (grass wind animation):
+    phase from position, amplitude from wind speed and blade height."""
+    phase = 2.3 * block.x + 1.7 * block.y + 2.0 * time
+    amp = 0.35 * jnp.sqrt(wind_x * wind_x + wind_y * wind_y)
+    sway = amp * (0.6 + 0.4 * jnp.sin(phase)) * block.height * block.cut
+    return block.x + sway * wind_x, block.y + sway * wind_y, \
+        block.z + block.height * block.cut
+
+
+@jax.jit
+def burn_grass_at(block: GrassBlock, cx, cy, radius, amount=1.0):
+    """Ground-fire burn (enable_grass_fire / burn_grass semantics)."""
+    d2 = (block.x - cx) ** 2 + (block.y - cy) ** 2
+    f = jnp.maximum(1.0 - d2 / jnp.maximum(radius * radius, 1e-9), 0.0)
+    return block._replace(burn=jnp.clip(block.burn + amount * f, 0.0, 1.0))
+
+
+@jax.jit
+def cut_grass_at(block: GrassBlock, cx, cy, radius, height_frac=0.25):
+    """Mow grass in a radius (modify_grass_at cut path)."""
+    d2 = (block.x - cx) ** 2 + (block.y - cy) ** 2
+    inside = d2 <= radius * radius
+    return block._replace(cut=jnp.where(inside, jnp.minimum(block.cut, height_frac),
+                                        block.cut))

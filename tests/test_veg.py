@@ -1,0 +1,79 @@
+"""Vegetation tests: trees, grass, scenery."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import w3d
+from w3d.veg import trees as VT, grass as VG, scenery as VS
+from w3d.terrain import biomes as B
+from w3d.utils.constants import WorldConst
+
+W = WorldConst()
+ZV = jnp.zeros((64, 64))
+NZ = jnp.ones((64, 64))
+GRASSY = jnp.zeros((5, 64, 64)).at[B.GRASS].set(0.8).at[B.DIRT].set(0.2)
+SANDY = jnp.zeros((5, 64, 64)).at[B.SAND].set(1.0)
+
+
+def test_tree_placement_density_and_biome():
+    _, _, _, _, v1 = VT.place_trees_on_tile(3, 0, 0, ZV, NZ, GRASSY, W, density=1.0)
+    _, _, _, _, v2 = VT.place_trees_on_tile(3, 0, 0, ZV, NZ, SANDY, W, density=1.0)
+    assert int(v1.sum()) > 100
+    assert int(v2.sum()) == 0          # no trees on pure sand
+    # steep slopes reject trees
+    _, _, _, _, v3 = VT.place_trees_on_tile(3, 0, 0, ZV, jnp.full((64, 64), 0.3),
+                                            GRASSY, W, density=1.0)
+    assert int(v3.sum()) == 0
+
+
+def test_tree_placement_deterministic():
+    a = VT.place_trees_on_tile(3, 0, 0, ZV, NZ, GRASSY, W)
+    b = VT.place_trees_on_tile(3, 0, 0, ZV, NZ, GRASSY, W)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    c = VT.place_trees_on_tile(4, 0, 0, ZV, NZ, GRASSY, W)
+    assert not np.array_equal(np.asarray(a[0]), np.asarray(c[0]))
+
+
+def test_gen_trees_geometry():
+    k = jax.random.key(1)
+    n = 16
+    ts = VT.gen_trees(k, jnp.zeros(n), jnp.zeros(n), jnp.zeros(n),
+                      jnp.arange(n) % VT.NUM_TREE_TYPES)
+    assert ts.cyl_x1.shape == (n, VT.MAX_CYLINS)
+    assert ts.leaf_x.shape == (n, VT.MAX_LEAVES)
+    # trunk base at origin, radii taper along levels
+    assert float(jnp.abs(ts.cyl_z1[:, 0]).max()) < 1e-5
+    r = np.asarray(ts.cyl_r1)
+    lvl = np.asarray(ts.cyl_level[0])
+    assert r[:, lvl == 0].mean() > r[:, lvl == 1].mean() > r[:, lvl == 2].mean()
+    # leaves above the ground
+    assert float(ts.leaf_z.min()) > 0.0
+    # branches connected: level-1 start points lie on the trunk axis region
+    assert float(jnp.abs(ts.cyl_x1[:, VT.TRUNK_SEGS:VT.TRUNK_SEGS + VT.NUM_B1]).max()) < 1.0
+
+
+def test_grass_density_and_ops():
+    g = VG.gen_grass_block(1, 0, 0, ZV, GRASSY[B.GRASS], W, blades_per_cell=2)
+    alive = (np.asarray(g.height) > 0)
+    assert 0.6 < alive.mean() < 0.95   # ~0.8 density
+    tx, ty, tz = VG.wind_sway(g, 0.4, 0.2, 1.0)
+    assert bool(jnp.isfinite(tx).all())
+    # stronger wind -> larger sway
+    tx2, _, _ = VG.wind_sway(g, 4.0, 2.0, 1.0)
+    d1 = np.abs(np.asarray(tx) - np.asarray(g.x))[alive].mean()
+    d2 = np.abs(np.asarray(tx2) - np.asarray(g.x))[alive].mean()
+    assert d2 > d1
+    g2 = VG.burn_grass_at(g, 0.1, 0.1, 0.5)
+    assert float(g2.burn.max()) > 0.5
+    g3 = VG.cut_grass_at(g, 0.1, 0.1, 0.5, 0.25)
+    assert float(g3.cut.min()) == 0.25
+
+
+def test_scenery_and_voxel_rock():
+    sc = VS.place_scenery(9, 0, 0, ZV, NZ, W, density=2.0)
+    assert int(sc.valid.sum()) > 30
+    kinds = np.unique(np.asarray(sc.kind)[np.asarray(sc.valid)])
+    assert len(kinds) >= 4             # variety of scenery types
+    rock = VS.voxel_rock_mesh(5, 0.1)
+    assert len(rock) > 200
+    assert np.abs(rock).max() <= 0.12  # within the requested size
