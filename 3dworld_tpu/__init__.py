@@ -36,6 +36,7 @@ from . import models     # noqa: F401
 from . import export     # noqa: F401
 from . import native     # noqa: F401
 from . import veg        # noqa: F401
+from . import gameplay   # noqa: F401
 
 __version__ = "0.1.0"
 

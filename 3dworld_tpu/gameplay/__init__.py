@@ -1,0 +1,3 @@
+"""Gameplay & agents: waypoints/A*, weapons, explosions, smiley AI."""
+from . import waypoints  # noqa: F401
+from . import game       # noqa: F401

@@ -1,0 +1,193 @@
+"""Procedural universe: cell -> galaxy -> system -> star/planet -> moon.
+
+Re-expresses the reference hierarchy (universe.h:90-100,265-441;
+Universe.cpp): a 7^3 block of cells pages with the player
+(`shift_cells` Universe.cpp:1098); each cell generates lazily and
+deterministically from position-derived seeds
+(gen_rand_seed1/2, Universe.cpp:1141-1154: prime-multiplied quantized
+center coordinates feeding the two-seed LCG), so revisiting a cell always
+recreates the identical contents.
+
+Generation is host-side (irregular tree structure) with all numeric
+content drawn from the reference-compatible LCG; planet *surfaces* are
+device-side (see surface.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..utils.rng import RandGen
+
+# universe.h:90-100
+U_BLOCKS = 7
+CELL_SIZE = 10.0
+RS_SCALE = 7.0 / CELL_SIZE
+RAND_CONST = 1
+
+MIN_GALAXIES_PER_CELL, MAX_GALAXIES_PER_CELL = 1, 4
+MIN_SYSTEMS_PER_GALAXY, MAX_SYSTEMS_PER_GALAXY = 10, 100
+MAX_PLANETS_PER_SYSTEM = 8
+MAX_MOONS_PER_PLANET = 4
+
+
+def gen_rand_seed1(pos) -> int:
+    return (196613 * int(RS_SCALE * pos[0] + 0.5)
+            + 393241 * int(RS_SCALE * pos[1] + 0.5)
+            + 786433 * int(RS_SCALE * pos[2] + 0.5) + RAND_CONST * 123) & 0x7FFFFFFF
+
+
+def gen_rand_seed2(pos) -> int:
+    return (6291469 * int(RS_SCALE * pos[0] + 0.5)
+            + 3145739 * int(RS_SCALE * pos[1] + 0.5)
+            + 1572869 * int(RS_SCALE * pos[2] + 0.5) + RAND_CONST * 456) & 0x7FFFFFFF
+
+
+@dataclass
+class Moon:
+    orbit_r: float
+    radius: float
+    seed: int
+
+
+@dataclass
+class Planet:
+    orbit_r: float
+    radius: float
+    temp: float        # from star luminosity / orbit distance
+    has_water: bool
+    has_atmos: bool
+    is_gas_giant: bool
+    has_rings: bool
+    seed: int
+    moons: list = field(default_factory=list)
+
+
+@dataclass
+class Star:
+    radius: float
+    temp: float        # color temperature class
+    color: tuple = (1.0, 1.0, 0.9)
+
+
+@dataclass
+class System:
+    pos: tuple
+    star: Star
+    planets: list = field(default_factory=list)
+    has_asteroid_belt: bool = False
+
+
+@dataclass
+class Galaxy:
+    pos: tuple         # relative to cell center
+    radius: float
+    color: tuple
+    systems: list = field(default_factory=list)
+
+
+@dataclass
+class Cell:
+    coords: tuple      # integer cell coords
+    pos: tuple         # world center
+    galaxies: list = field(default_factory=list)
+
+
+def gen_star(rg: RandGen) -> Star:
+    t = rg.rand_uniform(0.2, 1.0)          # temperature class in [0.2, 1]
+    radius = 0.02 * rg.rand_uniform(0.5, 2.0) * (0.5 + t)
+    # blackbody-ish color ramp: red -> yellow -> white -> blue
+    color = (min(1.0, 1.6 - 0.8 * t), min(1.0, 0.7 + 0.5 * t), min(1.0, 0.3 + 1.2 * t))
+    return Star(radius=radius, temp=t, color=color)
+
+
+def gen_planet(rg: RandGen, star: Star, orbit_r: float) -> Planet:
+    radius = 0.004 * rg.rand_uniform(0.5, 3.0)
+    # temperature falls off with orbit distance (uplanet temp model)
+    temp = 80.0 * star.temp * star.radius / max(orbit_r, 1e-6) * rg.rand_uniform(0.7, 1.3)
+    gas = radius > 0.008 and rg.rand_bool()
+    p = Planet(
+        orbit_r=orbit_r, radius=radius * (3.0 if gas else 1.0), temp=temp,
+        has_water=(not gas and 4.0 < temp < 40.0 and rg.randd() < 0.7),
+        has_atmos=(not gas and temp < 80.0 and rg.randd() < 0.8),
+        is_gas_giant=gas,
+        has_rings=(gas and rg.randd() < 0.5),   # uplanet::gen_prings
+        seed=rg.rand(),
+    )
+    if not gas:
+        for m in range(rg.rand_int(0, MAX_MOONS_PER_PLANET)):
+            p.moons.append(Moon(orbit_r=p.radius * rg.rand_uniform(3.0, 10.0),
+                                radius=p.radius * rg.rand_uniform(0.1, 0.4),
+                                seed=rg.rand()))
+    return p
+
+
+def gen_system(rg: RandGen, pos) -> System:
+    star = gen_star(rg)
+    sy = System(pos=tuple(pos), star=star,
+                has_asteroid_belt=(rg.randd() < 0.3))
+    nplanets = rg.rand_int(0, MAX_PLANETS_PER_SYSTEM)
+    orbit = star.radius * 4.0
+    for _ in range(nplanets):
+        orbit *= rg.rand_uniform(1.4, 2.0)
+        sy.planets.append(gen_planet(rg, star, orbit))
+    return sy
+
+
+def gen_galaxy(rg: RandGen, cell_radius: float) -> Galaxy:
+    pos = tuple(rg.rand_uniform(-0.7, 0.7) * cell_radius for _ in range(3))
+    radius = cell_radius * rg.rand_uniform(0.1, 0.3)
+    color = (rg.rand_uniform(0.5, 1.0), rg.rand_uniform(0.5, 1.0),
+             rg.rand_uniform(0.5, 1.0))
+    g = Galaxy(pos=pos, radius=radius, color=color)
+    nsys = rg.rand_int(MIN_SYSTEMS_PER_GALAXY, MAX_SYSTEMS_PER_GALAXY)
+    for _ in range(nsys):
+        # clustered toward the galaxy center
+        sp = tuple(pos[d] + radius * (rg.randd() - 0.5) * (rg.randd() - 0.5) * 4.0
+                   for d in range(3))
+        g.systems.append(gen_system(rg, sp))
+    return g
+
+
+def gen_cell(coords: tuple, origin=(0.0, 0.0, 0.0)) -> Cell:
+    """ucell::gen_cell (Universe.cpp:1157-1175): deterministic from the
+    cell's world position."""
+    pos = tuple(CELL_SIZE * coords[d] + origin[d] for d in range(3))
+    rg = RandGen(gen_rand_seed1(pos) or 1, gen_rand_seed2(pos) or 1)
+    cell = Cell(coords=tuple(coords), pos=pos)
+    ngal = rg.rand_int(MIN_GALAXIES_PER_CELL, MAX_GALAXIES_PER_CELL)
+    for _ in range(ngal):
+        cell.galaxies.append(gen_galaxy(rg, 0.5 * CELL_SIZE))
+    return cell
+
+
+class UniverseState:
+    """Paged 7^3 cell window around the player (shift_cells)."""
+
+    def __init__(self):
+        self.cells: dict[tuple, Cell] = {}
+
+    def update(self, player_pos) -> tuple[list, list]:
+        """Generate cells within the 7^3 window; free the rest."""
+        c = tuple(int(np.floor(p / CELL_SIZE + 0.5)) for p in player_pos)
+        r = U_BLOCKS // 2
+        want = set()
+        for dx in range(-r, r + 1):
+            for dy in range(-r, r + 1):
+                for dz in range(-r, r + 1):
+                    want.add((c[0] + dx, c[1] + dy, c[2] + dz))
+        freed = [k for k in self.cells if k not in want]
+        for k in freed:
+            del self.cells[k]
+        created = []
+        for k in want:
+            if k not in self.cells:
+                self.cells[k] = gen_cell(k)
+                created.append(k)
+        return created, freed
+
+    def num_systems(self) -> int:
+        return sum(len(g.systems) for cell in self.cells.values()
+                   for g in cell.galaxies)
