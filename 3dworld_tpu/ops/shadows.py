@@ -95,6 +95,11 @@ def mesh_shadows(zvals: jax.Array, light_dir: tuple,
 
     cols = jnp.moveaxis(p, -1, 0)               # [n, ..., lat]
     sh_out, shadowed = jax.lax.scan(scanf, init, cols)
+    # express the outgoing carry in the NEXT tile's local frame (its scan
+    # index restarts at 0, i.e. n cells further downstream): p' = p - m*n —
+    # this makes sh_out plug directly into the downstream tile's sh_in
+    # (the reference's sh_out edge height vectors, tiled_mesh.cpp:664)
+    sh_out = sh_out - m * n
     shadowed = jnp.moveaxis(shadowed, 0, -1)    # [..., lat, n]
     if flip:
         shadowed = jnp.flip(shadowed, -1)

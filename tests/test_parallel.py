@@ -1,0 +1,55 @@
+"""Multi-device tests (8 virtual CPU devices from conftest)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import w3d
+from w3d.parallel import mesh as PM, halo as PH
+from w3d.ops import shadows as SH
+
+
+def _mesh8():
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 devices")
+    return PM.make_mesh(8, axis="tiles")
+
+
+def test_sharded_shadow_chain_matches_single_device():
+    m = _mesh8()
+    T, n = 16, 32
+    z = np.zeros((T, n, n), np.float32)
+    z[2, :, 16] = 3.0  # wall inside shard 1 — shadow must cross shards 0-1
+    for light in ((1.0, 0.0, 0.3), (-1.0, 0.0, 0.3)):
+        strip = np.concatenate([z[i] for i in range(T)], axis=1)
+        ref, _ = SH.mesh_shadows(jnp.asarray(strip), light, cell_w=0.0625)
+        run = PH.make_sharded_shadow_scan(m, light, 0.0625)
+        init = jnp.full((n,), SH.MESH_MIN_Z)
+        with m:
+            zs = jax.device_put(jnp.asarray(z), PM.shard_leading(m))
+            out = np.asarray(run(zs, init))
+        strip_out = np.concatenate([out[i] for i in range(T)], axis=1)
+        np.testing.assert_array_equal(strip_out, np.asarray(ref))
+
+
+def test_halo_context_assembly():
+    m = _mesh8()
+    T, n, halo = 16, 16, 4
+    z = np.arange(T * n * n, dtype=np.float32).reshape(T, n, n)
+    ctx_fn = PH.make_halo_context(m, halo=halo)
+    with m:
+        zs = jax.device_put(jnp.asarray(z), PM.shard_leading(m))
+        ctx = np.asarray(ctx_fn(zs))
+    assert ctx.shape == (T, n, n + 2 * halo)
+    # interior: the center block is the tile itself
+    np.testing.assert_array_equal(ctx[:, :, halo:halo + n], z)
+    # in-shard neighbor halo: tile 1's left halo = tile 0's right edge
+    np.testing.assert_array_equal(ctx[1, :, :halo], z[0, :, -halo:])
+    # cross-shard halo: tile 2 is shard 1's first tile; its left halo must
+    # come from shard 0's last tile (tile 1)
+    np.testing.assert_array_equal(ctx[2, :, :halo], z[1, :, -halo:])
+
+
+def test_sharded_tile_batch_and_physics():
+    from __graft_entry__ import dryrun_multichip
+    dryrun_multichip(min(8, len(jax.devices())))
