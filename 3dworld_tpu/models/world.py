@@ -1,0 +1,104 @@
+"""World-mode frame orchestration: the three top-level loops.
+
+The reference's `display()` branches on world mode (3DWorld.h:1360):
+WMODE_GROUND runs physics + water + smoke + draw (display_world.cpp:768),
+WMODE_INF_TERRAIN streams tiles + city sim across 3 OMP threads (:1219),
+WMODE_UNIVERSE pages cells + steps ships on 2 threads
+(Universe_control.cpp:278).
+
+Here each mode's per-frame compute is a composition of the jitted
+subsystem steps; the OMP functional splits disappear — the device
+pipeline runs them as one program (ground) or host-orchestrated jitted
+calls (tiled/universe, whose host sides stream content)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.constants import WorldConst
+from ..physics import step as PS
+from ..water import ripples as WR, smoke as WSM
+from ..scene.loader import GroundScene
+
+WMODE_GROUND = 0
+WMODE_UNIVERSE = 1
+WMODE_INF_TERRAIN = 2
+
+
+# ---------------------------------------------------------------------------
+# ground mode
+# ---------------------------------------------------------------------------
+
+def ground_frame(scene: GroundScene, substeps: int = 4,
+                 obj_collisions: bool = True) -> GroundScene:
+    """One WMODE_GROUND frame: process_groups + ripples (display() loop)."""
+    st = PS.step_objects(scene.objects, scene.env, scene.cobjs, scene.table,
+                         substeps=substeps, world=scene.world,
+                         obj_collisions=obj_collisions)
+    wpz = scene.env.water_plane_z
+    inside = wpz > scene.terrain.mesh_height
+    depth = jnp.maximum(wpz - scene.terrain.mesh_height, 0.0)
+    ripples, _ = WR.step_ripples(scene.ripples, inside, depth)
+    scene.objects = st
+    scene.ripples = ripples
+    return scene
+
+
+# ---------------------------------------------------------------------------
+# tiled-terrain mode
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TiledWorld:
+    """WMODE_INF_TERRAIN session: streamed tiles + city + traffic."""
+
+    tile_mgr: object
+    road_graph: object = None
+    cars: object = None
+    peds: object = None
+    frame: int = 0
+    key: object = field(default_factory=lambda: jax.random.key(0))
+
+    def step(self, cam_x: float, cam_y: float):
+        """display_inf_terrain: tile streaming + car/ped updates (the
+        3-thread OMP split becomes sequential jitted dispatches)."""
+        from ..city import traffic as CT
+
+        created, deleted = self.tile_mgr.update(cam_x, cam_y)
+        if self.cars is not None:
+            self.cars = CT.step_cars(self.cars, self.road_graph,
+                                     jax.random.fold_in(self.key, self.frame))
+        if self.peds is not None:
+            self.peds = CT.step_peds(self.peds,
+                                     jax.random.fold_in(self.key, 1 << 20 | self.frame))
+        self.frame += 1
+        return created, deleted
+
+
+# ---------------------------------------------------------------------------
+# universe mode
+# ---------------------------------------------------------------------------
+
+@dataclass
+class UniverseWorld:
+    """WMODE_UNIVERSE session: cell paging + fleet combat."""
+
+    state: object
+    fleet: object = None
+    frame: int = 0
+    key: object = field(default_factory=lambda: jax.random.key(1))
+
+    def step(self, player_pos):
+        """draw_universe: process_ships + lazy cell gen."""
+        from ..universe import ships as USH
+
+        created, freed = self.state.update(player_pos)
+        if self.fleet is not None:
+            self.fleet = USH.step_fleet(self.fleet,
+                                        jax.random.fold_in(self.key, self.frame))
+        self.frame += 1
+        return created, freed

@@ -1,3 +1,5 @@
 """Scene description: coll-obj DSL parser, scene assembly."""
 from . import cobj  # noqa: F401
 from . import model3d  # noqa: F401
+from . import sphere_materials  # noqa: F401
+from . import loader    # noqa: F401

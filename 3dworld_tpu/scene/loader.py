@@ -1,0 +1,99 @@
+"""Scene assembly: config -> a runnable world (gen_scene equivalent).
+
+The reference's `gen_scene` (3DWorld.cpp:2460 + build_world.cpp) loads
+the config, generates the terrain, reads coll objects, creates object
+groups and initializes lighting.  `load_scene` performs the same
+orchestration against our subsystems and returns a `GroundScene` bundle
+the frame loop (models/world.py) steps.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..utils.config import Config, load_config
+from ..utils.constants import WorldConst
+from ..terrain import mesh as TM
+from ..physics import types as PT, step as PS, cobjs as PC
+from ..lighting import lmap as LM
+from ..water import ripples as WR
+from . import cobj as SC
+from .sphere_materials import parse_sphere_materials, SphereMaterials
+
+
+@dataclass
+class GroundScene:
+    cfg: Config
+    world: WorldConst
+    terrain: TM.TerrainState
+    cobjs: PC.CobjSet
+    table: PT.ObjTypeTable
+    objects: PS.ObjectState
+    env: PS.PhysicsEnv
+    ripples: WR.RippleState
+    light_grid: LM.LightGrid
+    sphere_mats: SphereMaterials
+
+
+def load_scene(config_path: str, num_objects: int = 0,
+               search_dirs: tuple = ()) -> GroundScene:
+    """Load a config_*.txt scene end to end."""
+    cfg = load_config(config_path)
+    world = cfg.world_const()
+    tcfg = cfg.terrain_config()
+    if cfg.rand_seed and tcfg.mesh_seed == 0:
+        tcfg = tcfg._replace(mesh_seed=cfg.rand_seed)
+    terrain = TM.gen_terrain(tcfg, world)
+
+    # coll objects (resolved against the config dir + search dirs)
+    cobjs = None
+    if cfg.load_coll_objs and cfg.coll_obj_file:
+        for d in (os.path.dirname(os.path.abspath(config_path)),
+                  os.path.dirname(os.path.dirname(os.path.abspath(config_path))),
+                  *search_dirs):
+            p = os.path.join(d, cfg.coll_obj_file)
+            if os.path.exists(p):
+                cobjs = SC.load_cobjs(p, sphere_gen_seed=cfg.rand_seed)
+                break
+    if cobjs is None:
+        cobjs = PC.empty_cobjs(128)
+
+    sphere_mats = SphereMaterials()
+    if cfg.sphere_materials_fn:
+        for d in (os.path.dirname(os.path.abspath(config_path)),
+                  os.path.dirname(os.path.dirname(os.path.abspath(config_path))),
+                  *search_dirs):
+            p = os.path.join(d, cfg.sphere_materials_fn)
+            if os.path.exists(p):
+                sphere_mats = parse_sphere_materials(p)
+                break
+
+    table = PT.make_type_table(z_scene=world.z_scene)
+    n = num_objects or max(cfg.num_dodgeballs, 1)
+    rng = np.random.default_rng(cfg.rand_seed or 1)
+    pos = np.stack([
+        rng.uniform(-0.8 * world.x_scene, 0.8 * world.x_scene, n),
+        rng.uniform(-0.8 * world.y_scene, 0.8 * world.y_scene, n),
+        rng.uniform(0.3 * world.z_scene, 0.9 * world.z_scene, n)], 1)
+    objects = PS.make_state(pos, np.zeros((n, 3), np.float32),
+                            np.full(n, PT.type_id("BALL")), table)
+
+    wind = jnp.asarray(cfg.wind_velocity, jnp.float32)
+    wpz = jnp.float32(-1e9 if cfg.disable_water else float(terrain.water_plane_z))
+    env = PS.PhysicsEnv(
+        mesh_height=terrain.mesh_height, water_plane_z=wpz, wind=wind,
+        temperature=jnp.float32(cfg.temperature),
+        base_gravity=jnp.float32(cfg.gravity),
+        zmin=jnp.float32(float(terrain.zmin)),
+    )
+    return GroundScene(
+        cfg=cfg, world=world, terrain=terrain, cobjs=cobjs, table=table,
+        objects=objects, env=env,
+        ripples=WR.make_ripples(world.mesh_y, world.mesh_x),
+        light_grid=LM.make_light_grid(world),
+        sphere_mats=sphere_mats,
+    )

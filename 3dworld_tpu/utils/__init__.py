@@ -4,3 +4,4 @@ from . import rng        # noqa: F401
 from . import config      # noqa: F401
 from . import profiler    # noqa: F401
 from . import checkpoint  # noqa: F401
+from . import events      # noqa: F401

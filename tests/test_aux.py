@@ -1,0 +1,108 @@
+"""Aux systems tests: snow, clouds/lightning, textures, map view, events,
+sphere materials, scene loader, world modes."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import w3d
+from w3d.water import snow as WSN, clouds as WC
+from w3d.export import textures as TX, map_view as MV
+from w3d.utils import events as EV
+from w3d.utils.constants import WorldConst
+from w3d.scene import cobj as SC
+from w3d.scene.sphere_materials import parse_sphere_materials
+from w3d.scene.loader import load_scene
+from w3d.models.world import ground_frame
+
+W = WorldConst(mesh_x=64, mesh_y=64)
+
+
+def test_snow_lands_on_surfaces():
+    mesh = jnp.zeros((64, 64))
+    sp = SC.SceneParse()
+    sp.cobjs.append(SC.RawCobj(SC.COLL_CUBE, (-1, -1, 0.0), (1, 1, 0.5)))
+    co = SC.pack_cobjs(sp)
+    sz, cov = WSN.create_snow_map(mesh, co, 65536, world=W, wind=(0, 0, 0))
+    sz = np.asarray(sz)
+    assert abs(sz[32, 32] - 0.5) < 0.01       # on the cube top
+    assert abs(sz[5, 5]) < 0.01               # on the ground
+    assert np.asarray(cov).sum() > 60000      # most rays landed in-grid
+
+
+def test_clouds_scroll_and_lightning():
+    a = np.asarray(WC.cloud_layer(0.0, 0.4, 0.2, 64, 64))
+    b = np.asarray(WC.cloud_layer(10.0, 0.4, 0.2, 64, 64))
+    assert not np.allclose(a, b)
+    assert a.min() >= 0 and a.max() <= 1
+    path, forks = WC.gen_lightning_strike(7, 2.0, 0.0, 0.5, 0.5)
+    assert path[0][2] == 2.0 and abs(path[-1][2]) < 0.2
+    zs = [p[2] for p in path]
+    assert zs == sorted(zs, reverse=True)     # descends monotonically
+    p2, _ = WC.gen_lightning_strike(7, 2.0, 0.0, 0.5, 0.5)
+    assert p2 == path                         # deterministic
+
+
+def test_local_wind_gusts():
+    px = jnp.linspace(-1, 1, 32)
+    py = jnp.zeros(32)
+    wx, wy, wz = WC.local_wind(px, py, jnp.zeros(32), (0.4, 0.2, 0.0), 1.0)
+    assert float(jnp.std(wx)) > 0.0           # spatial variation
+    assert abs(float(jnp.mean(wx)) - 0.4) < 0.15
+
+
+def test_procedural_textures():
+    for f in (TX.cloud_texture, TX.marble_texture, TX.noise_texture):
+        t = np.asarray(f(64))
+        assert t.shape == (64, 64)
+        assert np.isfinite(t).all() and t.min() >= 0 and t.max() <= 1
+        assert t.std() > 0.05
+    p = np.asarray(TX.plasma_texture(64))
+    assert p.shape == (3, 64, 64)
+    assert TX.texture_to_u8(p).dtype == np.uint8
+
+
+def test_map_view_and_mandelbrot():
+    mesh = jnp.linspace(-1, 1, 64)[None, :].repeat(64, 0)
+    img = np.asarray(MV.terrain_map(mesh, -0.5, -1.0, 1.0))
+    assert img.shape == (3, 64, 64)
+    # water region is blue-ish, land green-ish
+    assert img[2, :, 5].mean() > img[0, :, 5].mean()
+    mb = np.asarray(MV.mandelbrot(-0.5, 0.0, 3.0, 64, 48))
+    assert 0.05 < (mb > 0.99).mean() < 0.5
+
+
+def test_event_record_replay(tmp_path):
+    j = EV.EventJournal()
+    j.record(0, EV.EV_SRAND, 42)
+    j.record(3, EV.EV_KEY, "w")
+    j.record(3, EV.EV_MOUSE, 1, 2)
+    j.record(7, EV.EV_CAMERA, 0.0, 1.0, 2.0)
+    p = str(tmp_path / "events.json")
+    j.save(p)
+    r = EV.Replay(EV.EventJournal.load(p))
+    assert len(r.events_for_frame(0)) == 1
+    assert len(r.events_for_frame(3)) == 2
+    assert len(r.events_for_frame(5)) == 0
+    assert len(r.events_for_frame(7)) == 1
+    assert r.done
+
+
+def test_sphere_materials_reference_file():
+    mats = parse_sphere_materials("/root/reference/sphere_materials.txt")
+    assert len(mats.materials) >= 10
+    names = [m.name for m in mats.materials]
+    assert "Bricks" in names
+    glass_like = [m for m in mats.materials if m.refract_ix > 1.0]
+    assert glass_like                          # glass materials present
+    assert mats.max_num_spheres == 20
+
+
+def test_scene_loader_shipped_config():
+    sc = load_scene("/root/reference/scene_config/config_spheres.txt",
+                    num_objects=256)
+    assert sc.world.mesh_x == 192
+    assert int((np.asarray(sc.cobjs.shape) > 0).sum()) == 101  # floor + 100 spheres
+    assert len(sc.sphere_mats.materials) >= 10
+    for _ in range(5):
+        sc = ground_frame(sc)
+    assert (np.asarray(sc.objects.status) > 0).sum() > 200
