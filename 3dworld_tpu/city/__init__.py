@@ -5,3 +5,4 @@ from . import buildings  # noqa: F401
 from . import floorplan  # noqa: F401
 from . import traffic    # noqa: F401
 from . import people     # noqa: F401
+from . import objects    # noqa: F401

@@ -1,3 +1,4 @@
 """Gameplay & agents: waypoints/A*, weapons, explosions, smiley AI."""
 from . import waypoints  # noqa: F401
 from . import game       # noqa: F401
+from . import teleport   # noqa: F401

@@ -3,3 +3,5 @@ collision (mesh / water / static cobjs / dynamic sphere pairs)."""
 from . import types    # noqa: F401
 from . import cobjs    # noqa: F401
 from . import step     # noqa: F401
+from . import platforms  # noqa: F401
+from . import destroy    # noqa: F401

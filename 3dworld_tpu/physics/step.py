@@ -259,7 +259,7 @@ def spatial_sort(state: ObjectState, world: WorldConst, cell: float = 0.1) -> Ob
 
 
 def banded_pair_collisions(px, py, pz, vx, vy, vz, radius, mass, elas, active,
-                           window: int = 96):
+                           window: int = 64):
     """Pair collisions against the `window` nearest sorted-order neighbors.
 
     Pure shifted-slice arithmetic: for each offset d in 1..window compare

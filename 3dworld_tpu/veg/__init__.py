@@ -2,3 +2,4 @@
 from . import trees    # noqa: F401
 from . import grass    # noqa: F401
 from . import scenery  # noqa: F401
+from . import animals  # noqa: F401
