@@ -6,3 +6,4 @@ from . import floorplan  # noqa: F401
 from . import traffic    # noqa: F401
 from . import people     # noqa: F401
 from . import objects    # noqa: F401
+from . import room_content  # noqa: F401

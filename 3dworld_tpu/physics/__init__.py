@@ -5,3 +5,4 @@ from . import cobjs    # noqa: F401
 from . import step     # noqa: F401
 from . import platforms  # noqa: F401
 from . import destroy    # noqa: F401
+from . import movable    # noqa: F401

@@ -2,3 +2,4 @@
 from . import grid  # noqa: F401
 from . import mc    # noqa: F401
 from . import edit  # noqa: F401
+from . import ao    # noqa: F401

@@ -153,3 +153,90 @@ def test_teleporters_and_jump_pads():
     assert float(st2.px[0]) == 5.0 and float(st2.pz[0]) == 5.0
     assert float(st2.vz[1]) == 4.0          # jump pad boost
     assert float(st2.px[2]) == 9.0          # out of range untouched
+
+
+def test_room_content():
+    from w3d.city import floorplan as CF, room_content as RC
+    i = CF.gen_interior((0.0, 0.0, 0.0, 0.5, 0.35, 0.32), 4, 0.08, seed=5)
+    ro = RC.furnish_rooms(i, 0.08, seed=9)
+    assert len(ro.cubes) > 30
+    assert len(set(ro.kinds)) >= 5
+    # every object inside its room, no overlap within rooms
+    for c, ri in zip(ro.cubes, ro.rooms):
+        r = i.rooms[ri]
+        assert c[0] >= r.x1 - 1e-6 and c[3] <= r.x2 + 1e-6
+        assert c[1] >= r.y1 - 1e-6 and c[4] <= r.y2 + 1e-6
+    ro2 = RC.furnish_rooms(i, 0.08, seed=9)
+    assert ro.cubes == ro2.cubes
+    # office buildings get office-type rooms
+    ro3 = RC.furnish_rooms(i, 0.08, seed=9, is_office_bldg=True)
+    assert any(t in (RC.R_OFFICE, RC.R_SERVER, RC.R_STORAGE)
+               for t in ro3.room_types)
+
+
+def test_voxel_ao():
+    from w3d.voxel import ao as VAO
+    v = np.ones((16, 16, 16), np.float32)      # all air
+    v[:8, :, :] = -1.0                         # bottom half solid
+    v[8:14, :, :7] = -1.0                      # wall west of a trench at x=7
+    v[8:14, :, 9:] = -1.0                      # wall east -> trench at x=7..8
+    ao = np.asarray(VAO.voxel_ao(jnp.asarray(v)))
+    assert ao.shape == v.shape
+    # a cell in the trench is occluded by the walls; open sky cell is not
+    assert ao[9, 8, 8] < ao[15, 8, 8]
+    assert ao[15, 8, 8] == 1.0
+    # flat open floor: horizon AO is fully open
+    v2 = np.ones((16, 16, 16), np.float32)
+    v2[:8] = -1.0
+    ao2 = np.asarray(VAO.voxel_ao(jnp.asarray(v2)))
+    assert ao2[8, 8, 8] == 1.0
+
+
+def test_movable_push_and_settle():
+    from w3d.physics import movable as MV
+    sp = SC.SceneParse()
+    lay = SC.CobjLayer()
+    sp.cobjs.append(SC.RawCobj(SC.COLL_CUBE, (0, 0, 0), (1, 1, 1), layer=lay))
+    sp.cobjs.append(SC.RawCobj(SC.COLL_CUBE, (5, 0, 1), (6, 1, 2), layer=lay))
+    co = SC.pack_cobjs(sp)
+    co = co._replace(is_movable=co.is_movable.at[:2].set(True))
+    # push cobj 0 in +x: free -> moves
+    push = jnp.zeros(co.size).at[0].set(0.03)
+    co2 = MV.push_movable_cobjs(co, push, jnp.zeros(co.size))
+    assert abs(float(co2.p1[0, 0]) - 0.03) < 1e-6
+    # cobj 1 floats at z=1 with nothing below -> settles down
+    co3 = MV.settle_movable_cobjs(co2, 0.0)
+    assert float(co3.p1[1, 2]) < 1.0
+    # blocked push: another cube in the way
+    sp2 = SC.SceneParse()
+    sp2.cobjs.append(SC.RawCobj(SC.COLL_CUBE, (0, 0, 0), (1, 1, 1), layer=lay))
+    sp2.cobjs.append(SC.RawCobj(SC.COLL_CUBE, (1.005, 0, 0), (2, 1, 1), layer=lay))
+    co4 = SC.pack_cobjs(sp2)
+    co4 = co4._replace(is_movable=co4.is_movable.at[0].set(True))
+    co5 = MV.push_movable_cobjs(co4, jnp.zeros(co4.size).at[0].set(0.03),
+                                jnp.zeros(co4.size))
+    assert float(co5.p1[0, 0]) == 0.0          # blocked
+
+
+def test_ship_config_parser(tmp_path):
+    from w3d.universe import ship_config as SCfg, ships as USH
+    p = tmp_path / "ships.txt"
+    p.write_text("""
+# test ship defs
+ship interceptor
+  accel 0.003 max_speed 0.03 armor 80 shields 40
+  weapon_range 0.4 weapon_damage 4 weapon_cooldown 15 radius 0.008
+end_ship
+ship battleship
+  accel 0.0004 max_speed 0.006 armor 2000 shields 900
+  weapon_range 1.5 weapon_damage 60 weapon_cooldown 100 radius 0.1
+end_ship
+""")
+    defs = SCfg.parse_ship_defs(str(p))
+    assert len(defs) == 2
+    assert defs[0].name == "interceptor" and defs[0].accel == 0.003
+    tbl = SCfg.ship_class_table(defs)
+    assert tbl.shape == (2, 8)
+    assert tbl[1, 2] == 2000.0
+    # empty path falls back to the built-in table
+    assert SCfg.ship_class_table([]).shape == USH.SHIP_CLASSES.shape
