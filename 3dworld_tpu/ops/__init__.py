@@ -4,3 +4,4 @@ from . import erosion  # noqa: F401
 from . import ao       # noqa: F401
 from . import shadows  # noqa: F401
 from . import ray      # noqa: F401
+from . import pallas   # noqa: F401
