@@ -1,0 +1,77 @@
+"""Dynamic lights: per-frame packed light volumes.
+
+The reference packs up to 1024 dynamic lights per frame into textures for
+shader evaluation (light_source.cpp:651, lightmap.cpp dl_sources
+packing, README.md:21).  The TPU analog: the frame's dlight set is SoA
+arrays, and their contribution evaluates as one fused pass — either into
+the light volume (for volumetric consumers) or at arbitrary query points
+(for surfaces/objects).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+MAX_DLIGHTS = 1024  # README.md:21
+
+
+class DLights(NamedTuple):
+    x: jax.Array
+    y: jax.Array
+    z: jax.Array
+    radius: jax.Array
+    r: jax.Array
+    g: jax.Array
+    b: jax.Array
+    enabled: jax.Array
+
+
+def pack_dlights(entries, capacity: int = MAX_DLIGHTS) -> DLights:
+    """Pack a frame's light list into the fixed-capacity SoA."""
+    import numpy as np
+    a = np.zeros((capacity, 7), np.float32)
+    n = min(len(entries), capacity)
+    if n:
+        a[:n] = np.asarray(entries, np.float32)[:n]
+    en = jnp.arange(capacity) < n
+    J = jnp.asarray
+    return DLights(x=J(a[:, 0]), y=J(a[:, 1]), z=J(a[:, 2]), radius=J(a[:, 3]),
+                   r=J(a[:, 4]), g=J(a[:, 5]), b=J(a[:, 6]), enabled=en)
+
+
+@jax.jit
+def eval_dlights_at(dl: DLights, px, py, pz):
+    """Summed dlight RGB at query points [N] (shader-side falloff:
+    (1 - d/r)^2 inside the radius)."""
+    dx = px[:, None] - dl.x[None, :]
+    dy = py[:, None] - dl.y[None, :]
+    dz = pz[:, None] - dl.z[None, :]
+    d = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    fall = jnp.maximum(1.0 - d / jnp.maximum(dl.radius[None, :], 1e-6), 0.0) ** 2
+    fall = fall * dl.enabled[None, :].astype(jnp.float32)
+    return fall @ dl.r, fall @ dl.g, fall @ dl.b
+
+
+@functools.partial(jax.jit, static_argnames=("world",))
+def dlight_volume(dl: DLights, grid, world):
+    """Accumulate the frame's dlights into the local-light volume channels
+    (the texture-packing consumer path)."""
+    nz, ny, nx = grid.shape
+    xi = (jnp.arange(nx, dtype=jnp.float32) - nx // 2) * world.dx
+    yi = (jnp.arange(ny, dtype=jnp.float32) - ny // 2) * world.dy
+    zi = grid.z0 + (jnp.arange(nz, dtype=jnp.float32) + 0.5) * grid.dz
+    # evaluate per z-layer to bound memory: [ny*nx] queries per layer
+    px = jnp.broadcast_to(xi[None, :], (ny, nx)).reshape(-1)
+    py = jnp.broadcast_to(yi[:, None], (ny, nx)).reshape(-1)
+
+    def layer(z):
+        r, g, b = eval_dlights_at(dl, px, py, jnp.full_like(px, z))
+        return r.reshape(ny, nx), g.reshape(ny, nx), b.reshape(ny, nx)
+
+    rs, gs, bs = jax.vmap(layer)(zi)
+    return grid._replace(lc_r=grid.lc_r + rs, lc_g=grid.lc_g + gs,
+                         lc_b=grid.lc_b + bs)

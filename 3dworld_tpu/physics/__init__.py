@@ -6,3 +6,4 @@ from . import step     # noqa: F401
 from . import platforms  # noqa: F401
 from . import destroy    # noqa: F401
 from . import movable    # noqa: F401
+from . import groups     # noqa: F401

@@ -191,3 +191,26 @@ class UniverseState:
     def num_systems(self) -> int:
         return sum(len(g.systems) for cell in self.cells.values()
                    for g in cell.galaxies)
+
+
+def get_gravity(cell: Cell, pos, g_const: float = 1e-4):
+    """Net gravitational acceleration at `pos` from the cell's stars and
+    planets (get_gravity, Universe_control.cpp:59): sum of M/r^2 toward
+    each body; star mass ~ radius^3."""
+    ax = ay = az = 0.0
+    for g in cell.galaxies:
+        for s in g.systems:
+            bodies = [(s.pos, s.star.radius ** 3 * 1e3)]
+            for p in s.planets:
+                bodies.append(((s.pos[0] + p.orbit_r, s.pos[1], s.pos[2]),
+                               p.radius ** 3))
+            for (bp, m) in bodies:
+                dx = bp[0] - pos[0]
+                dy = bp[1] - pos[1]
+                dz = bp[2] - pos[2]
+                r2 = dx * dx + dy * dy + dz * dz + 1e-12
+                f = g_const * m / (r2 * np.sqrt(r2))
+                ax += f * dx
+                ay += f * dy
+                az += f * dz
+    return ax, ay, az

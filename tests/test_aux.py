@@ -106,3 +106,49 @@ def test_scene_loader_shipped_config():
     for _ in range(5):
         sc = ground_frame(sc)
     assert (np.asarray(sc.objects.status) > 0).sum() > 200
+
+
+def test_dlights():
+    from w3d.lighting import dlights as DL, lmap as LM
+    dl = DL.pack_dlights([[0, 0, 0, 1.0, 1, 0.5, 0.2], [1, 1, 0, 0.5, 0, 0, 1]])
+    r, g, b = DL.eval_dlights_at(dl, jnp.asarray([0.0, 5.0]), jnp.zeros(2),
+                                 jnp.zeros(2))
+    assert float(r[0]) == 1.0 and float(r[1]) == 0.0   # full at center, 0 far
+    Wc = WorldConst(mesh_x=32, mesh_y=32, mesh_z=8)
+    grid = LM.make_light_grid(Wc)
+    g2 = DL.dlight_volume(dl, grid, Wc)
+    assert int((np.asarray(g2.lc_r) > 0).sum()) > 20
+    # capacity clamp
+    many = DL.pack_dlights([[0, 0, 0, 1, 1, 1, 1]] * 2000)
+    assert int(many.enabled.sum()) == DL.MAX_DLIGHTS
+
+
+def test_object_group_spawning():
+    from w3d.physics import groups as PG, types as PT, step as PS
+    table = PT.make_type_table()
+    st = PS.make_state(np.zeros((64, 3)), np.zeros((64, 3)),
+                       np.zeros(64, np.int32), table)
+    st = st._replace(status=st.status.at[:].set(0))
+    k = jax.random.key(0)
+    st2 = PG.spawn_into_group(st, table, k, PT.type_id("BALL"), 16)
+    assert PG.group_stats(st2, PT.type_id("BALL")) == 16
+    # spawning again fills more dead slots, never touches live ones
+    st3 = PG.spawn_into_group(st2, table, jax.random.fold_in(k, 1),
+                              PT.type_id("RAIN"), 8)
+    assert PG.group_stats(st3, PT.type_id("BALL")) == 16
+    assert PG.group_stats(st3, PT.type_id("RAIN")) == 8
+    # fractional app rates accumulate correctly
+    spec = PG.GroupSpec(PT.type_id("RAIN"), 64, 0.3)
+    total = sum(PG.frame_spawns(spec, f) for f in range(100))
+    assert abs(total - 30) <= 1
+
+
+def test_universe_gravity():
+    from w3d.universe import gen as UG
+    c = UG.gen_cell((0, 0, 0))
+    ax, ay, az = UG.get_gravity(c, (0.0, 0.0, 0.0))
+    assert all(np.isfinite([ax, ay, az]))
+    # gravity points toward a dominant nearby mass
+    s = c.galaxies[0].systems[0]
+    gx, gy, gz = UG.get_gravity(c, (s.pos[0] + 0.1, s.pos[1], s.pos[2]))
+    assert gx < 0  # pulled back toward the star
