@@ -44,7 +44,7 @@ def _tile_noise_kernel(params_ref, origin_ref, out_ref, *, n: int, kpad: int,
     x_const = ms2 * freq_x + phase_x + x_mult * (dx * x0)
     y_const = ms2 * freq_y + phase_y + y_mult * (dy * y0)
 
-    xi = jax.lax.broadcasted_iota(jnp.float32, (n, kpad), 0)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (n, kpad), 0).astype(jnp.float32)
     xt = jnp.sin(x_mult[None, :] * dx * xi + x_const[None, :]) * mask[None, :]
     yt = (mszi * mag)[None, :] * jnp.sin(y_mult[None, :] * dy * xi + y_const[None, :])
     # height[y, x] = sum_k X[x,k] Y[y,k]  ->  yt @ xt^T on the MXU
