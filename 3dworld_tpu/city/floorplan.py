@@ -69,11 +69,21 @@ def _split_rooms(rg: RandGen, x1, y1, x2, y2, min_room, depth=0):
     return [(x1, y1, x2, y2)]
 
 
-def gen_interior(part, num_floors: int, floor_height: float, seed: int) -> Interior:
-    """Floorplan one building part (x1,y1,z1,x2,y2,z2)."""
+def gen_interior(part, num_floors: int, floor_height: float, seed: int,
+                 has_basement: bool = False, has_attic: bool = False) -> Interior:
+    """Floorplan one building part (x1,y1,z1,x2,y2,z2); optional basement
+    level (floor -1, one storage room) and attic (single room at the top)
+    ~ the reference's basements/attics (building_floorplan.cpp)."""
     x1, y1, z1, x2, y2, z2 = part
     rg = RandGen(seed + 11, 3 * seed + 7)
     out = Interior(num_floors=num_floors)
+    if has_basement:
+        out.rooms.append(Room(x1, y1, x2, y2, -1))
+        out.stairs.append((x1 + 0.1 * (x2 - x1), y1 + 0.1 * (y2 - y1),
+                           x1 + 0.1 * (x2 - x1) + 2 * floor_height,
+                           y1 + 0.1 * (y2 - y1) + 2 * floor_height, -1))
+    if has_attic:
+        out.rooms.append(Room(x1, y1, x2, y2, num_floors))
     w = x2 - x1
     h = y2 - y1
     long_x = w >= h
@@ -146,5 +156,8 @@ def gen_building_interiors(buildings, params, seed: int = 1):
             continue
         p = b.parts[0]
         nf = max(1, int(round((p[5] - p[2]) / params.floor_height)))
-        b.interior = gen_interior(p, nf, params.floor_height, seed + bi)
+        rg = RandGen(seed + bi, 2 * seed + 3)
+        b.interior = gen_interior(p, nf, params.floor_height, seed + bi,
+                                  has_basement=(rg.randd() < 0.3),
+                                  has_attic=(b.roof_type == 1))
     return buildings

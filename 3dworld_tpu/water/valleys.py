@@ -118,3 +118,75 @@ def add_rain_volume(volumes: jax.Array, labels: jax.Array, my, mx,
     (~ RAIN_VOLUME accumulation into valleys, Water.cpp)."""
     contrib = jnp.full((my * mx,), rain_per_cell * world.dxdy, jnp.float32)
     return volumes + jax.ops.segment_sum(contrib, labels, num_segments=my * mx)
+
+
+def basin_saddles(mesh, labels):
+    """Saddle heights between adjacent basins (the spill graph,
+    spillover.cpp): for each basin pair sharing a boundary, the lowest
+    crossing height min over boundary cells of max(h_a, h_b)."""
+    h = np.asarray(mesh)
+    lab = np.asarray(labels).reshape(h.shape)
+    saddles = {}
+    for dy, dx in ((0, 1), (1, 0), (1, 1), (1, -1)):
+        a_lab = lab[max(0, -dy):lab.shape[0] - dy or None,
+                    max(0, -dx):lab.shape[1] - dx or None]
+        b_lab = lab[max(0, dy):lab.shape[0] + min(0, dy) or None,
+                    max(0, dx):lab.shape[1] + min(0, dx) or None]
+        a_h = h[max(0, -dy):h.shape[0] - dy or None,
+                max(0, -dx):h.shape[1] - dx or None]
+        b_h = h[max(0, dy):h.shape[0] + min(0, dy) or None,
+                max(0, dx):h.shape[1] + min(0, dx) or None]
+        diff = a_lab != b_lab
+        cross = np.maximum(a_h, b_h)[diff]
+        for pa, pb, ch in zip(a_lab[diff].ravel(), b_lab[diff].ravel(),
+                              cross.ravel()):
+            key = (min(pa, pb), max(pa, pb))
+            if key not in saddles or ch < saddles[key]:
+                saddles[key] = float(ch)
+    return saddles
+
+
+def update_valleys(mesh, labels, volumes, world=DEFAULT_WORLD,
+                   max_merge_iters: int = 8):
+    """Fill + spillover equalization (update_valleys_and_draw_spillover):
+    overflowing basins merge with their spill neighbor (union-find over
+    the saddle graph) and refill to a common level.
+
+    Returns (zval_per_slot, water_matrix, wet_mask, merged_labels)."""
+    my, mx = mesh.shape
+    labels_np = np.asarray(labels)
+    saddles = basin_saddles(mesh, labels_np)
+    parent = {}
+
+    def find(a):
+        while parent.get(a, a) != a:
+            parent[a] = parent.get(parent[a], parent[a])
+            a = parent[a]
+        return a
+
+    merged = jnp.asarray(labels_np)
+    vols = jnp.asarray(volumes)
+    for _ in range(max_merge_iters):
+        zval, water = basin_fill_levels(mesh, merged, vols, world)
+        zn = np.asarray(zval)
+        merged_np = np.asarray(merged)
+        changed = False
+        for (a, b), s in saddles.items():
+            ra, rb = find(a), find(b)
+            if ra == rb:
+                continue
+            # overflow: either side's level exceeds the saddle
+            if zn[ra] > s + 1e-6 or zn[rb] > s + 1e-6:
+                parent[max(ra, rb)] = min(ra, rb)
+                changed = True
+        if not changed:
+            break
+        # relabel to union roots and pool volumes at the root slot
+        roots = np.array([find(l) for l in range(my * mx)], np.int32)
+        vols_np = np.zeros(my * mx, np.float32)
+        np.add.at(vols_np, roots, np.asarray(vols))
+        merged = jnp.asarray(roots[merged_np])
+        vols = jnp.asarray(vols_np)
+    zval, water = basin_fill_levels(mesh, merged, vols, world)
+    wet = water > mesh
+    return zval, water, wet, merged

@@ -240,3 +240,62 @@ end_ship
     assert tbl[1, 2] == 2000.0
     # empty path falls back to the built-in table
     assert SCfg.ship_class_table([]).shape == USH.SHIP_CLASSES.shape
+
+
+def test_skeletal_animation():
+    from w3d.scene import animation as AN
+    skel = AN.make_simple_skeleton(4, spacing=0.5)
+    # identity pose: vertices unchanged
+    mats = AN.evaluate_pose(skel, {}, 0.0)
+    pos = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, 1.5]])
+    skin = AN.SkinWeights(
+        bone_ids=jnp.asarray([[0, 0, 0, 0], [3, 0, 0, 0]], jnp.int32),
+        weights=jnp.asarray([[1.0, 0, 0, 0], [1.0, 0, 0, 0]]))
+    out = np.asarray(AN.skin_vertices(pos, skin, mats))
+    np.testing.assert_allclose(out, np.asarray(pos), atol=1e-5)
+    # animate bone 1: +x translation ripples to descendants
+    ch = AN.AnimChannel(times=np.array([0.0, 1.0]),
+                        trans=np.array([[0, 0, 0.5], [1.0, 0, 0.5]]),
+                        quats=np.array([[1, 0, 0, 0], [1, 0, 0, 0.]]),
+                        scales=np.array([1.0, 1.0]))
+    mats2 = AN.evaluate_pose(skel, {1: ch}, 1.0)
+    out2 = np.asarray(AN.skin_vertices(pos, skin, mats2))
+    assert abs(out2[1, 0] - 1.0) < 1e-5   # tip vertex moved +1 in x
+    assert abs(out2[0, 0]) < 1e-5         # root vertex unchanged
+    # halfway keyframe interpolation
+    mats3 = AN.evaluate_pose(skel, {1: ch}, 0.5)
+    out3 = np.asarray(AN.skin_vertices(pos, skin, mats3))
+    assert abs(out3[1, 0] - 0.5) < 1e-5
+
+
+def test_valley_spillover():
+    from w3d.water import valleys as WV
+    from w3d.utils.constants import WorldConst
+    W = WorldConst(mesh_x=64, mesh_y=64)
+    yy, xx = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    mesh = np.minimum(0.002 * ((xx - 20) ** 2 + (yy - 32) ** 2),
+                      0.002 * ((xx - 44) ** 2 + (yy - 32) ** 2)).astype(np.float32)
+    labels = WV.watershed_labels(jnp.asarray(mesh))
+    left = int(np.asarray(labels)[32 * 64 + 20])
+    # overfill the left bowl -> spills into the right, basins merge
+    vol = jnp.zeros(64 * 64).at[left].set(3.0)
+    _, _, wet, merged = WV.update_valleys(jnp.asarray(mesh), labels, vol, W)
+    wet = np.asarray(wet)
+    assert wet[:, 33:].sum() > 100
+    assert len(np.unique(np.asarray(merged))) == 1
+    # equalized: one shared water level
+    # small volume: no spill, two basins remain
+    vol2 = jnp.zeros(64 * 64).at[left].set(0.02)
+    _, _, wet2, merged2 = WV.update_valleys(jnp.asarray(mesh), labels, vol2, W)
+    assert np.asarray(wet2)[:, 33:].sum() <= 2
+    assert len(np.unique(np.asarray(merged2))) == 2
+
+
+def test_basement_and_attic():
+    from w3d.city import floorplan as CF
+    i = CF.gen_interior((0.0, 0.0, 0.0, 0.5, 0.35, 0.32), 4, 0.08, seed=5,
+                        has_basement=True, has_attic=True)
+    floors = set(r.floor for r in i.rooms)
+    assert -1 in floors          # basement
+    assert 4 in floors           # attic above the top floor
+    assert any(s[4] == -1 for s in i.stairs)  # basement stairs
