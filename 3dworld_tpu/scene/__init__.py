@@ -5,3 +5,4 @@ from . import sphere_materials  # noqa: F401
 from . import loader    # noqa: F401
 from . import csg       # noqa: F401
 from . import animation  # noqa: F401
+from . import read_3ds   # noqa: F401
