@@ -2,3 +2,4 @@
 from . import waypoints  # noqa: F401
 from . import game       # noqa: F401
 from . import teleport   # noqa: F401
+from . import frame      # noqa: F401

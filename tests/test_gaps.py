@@ -299,3 +299,40 @@ def test_basement_and_attic():
     assert -1 in floors          # basement
     assert 4 in floors           # attic above the top floor
     assert any(s[4] == -1 for s in i.stairs)  # basement stairs
+
+
+def test_explosion_game_frame():
+    from w3d.gameplay import frame as GF
+    from w3d.physics import destroy as PDm
+    # a rocket that has collided next to a destroyable cube, plus bystanders
+    sp = SC.SceneParse()
+    sp.cobjs.append(SC.RawCobj(SC.COLL_CUBE, (0.1, -0.1, -0.1), (0.3, 0.1, 0.1)))
+    co = SC.pack_cobjs(sp)
+    ds = PDm.make_destroy_state(co, jnp.full(co.size, PDm.DESTROYABLE))
+    n = 32
+    pos = np.zeros((n, 3), np.float32)
+    pos[1:] = np.random.default_rng(0).uniform(-0.2, 0.2, (n - 1, 3))
+    st = PS.make_state(pos, np.zeros((n, 3)),
+                       np.full(n, PT.type_id("BALL")), TABLE)
+    st = st._replace(
+        otype=st.otype.at[0].set(PT.type_id("ROCKET")),
+        flags=st.flags.at[0].set(jnp.uint32(PT.FL_COLLIDED)),
+        health=st.health.at[1:].set(50.0),
+    )
+    res = GF.update_game_frame(st, co, ds, TABLE)
+    assert len(res.explosions) == 1                 # the rocket went off
+    # projectile consumed (slot may be immediately reused by a fragment)
+    assert int(res.state.status[0]) == 0 or \
+        int(res.state.otype[0]) == PT.type_id("FRAGMENT")
+    assert int(res.cobjs.shape[0]) == 0             # cube destroyed
+    # bystanders took blast damage
+    assert (np.asarray(res.state.health)[1:] < 50.0).any()
+    # fragments spawned into dead slots
+    frg = (np.asarray(res.state.otype) == PT.type_id("FRAGMENT")) & \
+          (np.asarray(res.state.status) > 0)
+    assert frg.sum() > 0
+    # no explosion -> no-op
+    st2 = PS.make_state(pos, np.zeros((n, 3)),
+                        np.full(n, PT.type_id("BALL")), TABLE)
+    res2 = GF.update_game_frame(st2, co, ds, TABLE)
+    assert len(res2.explosions) == 0
