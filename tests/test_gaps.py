@@ -306,7 +306,8 @@ def test_explosion_game_frame():
     from w3d.physics import destroy as PDm
     # a rocket that has collided next to a destroyable cube, plus bystanders
     sp = SC.SceneParse()
-    sp.cobjs.append(SC.RawCobj(SC.COLL_CUBE, (0.1, -0.1, -0.1), (0.3, 0.1, 0.1)))
+    # cube center at x=0.15, inside the rocket blast radius (8*0.022=0.176)
+    sp.cobjs.append(SC.RawCobj(SC.COLL_CUBE, (0.05, -0.1, -0.1), (0.25, 0.1, 0.1)))
     co = SC.pack_cobjs(sp)
     ds = PDm.make_destroy_state(co, jnp.full(co.size, PDm.DESTROYABLE))
     n = 32
