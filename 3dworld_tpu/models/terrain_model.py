@@ -32,6 +32,10 @@ class TileModelConfig(NamedTuple):
     erosion_iters_tt: int = 0     # per-tile droplets (erosion_iters_tt config)
     erosion_batch: int = 256
     erosion_steps: int = 128
+    # fused Pallas walk (ops/pallas/erosion_kernel): ~3.8x the XLA path on
+    # TPU at production shapes; differs only in MXU accumulation order.
+    # Requires erosion_batch % 128 == 0; leave False on CPU (tests).
+    use_pallas_erosion: bool = False
 
 
 def _tile_heights(table_arrs, x0, y0, mcfg: TileModelConfig, world: WorldConst,
@@ -76,12 +80,20 @@ def tile_batch_step(table_arrs, x0, y0, zmax_est, wpz,
             half_dxy=world.half_dxy, zmin=-zmax_est, zmax=zmax_est,
             rock_thresh=TM.clip_hd1(cfg), relh_adj_tex=cfg.relh_adj_tex,
         )
-        erode_one = lambda hm: E.erode(
-            hm, mcfg.erosion_iters_tt, eparams,
-            min_zval=-1.0e9, batch_size=mcfg.erosion_batch,
-            max_steps=mcfg.erosion_steps,
-        )
-        z = jax.vmap(erode_one)(z)
+        if mcfg.use_pallas_erosion:
+            from ..ops.pallas.erosion_kernel import erode_tiles_pallas
+            z = erode_tiles_pallas(
+                z, mcfg.erosion_iters_tt, eparams,
+                min_zval=-1.0e9, batch_size=mcfg.erosion_batch,
+                max_steps=mcfg.erosion_steps,
+            )
+        else:
+            erode_one = lambda hm: E.erode(
+                hm, mcfg.erosion_iters_tt, eparams,
+                min_zval=-1.0e9, batch_size=mcfg.erosion_batch,
+                max_steps=mcfg.erosion_steps,
+            )
+            z = jax.vmap(erode_one)(z)
     return z
 
 

@@ -43,3 +43,39 @@ def test_pallas_smoke_diffusion_matches_xla():
     out = diffuse_smoke_pallas(s, interpret=INTERP)
     ref = diffuse_smoke(s)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pallas_erosion_walk_matches_xla():
+    """Fused erosion kernel (interpret mode) vs the XLA scan path.
+
+    The kernel reproduces _walk_batch's math exactly (same angle draws via
+    the precomputed table); on real TPU only MXU accumulation order
+    differs.  erosion.cpp:14-165 semantics."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from w3d.ops import erosion as E
+    from w3d.ops.pallas.erosion_kernel import erode_tiles_pallas
+
+    T, n = 2, 32
+    rng = np.random.default_rng(7)
+    hms = jnp.asarray(rng.standard_normal((T, n, n)).astype(np.float32) * 0.5 + 1.0)
+    p = E.ErosionParams(erode_amount=1.0, water_plane_z=0.0, half_dxy=0.06,
+                        zmin=-2.0, zmax=2.0, rock_thresh=0.75)
+    ref = jax.vmap(lambda h: E.erode(h, 150, p, batch_size=128, max_steps=8))(hms)
+    out = erode_tiles_pallas(hms, 150, p, batch_size=128, max_steps=8,
+                             interpret=True)
+    assert jnp.allclose(ref, out, atol=1e-5), float(jnp.abs(ref - out).max())
+
+
+def test_pallas_erosion_rejects_bad_batch():
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest
+    from w3d.ops import erosion as E
+    from w3d.ops.pallas.erosion_kernel import erode_tiles_pallas
+
+    hms = jnp.zeros((1, 16, 16), jnp.float32)
+    with pytest.raises(ValueError):
+        erode_tiles_pallas(hms, 100, E.ErosionParams(), batch_size=100,
+                           max_steps=4, interpret=True)
