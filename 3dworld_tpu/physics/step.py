@@ -496,3 +496,82 @@ def step_objects(
     time = state.time + 1
     status = jnp.where((life > 0) & (time.astype(jnp.float32) > life), 0, state.status)
     return state._replace(time=time, status=status)
+
+
+# ---------------------------------------------------------------------------
+# fused-kernel frame path (ops/pallas/physics_kernel)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("substeps", "world",
+                                             "obj_collisions", "Nb",
+                                             "interpret"))
+def step_objects_fused(
+    state: ObjectState,
+    env: PhysicsEnv,
+    cobjs: CobjSet,
+    table: T.ObjTypeTable,
+    tstep: float = T.DEF_TIMESTEP,
+    substeps: int = 4,
+    world: WorldConst = DEFAULT_WORLD,
+    obj_collisions: bool = True,
+    Nb: int = 512,
+    interpret: bool = False,
+) -> ObjectState:
+    """`step_objects` with the per-substep pipeline (integrate -> mesh ->
+    water -> cobjs -> mesh bounce) fused into one Pallas kernel; the Morton
+    sort and the banded pair pass stay in XLA between kernel calls.
+
+    Semantics match `step_objects` except penetration ties across
+    coincident cobjs (see physics_kernel docstring).  Requires cobjs
+    (the kernel always runs the narrow phase; pass a 0-count padded set
+    for a cobj-free scene)."""
+    from ..ops.pallas.physics_kernel import (substep_pallas, mesh_maps,
+                                             pack_cobj_fields)
+    dt = jnp.asarray(tstep / substeps, jnp.float32)
+    if obj_collisions:
+        state = spatial_sort(state, world)
+
+    rad, air, fric, grav, elas, dens, tv, mass, life = _type_params(
+        state.otype, table)
+    maps3 = mesh_maps(env.mesh_height, world)
+    cf = pack_cobj_fields(cobjs)
+    env8 = jnp.stack([dt, env.base_gravity,
+                      env.wind[0], env.wind[1], env.wind[2],
+                      env.water_plane_z,
+                      jnp.float32(world.dx_inv), jnp.float32(world.dy_inv)])
+    my, mx = env.mesh_height.shape
+
+    def body(s, _):
+        px, py, pz, vx, vy, vz, status, flags_i = substep_pallas(
+            s.px, s.py, s.pz, s.vx, s.vy, s.vz,
+            s.status, s.flags.astype(jnp.int32),
+            rad, air, fric, grav, elas, dens, tv,
+            maps3, cf, env8, Nb=Nb, interpret=interpret)
+        flags = flags_i.astype(s.flags.dtype)
+        alive = s.status > 0
+        # off-mesh kill tests the pre-pair-pass position (matches _substep,
+        # which evaluates off_mesh before the pair deltas are applied)
+        off = outside_mesh(px, py, world)
+        if obj_collisions:
+            act = alive & (rad >= T.LARGE_OBJ_RAD)
+            dpx, dpy, dpz, dvx, dvy, dvz = banded_pair_collisions(
+                px, py, pz, vx, vy, vz, rad, mass, elas, act)
+            px = px + jnp.where(act, dpx, 0.0)
+            py = py + jnp.where(act, dpy, 0.0)
+            pz = pz + jnp.where(act, dpz, 0.0)
+            vx = vx + jnp.where(act, dvx, 0.0)
+            vy = vy + jnp.where(act, dvy, 0.0)
+            vz = vz + jnp.where(act, dvz, 0.0)
+            woke = act & ((dvx * dvx + dvy * dvy + dvz * dvz) > 1e-10)
+            status = jnp.where(woke & (status == 4), 1, status)
+        # kill conditions (advance_object preamble, Physics.cpp:725-729)
+        status = jnp.where(pz < env.zmin, 0, status)
+        status = jnp.where(off & alive, 0, status)
+        return s._replace(px=px, py=py, pz=pz, vx=vx, vy=vy, vz=vz,
+                          status=status, flags=flags), None
+
+    state, _ = jax.lax.scan(body, state, None, length=substeps)
+    time = state.time + 1
+    status = jnp.where((life > 0) & (time.astype(jnp.float32) > life), 0,
+                       state.status)
+    return state._replace(time=time, status=status)

@@ -79,3 +79,33 @@ def test_pallas_erosion_rejects_bad_batch():
     with pytest.raises(ValueError):
         erode_tiles_pallas(hms, 100, E.ErosionParams(), batch_size=100,
                            max_steps=4, interpret=True)
+
+
+def test_pallas_fused_substep_matches_xla():
+    """Fused physics substep kernel (interpret) vs step_objects over a
+    bumpy mesh + water so every branch (integrate, water, cobj, mesh
+    bounce, pairs, kills) sees traffic.  Physics.cpp:725-1409 chain."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from w3d.models import physics_model as PM
+    from w3d.physics import step as PS
+    from w3d.utils.constants import WorldConst
+
+    world = WorldConst()
+    sw = PM.build_spheres_world(num_objects=300, world=world)
+    rng = np.random.default_rng(3)
+    mesh = jnp.asarray(rng.standard_normal((world.mesh_y, world.mesh_x))
+                       .astype(np.float32) * 0.3 - 0.5)
+    env = sw.env._replace(mesh_height=mesh, water_plane_z=jnp.float32(-0.3))
+    ref = PS.step_objects(sw.state, env, sw.cobjs, sw.table,
+                          substeps=3, world=world, obj_collisions=True)
+    out = PS.step_objects_fused(sw.state, env, sw.cobjs, sw.table,
+                                substeps=3, world=world, obj_collisions=True,
+                                Nb=128, interpret=True)
+    for name in ("px", "py", "pz", "vx", "vy", "vz"):
+        a, b = getattr(ref, name), getattr(out, name)
+        assert jnp.allclose(a, b, atol=1e-5), (name, float(jnp.abs(a - b).max()))
+    for name in ("status", "flags", "time"):
+        a, b = getattr(ref, name), getattr(out, name)
+        assert int((a != b).sum()) == 0, name
