@@ -137,9 +137,12 @@ def make_people(graph: NavGraph, n: int, seed: int = 0) -> PeopleState:
     return assign_goals(st, graph, [int(s) for s in starts], rg)
 
 
-def assign_goals(st: PeopleState, graph: NavGraph, cur_rooms, rg: RandGen):
+def assign_goals(st: PeopleState, graph: NavGraph, cur_rooms, rg: RandGen,
+                 forced_dest: int | None = None):
     """Host: route each person to a random destination room (the ai state
-    machine's choose-destination step)."""
+    machine's choose-destination step).  `forced_dest` routes everyone to
+    one room — the ai_target_player / zombie mode
+    (building_navigation.cpp:1216-1255)."""
     n = len(cur_rooms)
     R = len(graph.centers)
     px = np.zeros((n, MAX_PATH), np.float32)
@@ -147,7 +150,7 @@ def assign_goals(st: PeopleState, graph: NavGraph, cur_rooms, rg: RandGen):
     pf = np.zeros((n, MAX_PATH), np.float32)
     plen = np.zeros(n, np.int32)
     for i, cur in enumerate(cur_rooms):
-        dest = rg.rand() % R
+        dest = forced_dest if forced_dest is not None else rg.rand() % R
         path = graph.route(cur, dest)[:MAX_PATH]
         for k, room in enumerate(path):
             px[i, k], py[i, k], pf[i, k] = graph.centers[room]

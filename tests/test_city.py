@@ -127,3 +127,95 @@ def test_building_people_navigate():
     assert CPE.people_need_goals(ppl).sum() > 0           # some arrived
     # multi-floor routes exist
     assert len(set(np.asarray(ppl.floor).astype(int))) >= 1
+
+
+def test_mesh_opt_acmr_and_simplify():
+    """vertex_opt.cpp vert_optimizer + model3d.cpp:431 simplify parity:
+    reordering preserves the triangle multiset and cuts ACMR; simplify
+    hits the vertex target and never touches boundary vertices."""
+    import numpy as np
+    from w3d.scene import mesh_opt as MO
+
+    n = 24
+    V = (n + 1) * (n + 1)
+    vid = lambda i, j: i * (n + 1) + j
+    tris = []
+    for i in range(n):
+        for j in range(n):
+            a, b, c, d = vid(i, j), vid(i, j + 1), vid(i + 1, j), vid(i + 1, j + 1)
+            tris += [[a, b, c], [b, d, c]]
+    tris = np.array(tris, np.int32)
+    rng = np.random.default_rng(0)
+    scr = tris[rng.permutation(len(tris))].reshape(-1)
+
+    out, before, after = MO.optimize_indices(scr, V)
+    assert after < 0.6 * before
+    key = lambda ix: set(map(tuple, np.sort(ix.reshape(-1, 3), 1).tolist()))
+    assert key(out) == key(scr)
+
+    pos = np.array([[i, j, 0.0] for i in range(n + 1) for j in range(n + 1)],
+                   np.float32)
+    new_idx = MO.simplify(pos, None, tris.reshape(-1), target=0.4)
+    used = set(np.unique(new_idx).tolist())
+    assert len(used) <= 0.55 * V
+    boundary = {vid(0, j) for j in range(n + 1)} | {vid(n, j) for j in range(n + 1)} \
+        | {vid(i, 0) for i in range(n + 1)} | {vid(i, n) for i in range(n + 1)}
+    assert boundary <= used
+
+
+def test_bldg_gameplay_inventory_and_zombies():
+    """building_gameplay.cpp player_inventory/pickup + zombie chase
+    (building_navigation.cpp ai_target_player)."""
+    import numpy as np
+    from w3d.city import floorplan as CF, people as CPE, room_content as RC
+    from w3d.city import bldg_gameplay as BG
+    from w3d.utils.rng import RandGen
+
+    inv = BG.PlayerInventory()
+    assert BG.do_pickup(RC.F_LAMP, inv)
+    assert not BG.do_pickup(RC.F_BED, inv)        # not pickupable
+    assert inv.cur_weight > 0 and inv.cur_value > 0
+    inv.health = 0.5
+    assert BG.do_pickup(RC.F_PLANT, inv)          # healing food consumed
+    assert inv.health > 0.5 and RC.F_PLANT not in inv.carried
+    kind, vel = BG.drop_last(inv)
+    assert kind == RC.F_LAMP and vel == BG.THROW_VELOCITY
+    assert inv.cur_weight == 0.0
+
+    # damage with drunk reduction + respawn
+    inv.drunkenness = 1.0
+    h0 = inv.health
+    inv.adjust_health(-0.4)
+    assert inv.health > h0 - 0.4 * (1 - BG.DRUNK_MAX_DAMAGE_REDUCTION) - 1e-6
+    inv.adjust_health(-5.0)
+    assert inv.dead
+    inv.tick(BG.PLAYER_RESPAWN + 0.1)
+    assert not inv.dead and inv.health == 1.0 and not inv.carried
+
+    # zombies route to the player's room when alerted
+    i = CF.gen_interior((0.0, 0.0, 0.0, 0.5, 0.35, 0.32), 4, 0.08, seed=5)
+    g = CPE.build_nav_graph(i)
+    ppl = CPE.make_people(g, 8, seed=2)
+    alert = BG.SoundAlert()
+    alert.register(0.2, (0.1, 0.1, 0.0))
+    assert alert.alerted
+    player_room = 0
+    rg = RandGen(1, 2)
+    cur = [0] * 8
+    z = BG.retarget_zombies(ppl, g, player_room, alert, cur, rg)
+    # every path ends at the player's room center
+    import jax.numpy as jnp
+    last = np.asarray(z.path_len) - 1
+    ex, ey, _ = g.centers[player_room]
+    for k in range(8):
+        assert abs(float(z.path_x[k, last[k]]) - ex) < 1e-5
+        assert abs(float(z.path_y[k, last[k]]) - ey) < 1e-5
+    # attack range mask + damage
+    inv2 = BG.PlayerInventory()
+    hits = BG.zombie_attack_tick(z, inv2, (float(z.x[0]), float(z.y[0])),
+                                 int(z.floor[0]))
+    assert hits >= 1 and inv2.health < 1.0
+    # decay drops below threshold eventually
+    for _ in range(50):
+        alert.tick()
+    assert not alert.alerted
