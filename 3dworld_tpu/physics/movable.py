@@ -90,3 +90,127 @@ def object_pushes(cobjs: CobjSet, px, py, pz, vx, vy, rad, mass,
     w = inside.astype(jnp.float32) * (mass * strength)[:, None]
     return (vx * mass) @ inside.astype(jnp.float32) * strength, \
            (vy * mass) @ inside.astype(jnp.float32) * strength
+
+
+# ---------------------------------------------------------------------------
+# tipping (movable_cobj.cpp:455-545 support/resting normals + rotate_about)
+# ---------------------------------------------------------------------------
+
+def support_region(cobjs: CobjSet, i: int, mesh_min_z: float):
+    """XY extent of what holds cube `i` up: the union bounds of all
+    overlapping tops touching its bottom (or its own footprint on the
+    ground).  Returns (x1, y1, x2, y2) or None if unsupported."""
+    import numpy as np
+    lo = np.minimum(np.asarray(cobjs.p1), np.asarray(cobjs.p2))
+    hi = np.maximum(np.asarray(cobjs.p1), np.asarray(cobjs.p2))
+    live = np.asarray(cobjs.shape) != COLL_NULL
+    if lo[i, 2] <= mesh_min_z + 1e-3:
+        return (lo[i, 0], lo[i, 1], hi[i, 0], hi[i, 1])
+    sup = None
+    for j in range(cobjs.size):
+        if j == i or not live[j]:
+            continue
+        if abs(lo[i, 2] - hi[j, 2]) > 1e-3:
+            continue
+        x1 = max(lo[i, 0], lo[j, 0]); x2 = min(hi[i, 0], hi[j, 0])
+        y1 = max(lo[i, 1], lo[j, 1]); y2 = min(hi[i, 1], hi[j, 1])
+        if x2 <= x1 or y2 <= y1:
+            continue
+        sup = ((x1, y1, x2, y2) if sup is None else
+               (min(sup[0], x1), min(sup[1], y1),
+                max(sup[2], x2), max(sup[3], y2)))
+    return sup
+
+
+def check_unstable(cobjs: CobjSet, i: int, mesh_min_z: float):
+    """Center-of-mass-over-support test: returns the tip direction
+    (+/-1, dim) if the COM hangs past a support edge, else None.
+    (The reference reaches the same outcome through
+    get_cobj_supporting_normal returning zero at the COM.)"""
+    import numpy as np
+    lo = np.minimum(np.asarray(cobjs.p1), np.asarray(cobjs.p2))
+    hi = np.maximum(np.asarray(cobjs.p1), np.asarray(cobjs.p2))
+    sup = support_region(cobjs, i, mesh_min_z)
+    if sup is None:
+        return None  # free fall, not a tip
+    cx = 0.5 * (lo[i, 0] + hi[i, 0])
+    cy = 0.5 * (lo[i, 1] + hi[i, 1])
+    if cx < sup[0]:
+        return (-1, 0)
+    if cx > sup[2]:
+        return (+1, 0)
+    if cy < sup[1]:
+        return (-1, 1)
+    if cy > sup[3]:
+        return (+1, 1)
+    return None
+
+
+def tip_cube(cobjs: CobjSet, i: int, direction, mesh_min_z: float = None,
+             angle_deg: float = 90.0) -> CobjSet:
+    """Tip cube `i` about its bottom support edge: the cube becomes an
+    extruded COLL_POLYGON (the reference's rotate_about converts rotated
+    cubes to polygon cobjs — coll_obj::was_a_cube).
+
+    direction: (+/-1, dim) from `check_unstable`.  angle_deg=90 lands it
+    flat on the adjacent face (the terminal state of the tip
+    integration); smaller angles give the in-flight pose.
+    """
+    import numpy as np
+    sgn, dim = direction
+    lo = np.minimum(np.asarray(cobjs.p1[i]), np.asarray(cobjs.p2[i]))
+    hi = np.maximum(np.asarray(cobjs.p1[i]), np.asarray(cobjs.p2[i]))
+    # pivot edge: bottom edge on the tipping side
+    piv = hi[dim] if sgn > 0 else lo[dim]
+    pz = lo[2]
+    th = np.radians(angle_deg) * sgn
+    c, s = np.cos(th), np.sin(th)
+    odim = 1 - dim
+
+    def rot(p):
+        """rotate about the pivot edge (axis = odim horizontal axis)"""
+        d, z = p[dim] - piv, p[2] - pz
+        return np.array([
+            piv + (d * c - z * s) if k == dim else
+            (pz + (d * s + z * c) if k == 2 else p[k])
+            for k in range(3)])
+
+    # the face quad that was vertical on the far side becomes the new
+    # footprint; represent the whole box as that quad extruded by the
+    # box depth along its (rotated) normal
+    depth = hi[dim] - lo[dim]
+    far = lo[dim] if sgn > 0 else hi[dim]
+    quad = []
+    for (a, b) in ((lo[odim], lo[2]), (hi[odim], lo[2]),
+                   (hi[odim], hi[2]), (lo[odim], hi[2])):
+        p = np.zeros(3)
+        p[dim], p[odim], p[2] = far, a, b
+        quad.append(rot(p))
+    quad = np.stack(quad)
+    n = np.zeros(3)
+    n[dim] = -sgn
+    nr = rot(np.array([piv + n[dim], 0, pz])) - rot(np.array([piv, 0, pz]))
+    nr = nr / max(np.linalg.norm(nr), 1e-12)
+    # shift the plane to the slab center so the extrusion is symmetric
+    center_quad = quad + 0.5 * depth * nr
+    from .cobjs import COLL_POLYGON
+    pts = np.asarray(cobjs.pts).copy()
+    pts[i, :4] = center_quad
+    return cobjs._replace(
+        shape=cobjs.shape.at[i].set(COLL_POLYGON),
+        pts=jnp.asarray(pts),
+        pnorm=cobjs.pnorm.at[i].set(jnp.asarray(nr, jnp.float32)),
+        npts=cobjs.npts.at[i].set(4),
+        r1=cobjs.r1.at[i].set(float(depth)),
+    )
+
+
+def apply_tipping(cobjs: CobjSet, mesh_min_z: float) -> CobjSet:
+    """Tip every unstable movable cube (one settle pass)."""
+    import numpy as np
+    mv = np.asarray(cobjs.is_movable) & (np.asarray(cobjs.shape) == COLL_CUBE)
+    for i in np.where(mv)[0]:
+        d = check_unstable(cobjs, int(i), mesh_min_z)
+        if d is not None:
+            cobjs = tip_cube(cobjs, int(i), d, mesh_min_z)
+    return cobjs

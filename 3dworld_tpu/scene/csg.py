@@ -106,3 +106,58 @@ def process_csg(parse: SceneParse, negative_ids: set = frozenset()) -> ScenePars
     out = SceneParse(cobjs=merge_cubes(pos), skipped=dict(parse.skipped),
                      layers=list(parse.layers))
     return out
+
+
+def subdiv_cubes(cobjs: list, toler: float = 1e-6) -> list:
+    """Remove T-junctions within each same-layer cube group
+    (coll_obj_group::subdiv_cubes, csg.cpp:1027-1092).
+
+    The union of all face coordinates in a group forms a 3-D split grid;
+    every cube is replaced by its grid cells, so any two touching cubes
+    meet edge-to-edge (no hanging vertices).  Near-equal split values
+    (within `toler`) collapse to one.
+    """
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    passthrough = []
+    for c in cobjs:
+        if c.shape == COLL_CUBE:
+            groups[id(c.layer)].append(c)
+        else:
+            passthrough.append(c)
+    out = list(passthrough)
+    for _gid, v in groups.items():
+        if len(v) == 1:
+            out.extend(v)
+            continue
+        svals = []
+        for d in range(3):
+            vals = sorted({_cube_bounds(c)[e][d] for c in v for e in range(2)})
+            merged = [vals[0]]
+            for s in vals[1:]:
+                if s - merged[-1] > toler:
+                    merged.append(s)
+            svals.append(merged)
+
+        def closest(val, vals):
+            best = min(range(len(vals)), key=lambda i: abs(vals[i] - val))
+            return best
+
+        for c in v:
+            lo, hi = _cube_bounds(c)
+            b = [(closest(lo[d], svals[d]), closest(hi[d], svals[d]))
+                 for d in range(3)]
+            tot = 1
+            for d in range(3):
+                tot *= max(b[d][1] - b[d][0], 0)
+            if tot <= 1:
+                out.append(c)
+                continue
+            for x in range(b[0][0], b[0][1]):
+                for y in range(b[1][0], b[1][1]):
+                    for z in range(b[2][0], b[2][1]):
+                        lo2 = (svals[0][x], svals[1][y], svals[2][z])
+                        hi2 = (svals[0][x + 1], svals[1][y + 1], svals[2][z + 1])
+                        out.append(replace(c, p1=lo2, p2=hi2))
+    return out

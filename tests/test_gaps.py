@@ -337,3 +337,71 @@ def test_explosion_game_frame():
                         np.full(n, PT.type_id("BALL")), TABLE)
     res2 = GF.update_game_frame(st2, co, ds, TABLE)
     assert len(res2.explosions) == 0
+
+
+def test_backrooms_maze_and_mall():
+    """building_backrooms.cpp add_backrooms_objs / building_mall.cpp
+    concourse+stores structure, deterministic per seed."""
+    from w3d.city import mall_backrooms as MB
+    from w3d.city import people as CPE
+
+    br = MB.gen_backrooms((0.0, 0.0, 3.0, 2.0), 0.12, seed=3)
+    assert len(br.walls) > 30           # dense maze
+    assert br.walls == MB.gen_backrooms((0.0, 0.0, 3.0, 2.0), 0.12, seed=3).walls
+    m = MB.gen_mall((0.0, 0.0, 4.0, 1.5), 3, 0.12, seed=1)
+    halls = [r for r in m.rooms if r.is_hallway]
+    stores = [r for r in m.rooms if not r.is_hallway]
+    assert len(halls) == 3 and len(stores) > 10
+    assert len(m.doors) == len(stores)  # one storefront per store
+    assert len(m.stairs) == 4           # 2 escalators per floor gap
+    g = CPE.build_nav_graph(m)          # nav works on mall interiors
+    ppl = CPE.make_people(g, 4, seed=1)
+    for _ in range(20):
+        ppl = CPE.step_people(ppl)
+    op = MB.mall_atrium_opening((0.0, 0.0, 4.0, 1.5), 0.12)
+    assert op[0] > 0.0 and op[2] < 4.0
+
+
+def test_csg_t_junction_subdiv():
+    """coll_obj_group::subdiv_cubes (csg.cpp:1027): cubes split on the
+    union grid of group face coords; volume preserved, no hanging verts."""
+    from w3d.scene.csg import subdiv_cubes, _cube_bounds
+    from w3d.scene.cobj import RawCobj, CobjLayer
+    from w3d.physics.cobjs import COLL_CUBE
+
+    lay = CobjLayer()
+    a = RawCobj(COLL_CUBE, (0, 0, 0), (2, 1, 1), layer=lay)
+    b = RawCobj(COLL_CUBE, (0, 0, 1), (1, 1, 2), layer=lay)
+    out = subdiv_cubes([a, b])
+    vol = sum((h[0] - l[0]) * (h[1] - l[1]) * (h[2] - l[2])
+              for l, h in map(_cube_bounds, out))
+    assert abs(vol - 3.0) < 1e-9
+    xs = sorted({_cube_bounds(c)[e][0] for c in out for e in range(2)})
+    assert xs == [0, 1, 2]              # a split at b's face plane
+
+
+def test_movable_tipping():
+    """movable_cobj.cpp:455-545: COM-past-support-edge -> the cube tips
+    about the pivot edge and becomes an extruded polygon cobj."""
+    import numpy as np
+    import jax.numpy as jnp
+    from w3d.physics import movable as MV
+    from w3d.physics.cobjs import empty_cobjs, COLL_CUBE, COLL_POLYGON
+
+    c = empty_cobjs(4)
+    c = c._replace(
+        shape=c.shape.at[0].set(COLL_CUBE).at[1].set(COLL_CUBE),
+        p1=c.p1.at[0].set(jnp.asarray([0., 0., 0.]))
+            .at[1].set(jnp.asarray([1.7, 0.2, 1.0])),
+        p2=c.p2.at[0].set(jnp.asarray([2., 1., 1.]))
+            .at[1].set(jnp.asarray([2.9, 0.8, 1.6])),
+        is_movable=c.is_movable.at[1].set(True))
+    assert MV.check_unstable(c, 1, mesh_min_z=0.0) == (1, 0)
+    c2 = MV.apply_tipping(c, mesh_min_z=0.0)
+    assert int(c2.shape[1]) == COLL_POLYGON and int(c2.npts[1]) == 4
+    assert abs(abs(float(c2.pnorm[1, 2])) - 1.0) < 1e-5  # face-down normal
+    # COM over support -> stable, stays a cube
+    c3 = c._replace(p1=c.p1.at[1].set(jnp.asarray([0.5, 0.2, 1.0])),
+                    p2=c.p2.at[1].set(jnp.asarray([1.5, 0.8, 1.6])))
+    assert MV.check_unstable(c3, 1, mesh_min_z=0.0) is None
+    assert int(MV.apply_tipping(c3, 0.0).shape[1]) == COLL_CUBE
