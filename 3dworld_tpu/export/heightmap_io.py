@@ -189,3 +189,95 @@ def write_heightmap(path: str, heights: np.ndarray, bit_depth: int = 16,
         write_bmp_gray(path, px.astype(np.uint8))
     else:
         write_png_gray(path, px, bit_depth=bit_depth)
+
+
+# ---------------------------------------------------------------------------
+# color images (RGB/RGBA PNG + 24-bit BMP) — the reference reads/writes
+# color textures through its image libraries (image_io.cpp); these cover
+# the same formats with stdlib codecs
+# ---------------------------------------------------------------------------
+
+def write_png_rgb(path: str, img: np.ndarray) -> None:
+    """Write [h, w, 3|4] uint8 RGB(A) PNG."""
+    img = np.asarray(img, np.uint8)
+    h, w, ch = img.shape
+    assert ch in (3, 4), "RGB or RGBA"
+    ctype = 2 if ch == 3 else 6
+    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(_png_chunk(b"IHDR", ihdr))
+        f.write(_png_chunk(b"IDAT", zlib.compress(raw, 6)))
+        f.write(_png_chunk(b"IEND", b""))
+
+
+def read_png(path: str) -> np.ndarray:
+    """Read any 8-bit PNG (gray/RGB/RGBA/gray+alpha, non-interlaced) ->
+    [h, w] or [h, w, ch] uint8; 16-bit grayscale -> uint16 [h, w]."""
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos = 8
+    idat = b""
+    w = h = depth = ctype = interlace = None
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, ctype, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", chunk[:13])
+        elif tag == b"IDAT":
+            idat += chunk
+        elif tag == b"IEND":
+            break
+    assert interlace == 0, "interlaced PNGs not supported"
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    assert depth in (8, 16) and (depth == 8 or ctype == 0), \
+        f"unsupported depth/color combo ({depth}, {ctype})"
+    bpp = nch * (depth // 8)
+    stride = w * bpp
+    flat = _unfilter(zlib.decompress(idat), h, stride, bpp)
+    if depth == 16:
+        return np.frombuffer(flat, dtype=">u2").reshape(h, w).astype(np.uint16)
+    a = np.frombuffer(flat, dtype=np.uint8).reshape(h, w, nch)
+    return a[:, :, 0] if nch == 1 else a
+
+
+def write_bmp_rgb(path: str, img: np.ndarray) -> None:
+    """Write [h, w, 3] uint8 as 24-bit BMP (BGR bottom-up rows)."""
+    img = np.asarray(img, np.uint8)
+    h, w, ch = img.shape
+    assert ch == 3
+    row = (3 * w + 3) & ~3
+    pixel_off = 14 + 40
+    size = pixel_off + row * h
+    hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, pixel_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row * h,
+                      2835, 2835, 0, 0)
+    with open(path, "wb") as f:
+        f.write(hdr + dib)
+        pad = b"\x00" * (row - 3 * w)
+        for r in range(h - 1, -1, -1):
+            f.write(img[r, :, ::-1].tobytes() + pad)
+
+
+def read_bmp_rgb(path: str) -> np.ndarray:
+    """Read a 24-bit BMP -> [h, w, 3] uint8 RGB."""
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:2] == b"BM"
+    pixel_off = struct.unpack("<I", data[10:14])[0]
+    w, h = struct.unpack("<ii", data[18:26])
+    bits = struct.unpack("<H", data[28:30])[0]
+    assert bits == 24, f"only 24-bit color BMPs here (got {bits})"
+    row = (3 * w + 3) & ~3
+    out = np.zeros((abs(h), w, 3), np.uint8)
+    for r in range(abs(h)):
+        off = pixel_off + r * row
+        line = np.frombuffer(data[off:off + 3 * w], np.uint8).reshape(w, 3)
+        dst = (abs(h) - 1 - r) if h > 0 else r
+        out[dst] = line[:, ::-1]
+    return out

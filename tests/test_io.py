@@ -160,3 +160,64 @@ def test_load_obj_cache(tmp_path):
     np.testing.assert_array_equal(m1.positions, m2.positions)
     sp = model_to_cobjs(m1)
     assert len(sp.cobjs) == 2
+
+
+def test_color_image_roundtrip(tmp_path):
+    """image_io.cpp color formats: RGB/RGBA PNG and 24-bit BMP."""
+    import numpy as np
+    from w3d.export import heightmap_io as HIO
+
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    rgba = rng.integers(0, 256, (9, 11, 4), dtype=np.uint8)
+    p = str(tmp_path / "a.png")
+    HIO.write_png_rgb(p, rgb)
+    assert (HIO.read_png(p) == rgb).all()
+    p2 = str(tmp_path / "b.png")
+    HIO.write_png_rgb(p2, rgba)
+    assert (HIO.read_png(p2) == rgba).all()
+    p3 = str(tmp_path / "c.bmp")
+    HIO.write_bmp_rgb(p3, rgb)
+    assert (HIO.read_bmp_rgb(p3) == rgb).all()
+
+
+def test_lighting_platform_accum_and_dlight_groups():
+    """ray_trace.cpp cobj-accum delta updates + lightmap.cpp dlight-group
+    volumes with enabled-ratio scaling."""
+    import jax
+    import jax.numpy as jnp
+    from w3d.lighting import lmap as L, trace as TR, accum as AC
+    from w3d.physics.cobjs import empty_cobjs, COLL_CUBE
+    from w3d.utils.constants import WorldConst
+
+    world = WorldConst()
+    mesh = jnp.full((world.mesh_y, world.mesh_x), -1.0, jnp.float32)
+    cobjs = empty_cobjs(4)
+    cobjs = cobjs._replace(
+        shape=cobjs.shape.at[0].set(COLL_CUBE),
+        p1=cobjs.p1.at[0].set(jnp.asarray([-2., -2., -1.2])),
+        p2=cobjs.p2.at[0].set(jnp.asarray([2., 2., -1.0])))
+    key = jax.random.key(0)
+    rays = AC.record_platform_rays(key, 256, (0., 0., -0.5), (0.5, 0.5, 0.),
+                                   world)
+    assert 0 < rays.ox.shape[0] < 256
+    p = TR.TraceParams(max_bounces=2, samples_per_segment=4, mesh_steps=8)
+    grid = L.make_light_grid(world)
+    moved = AC.update_platform_lighting(
+        grid, rays, cobjs, mesh, (0., 0., -0.5), (0.5, 0.5, 0.),
+        (1., 1., -0.5), (1.5, 1.5, 0.), key, params=p, world=world)
+    assert float(jnp.abs(moved.sc_r - grid.sc_r).sum()) > 0.0
+    same = AC.update_platform_lighting(
+        grid, rays, cobjs, mesh, (0., 0., -0.5), (0.5, 0.5, 0.),
+        (0., 0., -0.5), (0.5, 0.5, 0.), key, params=p, world=world)
+    assert float(jnp.abs(same.sc_r - grid.sc_r).sum()) == 0.0
+
+    mgr = AC.DlightGroupManager()
+    mgr.add_dlight("lamps", 0, scale=2.0)
+    mgr.add_dlight("lamps", 1, scale=2.0)
+    lights = [((0., 0., 0.5), (1., 0.8, 0.6)), ((1., 0., 0.5), (0.5, 0.5, 1.))]
+    g = mgr.get_group("lamps")
+    mgr.gen_group_volume(g, cobjs, mesh, lights, 64, world, params=p)
+    full = mgr.scaled_volume(g, [True, True])
+    half = mgr.scaled_volume(g, [True, False])
+    assert abs(float(half.lc_r.sum()) - 0.5 * float(full.lc_r.sum())) < 1e-6
