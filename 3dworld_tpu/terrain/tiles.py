@@ -58,6 +58,7 @@ class TileManager:
     tiles: dict = field(default_factory=dict)
     zmax_est: float = 10.0
     _batch_pad: int = 8
+    _pending: tuple | None = None   # (keys, device arrays) in-flight batch
 
     def __post_init__(self):
         ts = TM.gen_terrain(self.cfg._replace(erosion_iters=0),
@@ -87,9 +88,22 @@ class TileManager:
                     out.append((ctx + dx, cty + dy))
         return out
 
-    def update(self, cam_x: float, cam_y: float):
+    def update(self, cam_x: float, cam_y: float,
+               max_tiles_per_frame: int | None = None):
         """Create missing in-range tiles (one batched call), delete
-        out-of-range ones.  Returns (created, deleted) key lists."""
+        out-of-range ones.  Returns (created, deleted) key lists.
+
+        The reference stages tile creation across frames with a priority
+        queue and a per-frame budget, double-buffering GPU work
+        (tile_draw_t::update, tiled_mesh.cpp:2349-2417,2393-2401).  Same
+        policy here: missing tiles are created nearest-camera-first, at
+        most `max_tiles_per_frame` per call (None = all); the generation
+        dispatch is asynchronous (JAX), and results from the PREVIOUS
+        call are adopted first — device compute of batch N overlaps the
+        host bookkeeping of batch N+1."""
+        # adopt last frame's async batch (its device work is done by now)
+        if self._pending is not None:
+            self._adopt_pending()
         want = self.wanted_tiles(cam_x, cam_y)
         ctx, cty = self.camera_tile(cam_x, cam_y)
         deleted = []
@@ -100,23 +114,45 @@ class TileManager:
                 del self.tiles[key]
                 deleted.append(key)
         new = [k for k in want if k not in self.tiles]
-        if new:
+        # nearest-first priority (the reference sorts by tile priority)
+        new.sort(key=lambda k: (k[0] - ctx) ** 2 + (k[1] - cty) ** 2)
+        if max_tiles_per_frame is not None:
+            new = new[:max_tiles_per_frame]
+            if new:
+                self._generate(new, defer=True)   # async double-buffer
+        elif new:
             self._generate(new)
         return new, deleted
 
+    def _adopt_pending(self):
+        keys, (zv, ao, sm, wts) = self._pending
+        self._pending = None
+        for i, k in enumerate(keys):
+            self.tiles[k] = Tile(tx=k[0], ty=k[1], zvals=zv[i], ao=ao[i],
+                                 smask_sun=sm[i], weights=wts[i])
+
+    def flush(self):
+        """Force-adopt any in-flight batch (end-of-frame sync point)."""
+        if self._pending is not None:
+            self._adopt_pending()
+
     # -- batched generation --
 
-    def _generate(self, keys):
+    def _generate(self, keys, defer: bool = False):
         n = len(keys)
         pad = -(-n // self._batch_pad) * self._batch_pad
         txs = np.array([k[0] for k in keys] + [keys[-1][0]] * (pad - n), np.float32)
         tys = np.array([k[1] for k in keys] + [keys[-1][1]] * (pad - n), np.float32)
-        zv, ao, sm, wts = _gen_tile_batch(
+        out = _gen_tile_batch(
             tuple(self.table) if self.table is not None else None,
             jnp.asarray(txs), jnp.asarray(tys),
             jnp.float32(self.zmax_est), jnp.float32(self.water_plane_z),
             self.cfg, self.world, self.tile_size, self.erosion_iters_tt,
             self.sun_dir)
+        if defer:   # async: adopt on the NEXT update (double-buffer)
+            self._pending = (list(keys), out)
+            return
+        zv, ao, sm, wts = out
         for i, k in enumerate(keys):
             self.tiles[k] = Tile(tx=k[0], ty=k[1], zvals=zv[i], ao=ao[i],
                                  smask_sun=sm[i], weights=wts[i])

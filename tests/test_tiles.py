@@ -104,3 +104,29 @@ def test_biome_weights_bands():
     # steep slope kills grass
     w2 = np.asarray(B.biome_weights(z, jnp.full_like(z, 0.3), -10.0, 10.0))
     assert w2[B.GRASS].max() < 1e-6
+
+
+def test_tile_budget_priority_double_buffer():
+    """tile_draw_t::update streaming policy: nearest-first priority,
+    per-frame budget, async adopt-next-frame (tiled_mesh.cpp:2349-2417)."""
+    from w3d.terrain.tiles import TileManager
+    from w3d.terrain.mesh import TerrainConfig
+    from w3d.utils.constants import WorldConst
+
+    W = WorldConst(mesh_x=64, mesh_y=64)
+    tm = TileManager(cfg=TerrainConfig(mesh_seed=5), world=W, tile_size=32)
+    new1, _ = tm.update(0.0, 0.0, max_tiles_per_frame=3)
+    assert len(new1) == 3
+    assert len(tm.tiles) == 0          # in flight, not yet adopted
+    ctx, cty = tm.camera_tile(0.0, 0.0)
+    d0 = (new1[0][0] - ctx) ** 2 + (new1[0][1] - cty) ** 2
+    d2 = (new1[2][0] - ctx) ** 2 + (new1[2][1] - cty) ** 2
+    assert d0 <= d2                    # nearest-first
+    new2, _ = tm.update(0.0, 0.0, max_tiles_per_frame=3)
+    assert all(k in tm.tiles for k in new1)   # batch 1 adopted
+    assert not (set(new1) & set(new2))        # no re-request
+    tm.flush()
+    assert all(k in tm.tiles for k in new2)
+    # unbudgeted update fills the remainder synchronously
+    rest, _ = tm.update(0.0, 0.0)
+    assert all(k in tm.tiles for k in rest)

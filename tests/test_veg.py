@@ -77,3 +77,32 @@ def test_scenery_and_voxel_rock():
     rock = VS.voxel_rock_mesh(5, 0.1)
     assert len(rock) > 200
     assert np.abs(rock).max() <= 0.12  # within the requested size
+
+
+def test_building_spiders_and_snakes():
+    """building_animals.cpp update_spiders/update_snakes: wall-climbing
+    spiders with squish, segment-chain snakes keeping gap spacing."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from w3d.veg import animals as A
+
+    key = jax.random.key(0)
+    b = (0.0, 0.0, 1.0, 1.0)
+    sp = A.make_spiders(key, 16, b)
+    for i in range(100):
+        sp = A.step_spiders(sp, jax.random.fold_in(key, i), b)
+    assert (np.asarray(sp.px) >= 0).all() and (np.asarray(sp.px) <= 1).all()
+    assert float(sp.pz.max()) > 0.01           # someone climbed a wall
+    sp2 = A.squish_spiders(sp._replace(pz=jnp.zeros_like(sp.pz)),
+                           float(sp.px[0]), float(sp.py[0]), radius=0.05)
+    assert int(sp2.squished.sum()) >= 1
+    x0 = float(sp2.px[0])
+    assert float(A.step_spiders(sp2, key, b).px[0]) == x0  # squished = frozen
+
+    sn = A.make_snakes(key, 8, b, num_segs=12)
+    for i in range(150):
+        sn = A.step_snakes(sn, jax.random.fold_in(key, 1000 + i), b)
+    gaps = np.sqrt(np.diff(np.asarray(sn.sx), axis=1) ** 2
+                   + np.diff(np.asarray(sn.sy), axis=1) ** 2)
+    assert gaps.max() < 0.03 and abs(gaps.mean() - 0.02) < 0.005
