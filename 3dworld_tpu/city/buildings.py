@@ -33,6 +33,9 @@ class BuildingParams(NamedTuple):
     num_materials: int = 4
     max_parts: int = 3
     setback: float = 0.15
+    round_prob: float = 0.15   # fraction of round (cylinder) buildings
+    rotate_prob: float = 0.2   # fraction of rotated cube buildings
+    max_rot_angle: float = 0.5 # radians
 
 
 @dataclass
@@ -44,6 +47,32 @@ class Building:
     mat: int = 0
     roof_type: int = 0         # 0 flat, 1 peaked
     interior: object = None    # filled by floorplan.py
+    # shape (building_geom_t, buildings.h:98-106): 4 = cube; >8 = round
+    # (cylinder collision); rotation is about the building center z-axis
+    num_sides: int = 4
+    rot_angle: float = 0.0
+
+    @property
+    def is_round(self):
+        return self.num_sides > 8
+
+    @property
+    def is_rotated(self):
+        return self.rot_angle != 0.0
+
+    def footprint(self):
+        """Ground-plane corner points of the base part (rotated cube ->
+        4 rotated corners; round -> num_sides polygon)."""
+        x1, y1, _z1, x2, y2, _z2 = self.parts[0]
+        cx, cy = 0.5 * (x1 + x2), 0.5 * (y1 + y2)
+        if self.is_round:
+            a = np.linspace(0, 2 * np.pi, self.num_sides, endpoint=False)
+            rx, ry = 0.5 * (x2 - x1), 0.5 * (y2 - y1)
+            return np.stack([cx + rx * np.cos(a + self.rot_angle),
+                             cy + ry * np.sin(a + self.rot_angle)], -1)
+        c, s = np.cos(self.rot_angle), np.sin(self.rot_angle)
+        pts = np.array([[x1, y1], [x2, y1], [x2, y2], [x1, y2]]) - (cx, cy)
+        return pts @ np.array([[c, s], [-s, c]]) + (cx, cy)
 
 
 def place_buildings_in_blocks(blocks, elevation_of, params: BuildingParams,
@@ -90,12 +119,22 @@ def place_buildings_in_blocks(blocks, elevation_of, params: BuildingParams,
                 by += 0.5 * params.setback * ch
                 if cw < 0.5 or ch < 0.5:
                     break
+            # shape roll (building_geom_t): some buildings are round
+            # (num_sides > 8) or rotated about their center
+            shape_roll = rg.randd()
+            num_sides = 4
+            rot = 0.0
+            if shape_roll < params.round_prob:
+                num_sides = 12 + 2 * rg.rand_int(0, 12)   # 12..36
+            elif shape_roll < params.round_prob + params.rotate_prob:
+                rot = (2.0 * rg.randd() - 1.0) * params.max_rot_angle
             out.append(Building(
                 x=(placed[-1][0] + 0.5 * w) * cell_w,
                 y=(placed[-1][1] + 0.5 * h) * cell_w,
                 z=z0, parts=parts,
                 mat=rg.rand_int(0, params.num_materials - 1),
                 roof_type=int(rg.rand_bool() and floors <= 3),
+                num_sides=num_sides, rot_angle=rot,
             ))
     return out
 
@@ -109,8 +148,29 @@ def buildings_to_cobjs(buildings):
     lay = SC.CobjLayer(elasticity=0.3, color=(0.7, 0.7, 0.7, 1.0))
     for b in buildings:
         for (x1, y1, z1, x2, y2, z2) in b.parts:
-            sp.cobjs.append(SC.RawCobj(SC.COLL_CUBE, (x1, y1, z1), (x2, y2, z2),
-                                       layer=lay))
+            if b.is_round:
+                # cylinder collision for round buildings
+                # (building_geom_t::use_cylinder_coll, buildings.h:106)
+                cx, cy = 0.5 * (x1 + x2), 0.5 * (y1 + y2)
+                r = 0.5 * min(x2 - x1, y2 - y1)
+                sp.cobjs.append(SC.RawCobj(SC.COLL_CYLINDER,
+                                           (cx, cy, z1), (cx, cy, z2),
+                                           r1=r, r2=r, layer=lay))
+            elif b.is_rotated:
+                # rotated cube -> thickness-extruded polygon cobj
+                cx, cy = 0.5 * (x1 + x2), 0.5 * (y1 + y2)
+                cz = 0.5 * (z1 + z2)
+                c, sn = np.cos(b.rot_angle), np.sin(b.rot_angle)
+                R = np.array([[c, sn], [-sn, c]])
+                base = np.array([[x1, y1], [x2, y1], [x2, y2], [x1, y2]]) \
+                    - (cx, cy)
+                rp = base @ R + (cx, cy)
+                pts = tuple((float(px), float(py), cz) for px, py in rp)
+                sp.cobjs.append(SC.RawCobj(SC.COLL_POLYGON,
+                                           r1=(z2 - z1), pts=pts, layer=lay))
+            else:
+                sp.cobjs.append(SC.RawCobj(SC.COLL_CUBE, (x1, y1, z1),
+                                           (x2, y2, z2), layer=lay))
     return sp
 
 

@@ -113,3 +113,115 @@ def carve_roads(heightmap, routes, plots, width: int = 1):
                             max(x1, x2) + width, max(y1, y2) + width, elev,
                             slope_width=3)
     return hm
+
+
+# ---------------------------------------------------------------------------
+# bridges & tunnels (roads.cpp:118-150,993-1060 bridge_t/tunnel_t;
+# connector roads get a bridge where the terrain drops well below road
+# grade and a tunnel where it rises well above)
+# ---------------------------------------------------------------------------
+
+class Bridge(NamedTuple):
+    x1: int
+    y1: int
+    x2: int
+    y2: int
+    zval: float      # deck height
+    dim: int         # 0 = runs along x
+
+
+class Tunnel(NamedTuple):
+    x1: int
+    y1: int
+    x2: int
+    y2: int
+    zval: float      # road height inside
+    radius: float    # bore radius (tunnel_t::init)
+    dim: int
+
+
+def plan_bridges_tunnels(heightmap, routes, bridge_depth: float = 0.3,
+                         tunnel_height: float = 0.4, min_len: int = 3):
+    """Walk each connector route's terrain profile: maximal runs where the
+    ground sits > bridge_depth below road grade become bridges; runs
+    > tunnel_height above become tunnels.  Returns (bridges, tunnels).
+    """
+    import numpy as np
+    hm = np.asarray(heightmap)
+    bridges, tunnels = [], []
+    for (x1, y1, x2, y2) in routes:
+        dim = 0 if y1 == y2 else 1
+        road_z = 0.5 * (hm[int(y1), int(x1)] + hm[int(y2), int(x2)])
+        if dim == 0:
+            lo, hi = int(min(x1, x2)), int(max(x1, x2))
+            prof = hm[int(y1), lo:hi + 1]
+        else:
+            lo, hi = int(min(y1, y2)), int(max(y1, y2))
+            prof = hm[lo:hi + 1, int(x1)]
+        below = prof < road_z - bridge_depth
+        above = prof > road_z + tunnel_height
+
+        def runs(mask):
+            out = []
+            s = None
+            for i, m in enumerate(mask):
+                if m and s is None:
+                    s = i
+                elif not m and s is not None:
+                    out.append((s, i - 1))
+                    s = None
+            if s is not None:
+                out.append((s, len(mask) - 1))
+            return [(a, b) for a, b in out if b - a + 1 >= min_len]
+
+        for (a, b) in runs(below):
+            if dim == 0:
+                bridges.append(Bridge(lo + a, int(y1), lo + b, int(y1),
+                                      float(road_z), 0))
+            else:
+                bridges.append(Bridge(int(x1), lo + a, int(x1), lo + b,
+                                      float(road_z), 1))
+        for (a, b) in runs(above):
+            if dim == 0:
+                tunnels.append(Tunnel(lo + a, int(y1), lo + b, int(y1),
+                                      float(road_z), 1.0, 0))
+            else:
+                tunnels.append(Tunnel(int(x1), lo + a, int(x1), lo + b,
+                                      float(road_z), 1.0, 1))
+    return bridges, tunnels
+
+
+def carve_roads_with_structures(heightmap, routes, plots, width: int = 1,
+                                bridge_depth: float = 0.3,
+                                tunnel_height: float = 0.4):
+    """carve_roads that leaves terrain untouched under bridges and above
+    tunnels (the road passes over/through instead of regrading).
+    Returns (heightmap, bridges, tunnels)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from .plots import flatten_region
+
+    bridges, tunnels = plan_bridges_tunnels(heightmap, routes,
+                                            bridge_depth, tunnel_height)
+    skip = np.zeros(np.asarray(heightmap).shape, bool)
+    for s in bridges + tunnels:
+        skip[min(s.y1, s.y2):max(s.y1, s.y2) + 1,
+             min(s.x1, s.x2):max(s.x1, s.x2) + 1] = True
+    hm = jnp.asarray(heightmap)
+    for (x1, y1, x2, y2) in routes:
+        elev = 0.5 * (float(hm[int(y1), int(x1)]) + float(hm[int(y2), int(x2)]))
+        lo_x, hi_x = min(x1, x2) - width, max(x1, x2) + width
+        lo_y, hi_y = min(y1, y2) - width, max(y1, y2) + width
+        flat = flatten_region(hm, lo_x, lo_y, hi_x, hi_y, elev, slope_width=3)
+        hm = jnp.where(jnp.asarray(skip), hm, flat)
+    return hm, bridges, tunnels
+
+
+def bridge_sphere_coll(b: Bridge, cx, cy, cz, radius):
+    """bridge_t::proc_sphere_coll (roads.cpp:993-1007): a sphere over the
+    deck within the span lands on it; returns (hit, new_cz)."""
+    import numpy as np
+    inx = (min(b.x1, b.x2) <= cx <= max(b.x1, b.x2) + 1)
+    iny = (min(b.y1, b.y2) <= cy <= max(b.y1, b.y2) + 1)
+    over = inx and iny and (cz - radius <= b.zval + 0.05) and (cz + radius >= b.zval)
+    return (True, b.zval + radius) if over else (False, cz)

@@ -219,3 +219,42 @@ def test_bldg_gameplay_inventory_and_zombies():
     for _ in range(50):
         alert.tick()
     assert not alert.alerted
+
+
+def test_bridges_tunnels_and_shaped_buildings():
+    """roads.cpp bridge_t/tunnel_t (terrain kept under bridges / above
+    tunnels) + building_geom_t round/rotated shapes with matching cobjs."""
+    import numpy as np
+    import jax.numpy as jnp
+    from w3d.city import roads as CR, buildings as CB
+    from w3d.scene.cobj import pack_cobjs
+    from w3d.physics.cobjs import (COLL_CYLINDER, COLL_POLYGON, COLL_CUBE,
+                                   deepest_hits)
+
+    hm = np.zeros((64, 64), np.float32)
+    hm[:, 20:31] = -1.0     # valley
+    hm[:, 45:56] = 1.0      # hill
+    hm2, bridges, tunnels = CR.carve_roads_with_structures(
+        jnp.asarray(hm), [(5, 32, 60, 32)], [])
+    assert len(bridges) == 1 and len(tunnels) == 1
+    hm2 = np.asarray(hm2)
+    assert hm2[32, 25] < -0.9          # valley preserved under the bridge
+    assert hm2[32, 50] > 0.9           # hill preserved above the tunnel
+    assert abs(hm2[32, 10]) < 0.05     # open road graded flat
+    hit, z = CR.bridge_sphere_coll(bridges[0], 25, 32, 0.05, 0.1)
+    assert hit and abs(z - (bridges[0].zval + 0.1)) < 1e-6
+
+    params = CB.BuildingParams(round_prob=0.4, rotate_prob=0.4)
+    blocks = [(30 * i, 30 * j, 30 * i + 30, 30 * j + 30, 0)
+              for i in range(3) for j in range(3)]
+    bl = CB.place_buildings_in_blocks(blocks, lambda x, y: 0.0, params, seed=2)
+    assert any(b.is_round for b in bl) and any(b.is_rotated for b in bl)
+    rb = next(b for b in bl if b.is_round)
+    assert rb.footprint().shape == (rb.num_sides, 2)
+    sp = CB.buildings_to_cobjs(bl)
+    shapes = {c.shape for c in sp.cobjs}
+    assert {COLL_CYLINDER, COLL_POLYGON, COLL_CUBE} <= shapes
+    cs = pack_cobjs(sp)
+    hit, *_ = deepest_hits(jnp.asarray([rb.x]), jnp.asarray([rb.y]),
+                           jnp.asarray([rb.z + 0.01]), jnp.asarray([0.05]), cs)
+    assert bool(hit[0])                # narrow phase sees the cylinder
