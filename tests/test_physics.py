@@ -183,3 +183,80 @@ def test_spheres_world_end_to_end():
     s = np.asarray(sw.state.status)
     assert (s > 0).sum() > 480
     assert np.isfinite(np.asarray(sw.state.pz)).all()
+
+
+def test_particle_pools():
+    """Physics.cpp:1412-1590 bubble/particle_cloud/fire/decal pools:
+    fixed-capacity SoA with sort-based slot allocation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from w3d.physics import particles as PP
+    from w3d.utils.constants import WorldConst
+
+    # bubbles rise and pop at the surface
+    b = PP.make_bubbles(16)
+    b = PP.spawn_bubbles(b, jnp.asarray([0.0, 0.1]), jnp.asarray([0.0, 0.0]),
+                         jnp.asarray([-0.5, -0.5]), jnp.asarray([1.0, 1.0]),
+                         jnp.asarray([0.01, 0.01]))
+    assert int(b.status.sum()) == 2
+    popped_any = False
+    for _ in range(30):
+        b, popped = PP.step_bubbles(b, jnp.float32(0.025), jnp.float32(0.0),
+                                    jnp.float32(20.0), 4.0)
+        popped_any |= bool(popped.any())
+    assert popped_any and int(b.status.sum()) == 0
+
+    # clouds expand + fade; die at the ceiling
+    c = PP.make_clouds(8)
+    c = PP.spawn_clouds(c, *[jnp.asarray([0.0])] * 3,
+                        jnp.asarray([0.0]), jnp.asarray([0.0]),
+                        jnp.asarray([0.3]), jnp.asarray([0.05]),
+                        jnp.asarray([1.0]), jnp.asarray([1.0]),
+                        jnp.asarray([0.0]))
+    d0 = float(c.density[0])
+    wind = jnp.asarray([0.1, 0.0, 0.0])
+    c = PP.step_clouds(c, jnp.float32(0.025), wind, jnp.float32(-10.0), 1.0)
+    assert float(c.density[0]) < d0 and float(c.radius[0]) > 0.05
+    for _ in range(100):
+        c = PP.step_clouds(c, jnp.float32(0.025), wind, jnp.float32(-10.0), 1.0)
+    assert int(c.status.sum()) == 0    # rose past the ceiling or max radius
+
+    # fires flicker and extinguish underwater, damaging the surface
+    world = WorldConst()
+    f = PP.make_fires(8)
+    f = PP.spawn_fires(f, jnp.asarray([0.0]), jnp.asarray([0.0]),
+                       jnp.asarray([0.1]), jnp.asarray([0.02]))
+    sd = jnp.zeros((world.mesh_y, world.mesh_x))
+    key = jax.random.key(1)
+    for i in range(5):
+        f, sd, smoke = PP.step_fires(f, jax.random.fold_in(key, i),
+                                     jnp.float32(0.025),
+                                     jnp.asarray([0.1, 0.0, 0.0]),
+                                     jnp.float32(-10.0), sd, world)
+    assert int(f.status.sum()) == 1 and float(sd.sum()) > 0.0
+    f2, _sd, smoke = PP.step_fires(f, key, jnp.float32(0.025),
+                                   jnp.asarray([0.0, 0.0, 0.0]),
+                                   jnp.float32(10.0), None, None)  # underwater
+    assert int(f2.status.sum()) == 0 and bool(smoke.any())
+
+    # decals hold alpha then fade
+    d = PP.make_decals(4)
+    d = PP.spawn_decals(d, *[jnp.asarray([0.0])] * 6, jnp.asarray([0.05]),
+                        jnp.asarray([1.0]), jnp.asarray([0], jnp.int32),
+                        jnp.asarray([10], jnp.int32))
+    for _ in range(4):
+        d = PP.step_decals(d)
+    assert float(PP.decal_alpha(d)[0]) == 1.0     # first half
+    for _ in range(4):
+        d = PP.step_decals(d)
+    a = float(PP.decal_alpha(d)[0])
+    assert 0.0 < a < 1.0                          # fading
+    for _ in range(5):
+        d = PP.step_decals(d)
+    assert int(d.status.sum()) == 0
+
+    # pool-full allocation: extra spawns are dropped, not corrupting
+    b2 = PP.make_bubbles(2)
+    b2 = PP.spawn_bubbles(b2, *[jnp.zeros(4)] * 5)
+    assert int(b2.status.sum()) == 2
