@@ -164,3 +164,38 @@ def test_brush_shapes_differ():
     for i in range(len(outs)):
         for k in range(i + 1, len(outs)):
             assert not np.allclose(outs[i], outs[k])
+
+
+def test_voxel_collision_paths():
+    """Per-block voxel cobjs with dirty rebuilds + direct field sphere
+    collision (voxels.cpp update_voxel_sphere_region block mapping)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from w3d.voxel import grid as VG, collide as VC
+
+    nz, ny, nx = 24, 33, 33
+    zz, yy, xx = np.meshgrid(np.arange(nz), np.arange(ny), np.arange(nx),
+                             indexing='ij')
+    field = (np.sqrt((xx - 16) ** 2 + (yy - 16) ** 2 + (zz - 12) ** 2)
+             - 8.0).astype(np.float32)
+
+    hit, pen, gx, gy, gz = VC.sphere_vs_field(
+        jnp.asarray(field), (0., 0., 0.), 1.0, 0.0,
+        jnp.asarray([16.0, 2.0]), jnp.asarray([16.0, 2.0]),
+        jnp.asarray([12.0, 2.0]), jnp.asarray([0.5, 0.5]))
+    assert bool(hit[0]) and not bool(hit[1])   # center solid, corner air
+    assert float(pen[0]) > 5.0                 # deep inside the ball
+
+    vc = VC.VoxelCollider(params=VG.VoxelParams(isolevel=0.0), block=8)
+    vc.rebuild(field)
+    n0 = vc.num_tris
+    assert n0 > 1000
+    empty_block = vc.tris[(0, 0)]
+    assert len(empty_block) == 0               # corner block is all air
+    field2 = field.copy()
+    field2[:, 14:19, 14:19] += 5.0             # carve material out
+    dirty = vc.dirty_blocks_for_edit(16.0, 16.0, 3.0)
+    assert 0 < len(dirty) < len(vc.tris)       # only center blocks
+    vc.rebuild(field2, dirty)
+    assert vc.num_tris != n0                   # surface actually changed
+    assert len(vc.to_cobjs().cobjs) == vc.num_tris
