@@ -53,6 +53,18 @@ _PROPS = {
     RC.F_LAMP:     (45.0, 12.0, True, False, 0.0),
     RC.F_RUG:      (50.0, 16.0, True, False, 0.0),
     RC.F_PLANT:    (18.0, 8.0, True, True, 0.25),  # ~healing food stand-in
+    RC.F_WARDROBE: (200.0, 120.0, False, False, 0.0),
+    RC.F_NIGHTSTAND: (60.0, 25.0, True, False, 0.0),
+    RC.F_DRESSER:  (130.0, 110.0, False, False, 0.0),
+    RC.F_MICROWAVE: (100.0, 30.0, True, False, 0.0),
+    RC.F_WASHER:   (300.0, 160.0, False, False, 0.0),
+    RC.F_DRYER:    (300.0, 160.0, False, False, 0.0),
+    RC.F_WATER_HEATER: (500.0, 280.0, False, False, 0.0),
+    RC.F_FURNACE:  (600.0, 300.0, False, False, 0.0),
+    RC.F_POOL_TABLE: (1500.0, 500.0, False, False, 0.0),
+    RC.F_WHITEBOARD: (50.0, 15.0, True, False, 0.0),
+    RC.F_CONF_TABLE: (250.0, 120.0, False, False, 0.0),
+    RC.F_VENDING:  (2000.0, 400.0, False, False, 0.0),
 }
 MAX_CARRY_WEIGHT = 200.0  # lbs, reference player_inventory weight limit
 

@@ -19,12 +19,15 @@ from ..utils.rng import RandGen
 
 # room types
 (R_HALL, R_BEDROOM, R_BATHROOM, R_KITCHEN, R_LIVING, R_OFFICE, R_DINING,
- R_STORAGE, R_LIBRARY, R_RETAIL, R_SERVER) = range(11)
+ R_STORAGE, R_LIBRARY, R_RETAIL, R_SERVER, R_LAUNDRY, R_UTILITY,
+ R_CONFERENCE, R_CLASSROOM, R_CAFETERIA, R_GAME) = range(17)
 
 # furniture kinds
 (F_BED, F_TOILET, F_SINK, F_TUB, F_COUNTER, F_FRIDGE, F_STOVE, F_TABLE,
  F_CHAIR, F_COUCH, F_TV, F_DESK, F_BOOKCASE, F_SHELF, F_RACK, F_LAMP,
- F_RUG, F_PLANT) = range(18)
+ F_RUG, F_PLANT, F_WARDROBE, F_NIGHTSTAND, F_DRESSER, F_MICROWAVE,
+ F_WASHER, F_DRYER, F_WATER_HEATER, F_FURNACE, F_POOL_TABLE,
+ F_WHITEBOARD, F_CONF_TABLE, F_VENDING) = range(30)
 
 # per-room-type furniture recipes: (kind, count, against_wall, w, d, h)
 _RECIPES = {
@@ -45,7 +48,27 @@ _RECIPES = {
                 (F_CHAIR, 2, False, 0.1, 0.1, 0.15)],
     R_RETAIL: [(F_COUNTER, 1, True, 0.3, 0.12, 0.18), (F_RACK, 4, False, 0.15, 0.15, 0.25)],
     R_SERVER: [(F_RACK, 6, True, 0.15, 0.2, 0.4)],
+    # extended catalog (building_room_obj_place.cpp generators)
+    R_LAUNDRY: [(F_WASHER, 1, True, 0.12, 0.12, 0.16), (F_DRYER, 1, True, 0.12, 0.12, 0.16),
+                (F_COUNTER, 1, True, 0.25, 0.1, 0.18)],
+    R_UTILITY: [(F_WATER_HEATER, 1, True, 0.1, 0.1, 0.3), (F_FURNACE, 1, True, 0.14, 0.12, 0.3),
+                (F_SHELF, 1, True, 0.25, 0.08, 0.3)],
+    R_CONFERENCE: [(F_CONF_TABLE, 1, False, 0.45, 0.2, 0.14), (F_CHAIR, 6, False, 0.1, 0.1, 0.15),
+                   (F_WHITEBOARD, 1, True, 0.3, 0.02, 0.2), (F_TV, 1, True, 0.25, 0.05, 0.18)],
+    R_CLASSROOM: [(F_DESK, 6, False, 0.14, 0.1, 0.14), (F_CHAIR, 6, False, 0.08, 0.08, 0.14),
+                  (F_WHITEBOARD, 1, True, 0.35, 0.02, 0.2)],
+    R_CAFETERIA: [(F_TABLE, 3, False, 0.2, 0.2, 0.14), (F_CHAIR, 8, False, 0.08, 0.08, 0.14),
+                  (F_VENDING, 2, True, 0.12, 0.1, 0.3), (F_COUNTER, 1, True, 0.35, 0.12, 0.18)],
+    R_GAME: [(F_POOL_TABLE, 1, False, 0.35, 0.2, 0.14), (F_COUCH, 1, True, 0.4, 0.16, 0.14),
+             (F_TV, 1, True, 0.3, 0.06, 0.2)],
 }
+
+# bedroom upgrades: wardrobe/nightstand/dresser join the base recipe
+_RECIPES[R_BEDROOM] = _RECIPES[R_BEDROOM] + [
+    (F_WARDROBE, 1, True, 0.2, 0.1, 0.3), (F_NIGHTSTAND, 1, True, 0.08, 0.08, 0.1),
+    (F_DRESSER, 1, True, 0.18, 0.1, 0.14)]
+_RECIPES[R_KITCHEN] = _RECIPES[R_KITCHEN] + [
+    (F_MICROWAVE, 1, True, 0.08, 0.06, 0.06)]
 
 
 @dataclass
@@ -68,9 +91,9 @@ def assign_room_types(interior, rg: RandGen, is_office_bldg: bool = False):
             continue
         area = r.area
         if is_office_bldg:
-            roll = rg.rand() % 10
-            types.append(R_SERVER if roll == 0 else
-                         (R_STORAGE if roll == 1 else R_OFFICE))
+            roll = rg.rand() % 12
+            types.append({0: R_SERVER, 1: R_STORAGE, 2: R_CONFERENCE,
+                          3: R_CLASSROOM, 4: R_CAFETERIA}.get(roll, R_OFFICE))
             continue
         if area < 0.02:
             types.append(R_BATHROOM)
@@ -80,9 +103,9 @@ def assign_room_types(interior, rg: RandGen, is_office_bldg: bool = False):
         elif r.floor == 0 and area > 0.04:
             types.append(R_LIVING if rg.rand_bool() else R_DINING)
         else:
-            roll = rg.rand() % 8
-            types.append(R_LIBRARY if roll == 0 else
-                         (R_STORAGE if roll == 1 else R_BEDROOM))
+            roll = rg.rand() % 12
+            types.append({0: R_LIBRARY, 1: R_STORAGE, 2: R_LAUNDRY,
+                          3: R_UTILITY, 4: R_GAME}.get(roll, R_BEDROOM))
     return types
 
 

@@ -258,3 +258,40 @@ def test_bridges_tunnels_and_shaped_buildings():
     hit, *_ = deepest_hits(jnp.asarray([rb.x]), jnp.asarray([rb.y]),
                            jnp.asarray([rb.z + 0.01]), jnp.asarray([0.05]), cs)
     assert bool(hit[0])                # narrow phase sees the cylinder
+
+
+def test_expanded_room_catalog_and_asteroid_field():
+    """Wider room-content catalog (17 room types / 30 furniture kinds,
+    all with gameplay props) + uasteroid_field drift/containment."""
+    import collections
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from w3d.city import floorplan as CF, room_content as RC
+    from w3d.city import bldg_gameplay as BG
+    from w3d.universe import asteroids as AST
+
+    seen_t, seen_k = collections.Counter(), collections.Counter()
+    for seed in range(8):
+        i = CF.gen_interior((0.0, 0.0, 0.0, 0.6, 0.45, 0.4), 5, 0.08,
+                            seed=seed)
+        ro = RC.furnish_rooms(i, 0.08, seed, is_office_bldg=(seed % 2 == 0))
+        seen_t.update(ro.room_types)
+        seen_k.update(ro.kinds)
+    assert len(seen_t) >= 10 and len(seen_k) >= 15
+    for k in seen_k:
+        assert k in BG._PROPS          # every kind has gameplay props
+
+    key = jax.random.key(3)
+    f = AST.gen_asteroid_field(key, 10.0, n=128)
+    for _ in range(25):
+        f = AST.step_asteroid_field(f, jnp.float32(10.0), jnp.float32(1.0))
+    r = np.sqrt(np.asarray(f.px) ** 2 + np.asarray(f.py) ** 2
+                + np.asarray(f.pz) ** 2)
+    assert (r <= 10.0 + 1e-3).all()    # boundary reflection holds
+    assert float(jnp.abs(f.rot).max()) > 0.0
+    pos, faces = AST.asteroid_rock_mesh(42)
+    rad = np.linalg.norm(pos, axis=1)
+    assert rad.std() > 0.02            # actually displaced
+    pos2, _ = AST.asteroid_rock_mesh(42)
+    assert (pos == pos2).all()         # deterministic per seed
