@@ -221,3 +221,28 @@ def test_lighting_platform_accum_and_dlight_groups():
     full = mgr.scaled_volume(g, [True, True])
     half = mgr.scaled_volume(g, [True, False])
     assert abs(float(half.lc_r.sum()) - 0.5 * float(full.lc_r.sum())) < 1e-6
+
+
+def test_texture_catalog(tmp_path):
+    """Textures.cpp def_textures equivalent: named procedural catalog,
+    deterministic, with on-disk asset override."""
+    import numpy as np
+    from w3d.export import texture_catalog as TC
+    from w3d.export import heightmap_io as HIO
+
+    names = TC.texture_names()
+    assert len(names) >= 40
+    for nm in ("grass", "brick1", "wood", "marble", "window", "earth"):
+        t = TC.get_texture(nm, 32)
+        assert t.shape == (32, 32, 3) and t.dtype == np.uint8
+        t2 = TC.get_texture(nm, 32)
+        assert (t == t2).all()         # memoized/deterministic
+    # grass is green-dominant; brick gap lines exist
+    g = TC.get_texture("grass", 32).mean(axis=(0, 1))
+    assert g[1] > g[0] and g[1] > g[2]
+    # asset override beats the generator
+    img = np.full((8, 8, 3), 7, np.uint8)
+    HIO.write_png_rgb(str(tmp_path / "grass.png"), img)
+    TC.get_texture.cache_clear()
+    assert (TC.get_texture("grass", 64, asset_dir=str(tmp_path)) == 7).all()
+    TC.get_texture.cache_clear()
