@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils import rng as w3d_rng
+from ..utils.rng import RandGen
 from .roads import RoadNetwork
 
 STOPLIGHT_PERIOD = 120.0  # frames per light phase
@@ -225,3 +226,161 @@ def step_peds(p: PedState, key, sep_radius: float = 0.15) -> PedState:
     return PedState(x=x, y=y,
                     gx=jnp.where(reached, ngx, p.gx),
                     gy=jnp.where(reached, ngy, p.gy), speed=p.speed)
+
+
+# ---------------------------------------------------------------------------
+# railroads (roads.cpp railroad segments) + trains
+# ---------------------------------------------------------------------------
+
+class RailLine(NamedTuple):
+    """One polyline rail line: padded waypoint arrays + cumulative arc
+    length (trains parameterize by distance along the line)."""
+
+    wx: jax.Array       # [W]
+    wy: jax.Array
+    cum: jax.Array      # [W] cumulative length, cum[0]=0
+    length: jax.Array   # scalar total
+
+
+def gen_railroad(route_pts, jitter: float = 0.0, seed: int = 0) -> RailLine:
+    """Rail line along a connector-route polyline ([(x, y), ...])."""
+    pts = np.asarray(route_pts, np.float32)
+    d = np.sqrt(((pts[1:] - pts[:-1]) ** 2).sum(1))
+    cum = np.concatenate([[0.0], np.cumsum(d)]).astype(np.float32)
+    return RailLine(wx=jnp.asarray(pts[:, 0]), wy=jnp.asarray(pts[:, 1]),
+                    cum=jnp.asarray(cum), length=jnp.float32(cum[-1]))
+
+
+class TrainState(NamedTuple):
+    s: jax.Array        # [N] arc position along the line
+    speed: jax.Array    # [N] signed (bounces between the ends)
+    line: jax.Array     # [N] int32 rail line index
+
+
+def make_trains(n: int, num_lines: int, seed: int = 0) -> TrainState:
+    rg = RandGen(seed + 2, 5 * seed + 9)
+    return TrainState(
+        s=jnp.asarray([rg.randd() for _ in range(n)], jnp.float32),
+        speed=jnp.asarray([0.02 + 0.02 * rg.randd() for _ in range(n)],
+                          jnp.float32),
+        line=jnp.asarray([rg.rand() % num_lines for _ in range(n)],
+                         jnp.int32))
+
+
+@jax.jit
+def step_trains(t: TrainState, line: RailLine) -> TrainState:
+    """Advance along arc length; reverse at the ends (out-and-back
+    service along the connector, like the reference's track-bound cars)."""
+    s = t.s + t.speed
+    over = (s >= line.length) | (s <= 0.0)
+    speed = jnp.where(over, -t.speed, t.speed)
+    s = jnp.clip(s, 0.0, line.length)
+    return t._replace(s=s, speed=speed)
+
+
+def train_positions(t: TrainState, line: RailLine):
+    """[N] world xy by piecewise-linear interpolation of arc position
+    (one-hot over segments — no gathers)."""
+    W = line.wx.shape[0]
+    seg_lo = line.cum[:-1][None, :]            # [1, W-1]
+    seg_hi = line.cum[1:][None, :]
+    s = t.s[:, None]
+    in_seg = ((s >= seg_lo) & (s < seg_hi)).astype(jnp.float32)
+    frac = jnp.where(seg_hi > seg_lo, (s - seg_lo) / jnp.maximum(
+        seg_hi - seg_lo, 1e-9), 0.0)
+    x = jnp.sum(in_seg * (line.wx[:-1][None, :] * (1 - frac)
+                          + line.wx[1:][None, :] * frac), 1)
+    y = jnp.sum(in_seg * (line.wy[:-1][None, :] * (1 - frac)
+                          + line.wy[1:][None, :] * frac), 1)
+    # past the last segment (s == length): clamp to the final waypoint
+    past = (t.s >= line.cum[-1]).astype(jnp.float32)
+    return x * (1 - past) + line.wx[-1] * past, \
+        y * (1 - past) + line.wy[-1] * past
+
+
+# ---------------------------------------------------------------------------
+# helicopters (city helicopters: fly between building-roof helipads)
+# ---------------------------------------------------------------------------
+
+HELI_CRUISE_Z = 0.6
+HELI_SPEED = 0.02
+HELI_VSPEED = 0.01
+
+
+class HeliState(NamedTuple):
+    px: jax.Array
+    py: jax.Array
+    pz: jax.Array
+    pad: jax.Array      # [N] int32 target helipad index
+    phase: jax.Array    # 0 parked, 1 takeoff, 2 cruise, 3 landing
+    wait: jax.Array     # parked frames remaining
+
+
+def make_helipads(buildings, max_pads: int = 8):
+    """Helipads on the tallest buildings' top parts: [P, 3] (x, y, roof_z)."""
+    tops = []
+    for b in buildings:
+        (x1, y1, _z1, x2, y2, z2) = b.parts[-1]
+        tops.append((0.5 * (x1 + x2), 0.5 * (y1 + y2), z2))
+    tops.sort(key=lambda p: -p[2])
+    return np.asarray(tops[:max_pads], np.float32).reshape(-1, 3)
+
+
+def make_helis(n: int, pads: np.ndarray, seed: int = 0) -> HeliState:
+    rg = RandGen(seed + 3, seed + 13)
+    start = np.asarray([rg.rand() % len(pads) for _ in range(n)])
+    p = pads[start]
+    return HeliState(
+        px=jnp.asarray(p[:, 0]), py=jnp.asarray(p[:, 1]),
+        pz=jnp.asarray(p[:, 2]),
+        pad=jnp.asarray([rg.rand() % len(pads) for _ in range(n)], jnp.int32),
+        phase=jnp.zeros((n,), jnp.int32),
+        wait=jnp.asarray([rg.rand() % 60 for _ in range(n)], jnp.int32))
+
+
+@jax.jit
+def step_helis(h: HeliState, pads, key) -> HeliState:
+    """Parked -> takeoff (climb to cruise) -> cruise (fly over the city
+    toward the target pad) -> land (descend) -> parked; new destination
+    chosen on touchdown."""
+    P = pads.shape[0]
+    oh = jax.nn.one_hot(h.pad, P, dtype=jnp.float32)
+    tx = oh @ pads[:, 0]
+    ty = oh @ pads[:, 1]
+    tz = oh @ pads[:, 2]
+    parked = h.phase == 0
+    takeoff = h.phase == 1
+    cruise = h.phase == 2
+    landing = h.phase == 3
+
+    wait = jnp.maximum(h.wait - parked.astype(jnp.int32), 0)
+    launch = parked & (wait == 0)
+
+    pz = jnp.where(takeoff, jnp.minimum(h.pz + HELI_VSPEED, HELI_CRUISE_Z),
+                   h.pz)
+    at_cruise = takeoff & (pz >= HELI_CRUISE_Z)
+
+    dx = tx - h.px
+    dy = ty - h.py
+    d = jnp.sqrt(dx * dx + dy * dy) + 1e-9
+    stepc = jnp.minimum(HELI_SPEED, d)
+    px = jnp.where(cruise, h.px + stepc * dx / d, h.px)
+    py = jnp.where(cruise, h.py + stepc * dy / d, h.py)
+    over_pad = cruise & (d < 0.01)
+
+    pz = jnp.where(landing, jnp.maximum(pz - HELI_VSPEED, tz), pz)
+    touched = landing & (pz <= tz + 1e-6)
+
+    phase = jnp.where(launch, 1, h.phase)
+    phase = jnp.where(at_cruise, 2, phase)
+    phase = jnp.where(over_pad, 3, phase)
+    phase = jnp.where(touched, 0, phase)
+    # new destination + wait on touchdown
+    new_pad = jax.random.randint(key, h.pad.shape, 0, P)
+    new_wait = jax.random.randint(jax.random.fold_in(key, 1), h.wait.shape,
+                                  30, 120)
+    return HeliState(
+        px=px, py=py, pz=pz,
+        pad=jnp.where(touched, new_pad, h.pad),
+        phase=phase,
+        wait=jnp.where(touched, new_wait, wait))

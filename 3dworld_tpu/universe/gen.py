@@ -214,3 +214,32 @@ def get_gravity(cell: Cell, pos, g_const: float = 1e-4):
                 ay += f * dy
                 az += f * dz
     return ax, ay, az
+
+
+def gen_prings(planet: Planet):
+    """Planet ring bands (uplanet::gen_prings, Universe.cpp:1743-1775):
+    1-10 contiguous annular bands with jittered gaps, colors drifting a
+    tinted copy of the planet color, ramped alpha.  Deterministic from
+    planet.seed.  Returns (ring_ri, ring_ro, bands) where bands =
+    [(r1, r2, (r, g, b, a)), ...]."""
+    if not planet.has_rings:
+        return 0.0, 0.0, []
+    rg = RandGen(planet.seed + 77, 3 * planet.seed + 5)
+    nr = rg.rand() % 10 + 1
+    sr = 4.0 / nr
+    radius = planet.radius
+    lastr = rg.rand_uniform(1.1 * radius, 1.2 * radius)
+    spans = []
+    for _ in range(nr):
+        r1 = lastr + sr * radius * rg.rand_uniform(-0.05, 0.05)
+        r2 = r1 + sr * radius * rg.rand_uniform(0.05, 0.3)
+        spans.append((r1, r2))
+        lastr = r2
+    base = [min(1.0, 0.6 + rg.rand_uniform(0.1, 0.6)) for _ in range(3)]
+    alpha = rg.rand_uniform(0.75, 1.0)
+    bands = []
+    for (r1, r2) in spans:
+        c = [min(1.0, max(0.0, base[i] * (1.0 + rg.rand_uniform(-0.15, 0.15))))
+             for i in range(3)]
+        bands.append((r1, r2, (c[0], c[1], c[2], alpha)))
+    return spans[0][0], spans[-1][1], bands

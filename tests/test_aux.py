@@ -152,3 +152,72 @@ def test_universe_gravity():
     s = c.galaxies[0].systems[0]
     gx, gy, gz = UG.get_gravity(c, (s.pos[0] + 0.1, s.pos[1], s.pos[2]))
     assert gx < 0  # pulled back toward the star
+
+
+def test_edit_ui_menus():
+    """keyboard_menu_t (edit_ui.cpp:20-344): select/adjust/wrap/clamp and
+    text-slider rendering, one menu per editable subsystem."""
+    from w3d.utils import edit_ui as UI
+
+    m = UI.voxel_brush_menu()
+    assert m["mode"].text == "add"
+    m.increase()                          # mode wraps through choices
+    assert m["mode"].text == "remove"
+    m.select_next()
+    m.select_next()                       # -> radius
+    r0 = m["radius"].value
+    m.increase()
+    assert m["radius"].value == r0 + 0.5
+    for _ in range(100):
+        m.increase()
+    assert m["radius"].value == 16.0      # clamped at hi
+    rows = m.render()
+    assert rows[0] == "Voxel Brush" and len(rows) == 5
+    assert rows[3].startswith(">")        # selection marker on radius
+    assert "+" in rows[3]
+    v = m.values()
+    assert v["mode"] == "remove" and v["radius"] == 16.0
+    for name, mk in UI.ALL_MENUS.items():
+        menu = mk()
+        menu.decrease()                   # never throws, stays in range
+        for c in menu.controls:
+            assert 0.0 <= c.slider_pos <= 1.0
+
+
+def test_trains_helis_and_prings():
+    """Railroads with arc-length trains, roof-helipad helicopters,
+    planet ring bands (uplanet::gen_prings)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from w3d.city import traffic as TF, buildings as CB
+    from w3d.universe.gen import Planet, gen_prings
+
+    line = TF.gen_railroad([(0, 0), (10, 0), (10, 5), (20, 5)])
+    assert abs(float(line.length) - 25.0) < 1e-5
+    tr = TF.make_trains(4, 1, seed=1)
+    xs = []
+    for _ in range(1200):
+        tr = TF.step_trains(tr, line)
+        x, y = TF.train_positions(tr, line)
+        xs.append(float(x[0]))
+    assert max(xs) > 18 and min(xs) < 2   # full out-and-back service
+
+    bl = CB.place_buildings_in_blocks(
+        [(30 * i, 30 * j, 30 * i + 30, 30 * j + 30, 0)
+         for i in range(2) for j in range(2)],
+        lambda x, y: 0.0, CB.BuildingParams(), seed=2)
+    pads = TF.make_helipads(bl)
+    h = TF.make_helis(6, pads, seed=1)
+    key = jax.random.key(0)
+    phases = set()
+    for i in range(600):
+        h = TF.step_helis(h, jnp.asarray(pads), jax.random.fold_in(key, i))
+        phases |= set(np.asarray(h.phase).tolist())
+    assert phases == {0, 1, 2, 3}         # full flight cycle observed
+
+    p = Planet(orbit_r=1.0, radius=0.01, temp=100.0, has_water=False,
+               has_atmos=True, is_gas_giant=True, has_rings=True, seed=42)
+    ri, ro, bands = gen_prings(p)
+    assert ri > 1.05 * p.radius and ro > ri and 1 <= len(bands) <= 10
+    assert gen_prings(p)[:2] == (ri, ro)  # deterministic
