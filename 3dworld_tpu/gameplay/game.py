@@ -131,3 +131,61 @@ def step_smileys(s: SmileyState, key, speed: float = 0.01):
     fire = alive & ~flee & (dist < 1.0) & (s.cooldown <= 0)
     cooldown = jnp.where(fire, 20.0, jnp.maximum(s.cooldown - 1.0, 0.0))
     return s._replace(x=x, y=y, tx=tx, ty=ty, cooldown=cooldown), fire
+
+
+# ---------------------------------------------------------------------------
+# scoring + blood decals (Gameplay.cpp kill credit / blood splatter)
+# ---------------------------------------------------------------------------
+
+class GameScore(NamedTuple):
+    """Per-player match stats (the reference tracks kills/deaths/score
+    per smiley + player in Gameplay.cpp)."""
+
+    kills: jax.Array     # [P]
+    deaths: jax.Array
+    score: jax.Array     # f32 (weapon damage dealt + kill bonuses)
+
+
+def make_scores(num_players: int) -> GameScore:
+    z = jnp.zeros((num_players,), jnp.int32)
+    return GameScore(kills=z, deaths=z, score=jnp.zeros((num_players,)))
+
+
+KILL_BONUS = 100.0
+
+
+@jax.jit
+def credit_damage(sc: GameScore, attacker, damage, killed) -> GameScore:
+    """Batched damage/kill credit: attacker [K] player ids, damage [K],
+    killed [K] bool."""
+    score = sc.score.at[attacker].add(damage + KILL_BONUS
+                                      * killed.astype(jnp.float32))
+    kills = sc.kills.at[attacker].add(killed.astype(jnp.int32))
+    return sc._replace(score=score, kills=kills)
+
+
+@jax.jit
+def credit_death(sc: GameScore, victim) -> GameScore:
+    return sc._replace(deaths=sc.deaths.at[victim].add(1))
+
+
+def spawn_blood_decals(decals, state: ObjectState, hit_mask, key,
+                       radius: float = 0.02, lifetime: int = 300,
+                       max_spawn: int = 16):
+    """Blood splatter where objects took damage: spawn decals at the
+    first `max_spawn` hit positions (gen_blood_velocity / blood decal
+    path in Gameplay.cpp), facing up on the ground under the object."""
+    import numpy as np
+    from ..physics import particles as PT
+    idx = np.where(np.asarray(hit_mask))[0][:max_spawn]
+    if len(idx) == 0:
+        return decals
+    n = len(idx)
+    x = jnp.asarray(np.asarray(state.px)[idx])
+    y = jnp.asarray(np.asarray(state.py)[idx])
+    z = jnp.asarray(np.asarray(state.pz)[idx])
+    zeros = jnp.zeros((n,))
+    return PT.spawn_decals(
+        decals, x, y, z, zeros, zeros, jnp.ones((n,)),
+        jnp.full((n,), radius), jnp.ones((n,)),
+        jnp.full((n,), -1, jnp.int32), jnp.full((n,), lifetime, jnp.int32))

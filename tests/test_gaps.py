@@ -405,3 +405,53 @@ def test_movable_tipping():
                     p2=c.p2.at[1].set(jnp.asarray([1.5, 0.8, 1.6])))
     assert MV.check_unstable(c3, 1, mesh_min_z=0.0) is None
     assert int(MV.apply_tipping(c3, 0.0).shape[1]) == COLL_CUBE
+
+
+def test_building_indir_manager_and_game_score():
+    """building_indir_light_mgr_t queue semantics + Gameplay.cpp kill
+    credit and blood decals."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from w3d.lighting import building_indir as BI
+    from w3d.physics.cobjs import empty_cobjs, COLL_CUBE
+    from w3d.physics import particles as PT
+    from w3d.gameplay import game as GG
+    from w3d.physics.step import ObjectState
+    from w3d.utils.constants import WorldConst
+
+    world = WorldConst()
+    mesh = jnp.full((world.mesh_y, world.mesh_x), -1.0, jnp.float32)
+    cobjs = empty_cobjs(4)
+    cobjs = cobjs._replace(
+        shape=cobjs.shape.at[0].set(COLL_CUBE),
+        p1=cobjs.p1.at[0].set(jnp.asarray([-2., -2., -1.2])),
+        p2=cobjs.p2.at[0].set(jnp.asarray([2., 2., -1.0])))
+    m = BI.BuildingIndirManager(world=world, rays_per_light=64)
+    m.register_light(0, (0.0, 0.0, 0.2), (1.0, 0.8, 0.6))
+    m.register_light(1, (0.5, 0.0, 0.2), (0.4, 0.4, 1.0))
+    assert m.pending == 2
+    assert m.process_one(cobjs, mesh) == 0
+    assert m.process_one(cobjs, mesh) == 1
+    s_full = float(m.composite().lc_r.sum())
+    m.set_enabled(1, False)
+    assert 0 < float(m.composite().lc_r.sum()) < s_full
+    m.register_light(0, (0.3, 0.3, 0.2), (1.0, 0.8, 0.6))  # moved
+    assert m.pending == 1 and 0 not in m.volumes
+
+    sc = GG.make_scores(4)
+    sc = GG.credit_damage(sc, jnp.asarray([1, 1, 2]),
+                          jnp.asarray([10.0, 5.0, 3.0]),
+                          jnp.asarray([True, False, False]))
+    sc = GG.credit_death(sc, jnp.asarray([3]))
+    assert int(sc.kills[1]) == 1 and int(sc.deaths[3]) == 1
+    assert float(sc.score[1]) == 115.0 and float(sc.score[2]) == 3.0
+
+    n = 8
+    st = ObjectState(*( [jnp.zeros(n)]*6 + [jnp.ones(n, jnp.int32),
+                        jnp.zeros(n, jnp.uint32), jnp.zeros(n, jnp.int32),
+                        jnp.zeros(n, jnp.int32), jnp.ones(n)]))
+    d = PT.make_decals(16)
+    hit = np.zeros(n, bool); hit[2] = hit[5] = True
+    d = GG.spawn_blood_decals(d, st, hit, jax.random.key(0))
+    assert int(d.status.sum()) == 2
