@@ -37,6 +37,7 @@ def build_spheres_world(
     seed: int = 1,
     obj_type: str = "BALL",
     mesh_height: jnp.ndarray | None = None,
+    group_shapes: bool = True,
 ) -> SpheresWorld:
     """Assemble the scenario: flat-ish mesh (config_spheres disables the
     drawn mesh and uses a ground-plane cube), static cobjs, N balls spawned
@@ -77,6 +78,10 @@ def build_spheres_world(
     ], axis=-1)
     vel = jax.random.normal(jax.random.fold_in(k, 9), (num_objects, 3)) * 0.5
     st = PS.make_state(pos, vel, np.full(num_objects, PT.type_id(obj_type)), table)
+    if group_shapes:
+        # shape-grouped narrow phase: ~6x less VPU work on mixed scenes,
+        # identical collision results (cobjs.GroupedCobjs)
+        cobjs = PC.group_cobjs(cobjs)
     return SpheresWorld(state=st, env=env, cobjs=cobjs, table=table)
 
 

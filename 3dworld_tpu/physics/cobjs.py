@@ -241,3 +241,258 @@ def deepest_hits(px, py, pz, radius, c: CobjSet):
     return (best > 0.0, best,
             jnp.sum(nx * oh, -1), jnp.sum(ny * oh, -1), jnp.sum(nz * oh, -1),
             oh @ c.elasticity, oh @ c.friction)
+
+
+# ---------------------------------------------------------------------------
+# shape-grouped narrow phase: each cobj evaluated by its own formula only
+# ---------------------------------------------------------------------------
+
+class GroupedCobjs:
+    """CobjSet sorted by shape with STATIC per-shape counts.
+
+    The branchless `sphere_cobj_test` evaluates all 6 shape formulas for
+    every cobj slot and selects — simple, but 6x the VPU work.  Scenes
+    are concrete at build time, so we can sort cobjs by shape on the
+    host, pad each group to a multiple of 8 (sublane tile), and record
+    the group extents statically; the grouped test then runs each
+    formula only on its own slice.  Registered as a pytree with the
+    counts in aux_data, so jit specializes per grouping (collision
+    semantics identical; only slot order differs, which can flip exact
+    argmax ties between coincident cobjs).
+    """
+
+    #      cube, sphere, cyl, caps(+rot), poly, torus
+    SHAPE_ORDER = (COLL_CUBE, COLL_SPHERE, COLL_CYLINDER, COLL_CAPSULE,
+                   COLL_POLYGON, COLL_TORUS)
+
+    def __init__(self, cobjs: CobjSet, bounds: tuple):
+        self.cobjs = cobjs          # sorted + padded CobjSet
+        self.bounds = bounds        # ((start, stop) per SHAPE_ORDER entry)
+
+    @property
+    def size(self):
+        return self.cobjs.size
+
+
+def _gc_flatten(g):
+    return (g.cobjs,), g.bounds
+
+
+def _gc_unflatten(aux, children):
+    return GroupedCobjs(children[0], aux)
+
+
+jax.tree_util.register_pytree_node(GroupedCobjs, _gc_flatten, _gc_unflatten)
+
+
+def group_cobjs(c: CobjSet, pad_to: int = 8) -> GroupedCobjs:
+    """Host-side: sort by shape class, pad each group to `pad_to`.
+    Requires concrete (non-traced) arrays."""
+    shape = np.asarray(c.shape)
+    cls_of = {COLL_CUBE: 0, COLL_SPHERE: 1, COLL_CYLINDER: 2,
+              COLL_CAPSULE: 3, COLL_CYLINDER_ROT: 3, COLL_POLYGON: 4,
+              COLL_TORUS: 5}
+    groups = [[] for _ in range(6)]
+    for i, s in enumerate(shape):
+        if s in cls_of:
+            groups[cls_of[s]].append(i)
+    # index list with dead padding rows appended per group; bounds track
+    # each group's live extent in the packed order
+    idx = []
+    bounds = []
+    for g in groups:
+        bounds.append((len(idx), len(idx) + len(g)))
+        idx.extend(g)
+        npad = (-len(g)) % pad_to if g else 0
+        idx.extend([len(shape)] * npad)   # map to an appended dead slot
+    if not idx:
+        idx = [len(shape)] * pad_to
+        bounds = [(0, 0)] * 6
+
+    def take(a):
+        a = np.asarray(a)
+        dead = np.zeros((1,) + a.shape[1:], a.dtype)
+        return jnp.asarray(np.concatenate([a, dead])[np.asarray(idx)])
+
+    packed = CobjSet(*(take(f) for f in c))
+    # dead pads keep shape COLL_NULL (zeros) -> pen forced to -1
+    return GroupedCobjs(packed, tuple(bounds))
+
+
+def _norm3(ax, ay, az):
+    d = jnp.sqrt(ax * ax + ay * ay + az * az)
+    inv = 1.0 / jnp.maximum(d, _EPS)
+    return d, ax * inv, ay * inv, az * inv
+
+
+def sphere_cobj_test_grouped(px, py, pz, radius, g: GroupedCobjs):
+    """Grouped narrow phase: same outputs as `sphere_cobj_test` on the
+    sorted set, ~6x less VPU work on mixed scenes."""
+    c = g.cobjs
+    M = c.size
+    X = px[:, None]
+    Y = py[:, None]
+    Z = pz[:, None]
+    r = radius[:, None]
+    N = px.shape[0]
+    pen = jnp.full((N, M), -1.0)
+    nx = jnp.zeros((N, M))
+    ny = jnp.zeros((N, M))
+    nz = jnp.zeros((N, M))
+
+    def put(lo, hi, p, a, b, cc):
+        return (pen.at[:, lo:hi].set(p), nx.at[:, lo:hi].set(a),
+                ny.at[:, lo:hi].set(b), nz.at[:, lo:hi].set(cc))
+
+    sl = lambda a, lo, hi: a[lo:hi]
+    b = g.bounds
+
+    # cube group
+    lo, hi = b[0]
+    if hi > lo:
+        p1x, p1y, p1z = sl(c.p1[:, 0], lo, hi), sl(c.p1[:, 1], lo, hi), sl(c.p1[:, 2], lo, hi)
+        p2x, p2y, p2z = sl(c.p2[:, 0], lo, hi), sl(c.p2[:, 1], lo, hi), sl(c.p2[:, 2], lo, hi)
+        lox, hix = jnp.minimum(p1x, p2x), jnp.maximum(p1x, p2x)
+        loy, hiy = jnp.minimum(p1y, p2y), jnp.maximum(p1y, p2y)
+        loz, hiz = jnp.minimum(p1z, p2z), jnp.maximum(p1z, p2z)
+        cx = jnp.clip(X, lox, hix)
+        cy = jnp.clip(Y, loy, hiy)
+        cz = jnp.clip(Z, loz, hiz)
+        dist_out, ox, oy, oz = _norm3(X - cx, Y - cy, Z - cz)
+        outside = dist_out > 1e-9
+        dxl, dxh = X - lox, hix - X
+        dyl, dyh = Y - loy, hiy - Y
+        dzl, dzh = Z - loz, hiz - Z
+        dx_m = jnp.minimum(dxl, dxh)
+        dy_m = jnp.minimum(dyl, dyh)
+        dz_m = jnp.minimum(dzl, dzh)
+        din = jnp.minimum(dx_m, jnp.minimum(dy_m, dz_m))
+        use_x = din == dx_m
+        use_y = (din == dy_m) & ~use_x
+        use_z = ~use_x & ~use_y
+        pen, nx, ny, nz = put(
+            lo, hi, jnp.where(outside, r - dist_out, r + din),
+            jnp.where(outside, ox, jnp.where(use_x, jnp.where(dxl < dxh, -1.0, 1.0), 0.0)),
+            jnp.where(outside, oy, jnp.where(use_y, jnp.where(dyl < dyh, -1.0, 1.0), 0.0)),
+            jnp.where(outside, oz, jnp.where(use_z, jnp.where(dzl < dzh, -1.0, 1.0), 0.0)))
+
+    # sphere group
+    lo, hi = b[1]
+    if hi > lo:
+        dist, sx, sy, sz = _norm3(X - sl(c.p1[:, 0], lo, hi),
+                                  Y - sl(c.p1[:, 1], lo, hi),
+                                  Z - sl(c.p1[:, 2], lo, hi))
+        pen, nx, ny, nz = put(lo, hi, (r + sl(c.r1, lo, hi)) - dist, sx, sy, sz)
+
+    # vertical cylinder group
+    lo, hi = b[2]
+    if hi > lo:
+        p1z_ = sl(c.p1[:, 2], lo, hi)
+        p2z_ = sl(c.p2[:, 2], lo, hi)
+        zlo = jnp.minimum(p1z_, p2z_)
+        zhi = jnp.maximum(p1z_, p2z_)
+        rxy = jnp.maximum(sl(c.r1, lo, hi), sl(c.r2, lo, hi))
+        ddx = X - sl(c.p1[:, 0], lo, hi)
+        ddy = Y - sl(c.p1[:, 1], lo, hi)
+        dist_xy = jnp.sqrt(ddx * ddx + ddy * ddy)
+        inv_xy = 1.0 / jnp.maximum(dist_xy, _EPS)
+        in_z = (Z > zlo - r) & (Z < zhi + r)
+        pen_side = (r + rxy) - dist_xy
+        top_pen = (zhi + r) - Z
+        bot_pen = Z - (zlo - r)
+        cap_is_top = top_pen < bot_pen
+        pen_cap = jnp.minimum(top_pen, bot_pen)
+        use_cap = (dist_xy < rxy) & (pen_cap < pen_side)
+        pen, nx, ny, nz = put(
+            lo, hi,
+            jnp.where(in_z & (dist_xy < rxy + r),
+                      jnp.where(use_cap, pen_cap, pen_side), -1.0),
+            jnp.where(use_cap, 0.0, ddx * inv_xy),
+            jnp.where(use_cap, 0.0, ddy * inv_xy),
+            jnp.where(use_cap, jnp.where(cap_is_top, 1.0, -1.0), 0.0))
+
+    # capsule / rotated cylinder group
+    lo, hi = b[3]
+    if hi > lo:
+        p1x_, p1y_, p1z_ = (sl(c.p1[:, k], lo, hi) for k in range(3))
+        abx = sl(c.p2[:, 0], lo, hi) - p1x_
+        aby = sl(c.p2[:, 1], lo, hi) - p1y_
+        abz = sl(c.p2[:, 2], lo, hi) - p1z_
+        ab2 = jnp.maximum(abx * abx + aby * aby + abz * abz, _EPS)
+        t = jnp.clip(((X - p1x_) * abx + (Y - p1y_) * aby
+                      + (Z - p1z_) * abz) / ab2, 0.0, 1.0)
+        dist_seg, sx, sy, sz = _norm3(X - (p1x_ + t * abx),
+                                      Y - (p1y_ + t * aby),
+                                      Z - (p1z_ + t * abz))
+        pen, nx, ny, nz = put(
+            lo, hi,
+            (r + jnp.maximum(sl(c.r1, lo, hi), sl(c.r2, lo, hi))) - dist_seg,
+            sx, sy, sz)
+
+    # polygon group
+    lo, hi = b[4]
+    if hi > lo:
+        pnx = sl(c.pnorm[:, 0], lo, hi)
+        pny = sl(c.pnorm[:, 1], lo, hi)
+        pnz = sl(c.pnorm[:, 2], lo, hi)
+        npts = sl(c.npts, lo, hi)
+        pts = c.pts[lo:hi]
+        dp = ((X - pts[:, 0, 0]) * pnx + (Y - pts[:, 0, 1]) * pny
+              + (Z - pts[:, 0, 2]) * pnz)
+        side = jnp.sign(dp)
+        prx = X - dp * pnx
+        pry = Y - dp * pny
+        prz = Z - dp * pnz
+        inside = jnp.ones_like(dp, dtype=bool)
+        for k in range(4):
+            ax_, ay_, az_ = pts[:, k, 0], pts[:, k, 1], pts[:, k, 2]
+            nxt_ok = ((k + 1) % 4 < npts)
+            bx_ = jnp.where(nxt_ok, pts[:, (k + 1) % 4, 0], pts[:, 0, 0])
+            by_ = jnp.where(nxt_ok, pts[:, (k + 1) % 4, 1], pts[:, 0, 1])
+            bz_ = jnp.where(nxt_ok, pts[:, (k + 1) % 4, 2], pts[:, 0, 2])
+            ex, ey, ez = bx_ - ax_, by_ - ay_, bz_ - az_
+            vx_, vy_, vz_ = prx - ax_, pry - ay_, prz - az_
+            crx = ey * vz_ - ez * vy_
+            cry = ez * vx_ - ex * vz_
+            crz = ex * vy_ - ey * vx_
+            ok = (crx * pnx + cry * pny + crz * pnz) >= -1e-7
+            inside = inside & jnp.where(k < npts, ok, True)
+        pen, nx, ny, nz = put(
+            lo, hi,
+            jnp.where(inside, (r + 0.5 * sl(c.r1, lo, hi)) - jnp.abs(dp), -1.0),
+            pnx * side, pny * side, pnz * side)
+
+    # torus group
+    lo, hi = b[5]
+    if hi > lo:
+        tx = X - sl(c.p1[:, 0], lo, hi)
+        ty = Y - sl(c.p1[:, 1], lo, hi)
+        tz = Z - sl(c.p1[:, 2], lo, hi)
+        axx = sl(c.p2[:, 0], lo, hi)
+        axy = sl(c.p2[:, 1], lo, hi)
+        axz = sl(c.p2[:, 2], lo, hi)
+        axial = tx * axx + ty * axy + tz * axz
+        rvx = tx - axial * axx
+        rvy = ty - axial * axy
+        rvz = tz - axial * axz
+        radial = jnp.sqrt(rvx * rvx + rvy * rvy + rvz * rvz)
+        rinv = sl(c.r1, lo, hi) / jnp.maximum(radial, _EPS)
+        dist_ring, sx, sy, sz = _norm3(tx - rvx * rinv, ty - rvy * rinv,
+                                       tz - rvz * rinv)
+        pen, nx, ny, nz = put(lo, hi, (r + sl(c.r2, lo, hi)) - dist_ring,
+                              sx, sy, sz)
+
+    pen = jnp.where(c.shape[None, :] != COLL_NULL, pen, -1.0)
+    return pen, nx, ny, nz
+
+
+def deepest_hits_grouped(px, py, pz, radius, g: GroupedCobjs):
+    """`deepest_hits` over a grouped set."""
+    pen, nx, ny, nz = sphere_cobj_test_grouped(px, py, pz, radius, g)
+    c = g.cobjs
+    i = jnp.argmax(pen, axis=-1)
+    oh = (i[:, None] == jnp.arange(c.size, dtype=jnp.int32)[None, :]).astype(px.dtype)
+    best = jnp.sum(pen * oh, axis=-1)
+    return (best > 0.0, best,
+            jnp.sum(nx * oh, -1), jnp.sum(ny * oh, -1), jnp.sum(nz * oh, -1),
+            oh @ c.elasticity, oh @ c.friction)

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 
 from ..utils.constants import WorldConst, DEFAULT_WORLD
 from . import types as T
-from .cobjs import CobjSet, deepest_hits
+from .cobjs import CobjSet, GroupedCobjs, deepest_hits, deepest_hits_grouped
 
 
 class ObjectState(NamedTuple):
@@ -415,7 +415,12 @@ def _substep(state: ObjectState, env: PhysicsEnv, cobjs: CobjSet | None,
     # --- static cobj collisions ---
     cobj_hit = jnp.zeros_like(alive)
     if cobjs is not None and cobjs.size > 0:
-        hit, pen, cnx, cny, cnz, celas, cfric = deepest_hits(px, py, pz, rad, cobjs)
+        if isinstance(cobjs, GroupedCobjs):
+            # shape-grouped: each cobj evaluated by its own formula only
+            hit, pen, cnx, cny, cnz, celas, cfric = deepest_hits_grouped(
+                px, py, pz, rad, cobjs)
+        else:
+            hit, pen, cnx, cny, cnz, celas, cfric = deepest_hits(px, py, pz, rad, cobjs)
         hit = hit & alive & ~touches_water
         px = px + jnp.where(hit, pen * cnx, 0.0)
         py = py + jnp.where(hit, pen * cny, 0.0)

@@ -260,3 +260,31 @@ def test_particle_pools():
     b2 = PP.make_bubbles(2)
     b2 = PP.spawn_bubbles(b2, *[jnp.zeros(4)] * 5)
     assert int(b2.status.sum()) == 2
+
+
+def test_grouped_cobjs_match_branchless():
+    """Shape-grouped narrow phase (cobjs.GroupedCobjs) is bit-identical
+    to the branchless all-formula path on a mixed scene."""
+    import jax.numpy as jnp
+    from w3d.models import physics_model as PM
+    from w3d.physics import step as PS
+    from w3d.physics.cobjs import group_cobjs, deepest_hits, deepest_hits_grouped
+    from w3d.utils.constants import WorldConst
+
+    world = WorldConst()
+    sw = PM.build_spheres_world(num_objects=300, world=world,
+                                group_shapes=False)
+    g = group_cobjs(sw.cobjs)
+    rad = jnp.full_like(sw.state.px, 0.05)
+    h0 = deepest_hits(sw.state.px, sw.state.py, sw.state.pz, rad, sw.cobjs)
+    h1 = deepest_hits_grouped(sw.state.px, sw.state.py, sw.state.pz, rad, g)
+    for a, b in zip(h0, h1):
+        assert float(jnp.abs(a.astype(jnp.float32)
+                             - b.astype(jnp.float32)).max()) < 1e-5
+    ref = PS.step_objects(sw.state, sw.env, sw.cobjs, sw.table, substeps=3,
+                          world=world, obj_collisions=True)
+    out = PS.step_objects(sw.state, sw.env, g, sw.table, substeps=3,
+                          world=world, obj_collisions=True)
+    for nm in ("px", "py", "pz", "vx", "vy", "vz"):
+        assert float(jnp.abs(getattr(ref, nm) - getattr(out, nm)).max()) < 1e-5
+    assert int((ref.status != out.status).sum()) == 0
