@@ -176,10 +176,28 @@ def _substep_kernel(env_ref, maps_ref, cf_ref,
     floats = dens < T.WATER_DENSITY
     w_fast = touches_water & fast
     w_slow = touches_water & ~fast
-    vx = jnp.where(w_fast, vx * damp, jnp.where(w_slow, 0.0, vx))
-    vy = jnp.where(w_fast, vy * damp, jnp.where(w_slow, 0.0, vy))
-    vz = jnp.where(w_fast, jnp.where(floats, 0.0, vz * damp),
-                   jnp.where(w_slow, 0.0, vz))
+    # surface skip / ricochet (Physics.cpp:1154-1163), mirrors _substep:
+    # fast shallow-angle surface hits bounce off the water surface
+    v_mag = jnp.sqrt(jnp.maximum(v_sq, 1e-12))
+    coll_angle = jnp.arccos(jnp.clip(-vz / v_mag, -1.0, 1.0))
+    zpos_w = jnp.maximum(wpz + rad * (1.0 - 2.0 * dens), mh + rad)
+    surf_coll = (pz > wpz - rad - T.MAX_SPLASH_DEPTH) & ~underwater & ~z_stop
+    e_w = jnp.clip(jnp.full_like(vz, T.WATER_ELASTIC), 0.0, 1.0)
+    exy_w = e_w * (1.0 - air_eff)
+    sbx = vx * exy_w
+    sby = vy * exy_w
+    sbz = -vz * e_w
+    s_did = (sbx * sbx + sby * sby + sbz * sbz) >= T.BOUNCE_CUTOFF
+    skip = (w_fast & surf_coll & (coll_angle >= T.CRITICAL_ANGLE / den_ratio)
+            & ((zpos_w - pz) <= 6.0 * rad) & s_did)
+    w_fast = w_fast & ~skip
+    vx = jnp.where(skip, sbx, jnp.where(w_fast, vx * damp,
+                                        jnp.where(w_slow, 0.0, vx)))
+    vy = jnp.where(skip, sby, jnp.where(w_fast, vy * damp,
+                                        jnp.where(w_slow, 0.0, vy)))
+    vz = jnp.where(skip, sbz, jnp.where(w_fast, jnp.where(floats, 0.0, vz * damp),
+                                        jnp.where(w_slow, 0.0, vz)))
+    touches_water = touches_water & ~skip
     ground_z = mh + rad
     slow_pos_z = jnp.where(floats,
                            jnp.maximum(wpz + rad * (1.0 - 2.0 * dens), ground_z),
@@ -363,15 +381,18 @@ def _substep_kernel(env_ref, maps_ref, cf_ref,
     pz = pz + jnp.where(hit, best * bnz, 0.0)
 
     def bounce(nx_, ny_, nz_, e):
+        # exact mirror of step.bounce_velocity (Physics.cpp:1349-1409):
+        # reflect about the normal, scale xy by e*(1-air), z by e
+        e = jnp.clip(e, 0.0, 1.0)
         vdn = vx * nx_ + vy * ny_ + vz * nz_
-        can = vdn < 0
-        scale = (1.0 + e) * vdn
-        bx = vx - scale * nx_
-        by = vy - scale * ny_
-        bz = vz - scale * nz_
-        v2 = bx * bx + by * by + bz * bz
-        did = can & (v2 > T.BOUNCE_CUTOFF)
-        return bx, by, bz, did
+        bx = vx - 2.0 * vdn * nx_
+        by = vy - 2.0 * vdn * ny_
+        bz = vz - 2.0 * vdn * nz_
+        exy = e * (1.0 - air_eff)
+        bx, by, bz = bx * exy, by * exy, bz * e
+        did = (bx * bx + by * by + bz * bz) >= T.BOUNCE_CUTOFF
+        return (jnp.where(did, bx, vx), jnp.where(did, by, vy),
+                jnp.where(did, bz, vz), did)
 
     bx, by, bz, did = bounce(bnx, bny, bnz, elas * celas)
     stop = hit & ~did & ((jnp.maximum(fric, cfric) >= T.STICK_THRESHOLD)

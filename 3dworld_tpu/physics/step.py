@@ -393,10 +393,25 @@ def _substep(state: ObjectState, env: PhysicsEnv, cobjs: CobjSet | None,
     floats = dens < T.WATER_DENSITY
     w_fast = touches_water & fast
     w_slow = touches_water & ~fast
-    vx = jnp.where(w_fast, vx * damp, jnp.where(w_slow, 0.0, vx))
-    vy = jnp.where(w_fast, vy * damp, jnp.where(w_slow, 0.0, vy))
-    vz = jnp.where(w_fast, jnp.where(floats, 0.0, vz * damp),
-                   jnp.where(w_slow, 0.0, vz))
+    # surface skip / ricochet (check_water_collision, Physics.cpp:1154-1163):
+    # fast shallow-angle surface hits bounce off the water instead of
+    # entering; coll_angle = acos(-vz/|v|) vs CRITICAL_ANGLE/den_ratio
+    v_mag = jnp.sqrt(jnp.maximum(v_sq, 1e-12))
+    coll_angle = jnp.arccos(jnp.clip(-vz / v_mag, -1.0, 1.0))
+    zpos_w = jnp.maximum(wpz + rad * (1.0 - 2.0 * dens), mh + rad)
+    surf_coll = (pz > wpz - rad - T.MAX_SPLASH_DEPTH) & ~underwater & ~z_stop
+    sbx, sby, sbz, s_did = bounce_velocity(vx, vy, vz, 0.0, 0.0, 1.0,
+                                           T.WATER_ELASTIC, air_eff)
+    skip = (w_fast & surf_coll & (coll_angle >= T.CRITICAL_ANGLE / den_ratio)
+            & ((zpos_w - pz) <= 6.0 * rad) & s_did)
+    w_fast = w_fast & ~skip
+    vx = jnp.where(skip, sbx, jnp.where(w_fast, vx * damp,
+                                        jnp.where(w_slow, 0.0, vx)))
+    vy = jnp.where(skip, sby, jnp.where(w_fast, vy * damp,
+                                        jnp.where(w_slow, 0.0, vy)))
+    vz = jnp.where(skip, sbz, jnp.where(w_fast, jnp.where(floats, 0.0, vz * damp),
+                                        jnp.where(w_slow, 0.0, vz)))
+    touches_water = touches_water & ~skip
     ground_z = mh + rad
     slow_pos_z = jnp.where(floats, jnp.maximum(wpz + rad * (1.0 - 2.0 * dens), ground_z),
                            ground_z)

@@ -41,6 +41,7 @@ LAND_ELASTICITY = 0.8
 SPILL_ELASTIC = 0.8
 WATER_DAMPING = 0.1
 CRITICAL_ANGLE = 0.5
+MAX_SPLASH_DEPTH = 0.1  # 3DWorld.h:52
 
 # build_world.cpp:24-25
 LG_STEPS_PER_FRAME = 10

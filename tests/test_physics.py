@@ -288,3 +288,38 @@ def test_grouped_cobjs_match_branchless():
     for nm in ("px", "py", "pz", "vx", "vy", "vz"):
         assert float(jnp.abs(getattr(ref, nm) - getattr(out, nm)).max()) < 1e-5
     assert int((ref.status != out.status).sum()) == 0
+
+
+def test_water_surface_ricochet():
+    """check_water_collision skip path (Physics.cpp:24,1154-1163): fast
+    shallow-angle surface hits bounce off the water; the fused kernel
+    matches including the corrected xy-scaled bounce."""
+    import numpy as np
+    import jax.numpy as jnp
+    from w3d.models import physics_model as PM
+    from w3d.physics import step as PS
+    from w3d.utils.constants import WorldConst
+
+    world = WorldConst()
+    sw = PM.build_spheres_world(num_objects=200, world=world,
+                                group_shapes=False)
+    rng = np.random.default_rng(5)
+    mesh = jnp.full((world.mesh_y, world.mesh_x), -0.9, jnp.float32)
+    env = sw.env._replace(mesh_height=mesh, water_plane_z=jnp.float32(-0.2))
+    st = sw.state._replace(
+        px=jnp.asarray(rng.uniform(-2, 2, 200).astype(np.float32)),
+        py=jnp.asarray(rng.uniform(-2, 2, 200).astype(np.float32)),
+        pz=jnp.asarray(rng.uniform(-0.15, 0.3, 200).astype(np.float32)),
+        vx=jnp.asarray(rng.uniform(2.5, 4.0, 200).astype(np.float32)),
+        vy=jnp.zeros(200),
+        vz=jnp.asarray(rng.uniform(-0.6, -0.1, 200).astype(np.float32)))
+    ref = PS.step_objects(st, env, sw.cobjs, sw.table, substeps=4,
+                          world=world, obj_collisions=False)
+    skipped = (np.asarray(ref.vz) > 0) & (np.asarray(ref.pz) > -0.2)
+    assert skipped.sum() > 0            # some stones skipped
+    out = PS.step_objects_fused(st, env, sw.cobjs, sw.table, substeps=4,
+                                world=world, obj_collisions=False,
+                                Nb=128, interpret=True)
+    for nm in ("px", "py", "pz", "vx", "vy", "vz"):
+        assert float(jnp.abs(getattr(ref, nm)
+                             - getattr(out, nm)).max()) < 1e-4, nm
