@@ -59,7 +59,9 @@ _CF_PAD = 32  # lane-pad the field axis
 
 
 def pack_cobj_fields(c) -> jax.Array:
-    """CobjSet -> [M, 32] f32 field matrix (column order `_CF`)."""
+    """CobjSet (or GroupedCobjs) -> [M, 32] f32 field matrix (`_CF`)."""
+    if hasattr(c, "cobjs"):          # GroupedCobjs wrapper
+        c = c.cobjs
     cols = [c.shape.astype(jnp.float32),
             c.p1[:, 0], c.p1[:, 1], c.p1[:, 2],
             c.p2[:, 0], c.p2[:, 1], c.p2[:, 2],
