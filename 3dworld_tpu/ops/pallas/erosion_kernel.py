@@ -136,24 +136,34 @@ def _erosion_kernel(par_ref, hm_ref, xi_ref, zi_ref, ang_ref, out_ref, *,
         depv = dep_total * erode_amount
         ev = e_amt * erode_amount
 
-        # deposit: [ny,B] (rows weighted by depv) @ [B,nx] -> [ny,nx]
+        # one-hot rows built ONCE per step and shared between the
+        # deposit and the 4x4 stencil (was 24 builds/step, now 8 —
+        # the one-hot construction dominates the VPU cost)
+        ohx = [onehot_x(jnp.clip(xi + float(k), 0.0, nx - 1.0))
+               for k in (-1, 0, 1, 2)]
+        ohy = [onehot_y(jnp.clip(zi + float(k), 0.0, ny - 1.0))
+               for k in (-1, 0, 1, 2)]
+        # deposit: [ny,B] (rows weighted by depv) @ [B,nx] -> [ny,nx].
+        # All four deposit one-hots are UNCLIPPED: the reference drops
+        # out-of-bounds deposit writes (deposit_at's bounds check), and a
+        # dying outside droplet can still deposit its sediment — clipping
+        # would smear it onto the border row instead of dropping it.
         Zd = onehot_y(zi) * (1 - zf) + onehot_y(zi + 1.0) * zf
         Xd = onehot_x(xi) * (1 - xf) + onehot_x(xi + 1.0) * xf
         dmap = jax.lax.dot_general(Zd * depv, Xd, (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)
         # erosion: 4 z-offset rows of x-weighted one-hots
         emap = jnp.zeros((ny, nx), jnp.float32)
-        for ko_z in (-1, 0, 1, 2):
+        for iz, ko_z in enumerate((-1, 0, 1, 2)):
             zo = float(ko_z) - zf
-            Za = onehot_y(jnp.clip(zi + float(ko_z), 0.0, ny - 1.0))
             Xw = jnp.zeros((nx, B), jnp.float32)
-            for ko_x in (-1, 0, 1, 2):
+            for ix, ko_x in enumerate((-1, 0, 1, 2)):
                 xo = float(ko_x) - xf
                 wgt = jnp.maximum(1.0 - (xo * xo + zo * zo) * 0.25, 0.0) \
                     * ERODE_STENCIL_NORM
-                Xw = Xw + onehot_x(jnp.clip(xi + float(ko_x), 0.0, nx - 1.0)) * (wgt * ev)
+                Xw = Xw + ohx[ix] * (wgt * ev)
             emap = emap + jax.lax.dot_general(
-                Za, Xw, (((1,), (1,)), ((), ())),
+                ohy[iz], Xw, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
         delta = delta + dmap - emap
 
