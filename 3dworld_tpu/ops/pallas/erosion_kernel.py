@@ -279,13 +279,21 @@ def erode_tiles_pallas(heightmaps, num_iters: int, params,
         jnp.asarray(params.rock_thresh, jnp.float32),
         jnp.asarray(params.relh_adj_tex, jnp.float32)])
 
+    # per-batch delta limiter — same stabilizer as ops/erosion.erode
+    # (see the comment there): caps each batch's per-cell change at 5%
+    # of the original relief so superposed-droplet feedback can't
+    # diverge at high iteration counts
+    dmax = 0.05 * jnp.maximum(
+        jnp.asarray(params.zmax, jnp.float32) - params.zmin, 1e-3)
+
     def batch_step(h, inp):
         xi, zi, k = inp
         ang = _angle_table(k, max_steps, batch_size)
         xiT = jnp.broadcast_to(xi, (T, batch_size))
         ziT = jnp.broadcast_to(zi, (T, batch_size))
-        return h + erosion_walk_pallas(h, xiT, ziT, ang, pt, max_steps,
-                                       interpret=interpret), None
+        d = erosion_walk_pallas(h, xiT, ziT, ang, pt, max_steps,
+                                interpret=interpret)
+        return h + jnp.clip(d, -dmax, dmax), None
 
     hm, _ = jax.lax.scan(batch_step, hm, (xi_all, zi_all, keys))
     out = hm[:, PAD:PAD + ys, PAD:PAD + xs]

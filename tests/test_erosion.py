@@ -85,3 +85,29 @@ def test_zero_iters_noop_shapewise():
     hm = island()
     out = np.asarray(E.erode(jnp.asarray(hm), 1, PARAMS, batch_size=1, max_steps=4))
     assert out.shape == hm.shape
+
+
+def test_erosion_high_iteration_stability():
+    """Regression: 20K droplets on a 128^2 map must stay near the
+    original relief (the sequential reference self-stabilizes; the
+    batched walk needs the per-batch delta limiter — unclamped it
+    reached z=+333 on a [-8.5, -5] map)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from w3d.terrain import mesh as TM
+    from w3d.ops import erosion as E
+    from w3d.utils.constants import WorldConst
+
+    world = WorldConst(mesh_x=128, mesh_y=128)
+    cfg = TM.TerrainConfig(mesh_seed=7, erosion_iters=0)
+    ts = TM.gen_terrain(cfg, world)
+    hm0 = np.asarray(ts.mesh_height)
+    p = E.ErosionParams(erode_amount=1.0,
+                        water_plane_z=float(ts.water_plane_z),
+                        half_dxy=world.half_dxy, zmin=float(-ts.zmax_est),
+                        zmax=float(ts.zmax_est),
+                        rock_thresh=TM.clip_hd1(cfg))
+    out = np.asarray(E.erode(jnp.asarray(hm0), 20000, p))
+    zr = hm0.max() - hm0.min()
+    assert out.max() < hm0.max() + 0.5 * zr       # no deposition spikes
+    assert out.min() > hm0.min() - 1.5 * zr       # no runaway carving
