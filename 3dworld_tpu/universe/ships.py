@@ -24,11 +24,11 @@ import jax.numpy as jnp
 # ship class subset (us_class: accel, max_speed, turn_r, armor, shields,
 # weapon range/damage/cooldown) — config-overridable like ship_def_file
 SHIP_CLASSES = np.array([
-    # accel  vmax   armor shield w_range w_dam w_cool radius
-    (0.002, 0.02, 100.0, 50.0, 0.5, 5.0, 20.0, 0.01),   # fighter
-    (0.001, 0.012, 400.0, 200.0, 0.8, 15.0, 40.0, 0.03),  # cruiser
-    (0.0005, 0.008, 1200.0, 600.0, 1.2, 40.0, 80.0, 0.08),  # dreadnought
-    (0.0015, 0.015, 200.0, 100.0, 0.6, 8.0, 30.0, 0.02),  # corvette
+    # accel  vmax   armor shield w_range w_dam w_cool radius shield_re
+    (0.002, 0.02, 100.0, 50.0, 0.5, 5.0, 20.0, 0.01, 0.2),   # fighter
+    (0.001, 0.012, 400.0, 200.0, 0.8, 15.0, 40.0, 0.03, 0.5),  # cruiser
+    (0.0005, 0.008, 1200.0, 600.0, 1.2, 40.0, 80.0, 0.08, 1.0),  # dreadnought
+    (0.0015, 0.015, 200.0, 100.0, 0.6, 8.0, 30.0, 0.02, 0.3),  # corvette
 ], np.float32)
 NUM_SHIP_CLASSES = len(SHIP_CLASSES)
 
@@ -120,6 +120,11 @@ def step_fleet(f: FleetState, key) -> FleetState:
     armor = f.armor - overflow
     alive = f.alive & (armor > 0)
     cooldown = jnp.where(in_range, w_cool, jnp.maximum(f.cooldown - 1.0, 0.0))
+    # shield regeneration up to the class max (us_class shield_re,
+    # ship.h:507; ship_base.cpp regen path) — armor does not regen here
+    sh_max = oh @ tbl[:, 3]
+    sh_re = oh @ tbl[:, 8]
+    sh = jnp.minimum(sh + sh_re * alive.astype(jnp.float32), sh_max)
     return f._replace(px=px, py=py, pz=pz, vx=vx, vy=vy, vz=vz,
                       armor=armor, shields=sh, cooldown=cooldown, alive=alive)
 
@@ -134,3 +139,38 @@ def gen_asteroid_belt(key, system_radius: float, n: int = 256):
     size = 0.001 * system_radius * jax.random.uniform(ks[3], (n,), minval=0.3,
                                                       maxval=3.0)
     return rad * jnp.cos(ang), rad * jnp.sin(ang), zoff, size
+
+
+def fleet_explosions(prev: FleetState, cur: FleetState):
+    """Ships that died this step -> [K<=N] explosion records (x, y, z,
+    blast radius ~ 3x ship radius; the reference spawns an explosion
+    uobject per destroyed ship)."""
+    died = np.asarray(prev.alive) & ~np.asarray(cur.alive)
+    idx = np.where(died)[0]
+    rad = np.asarray(SHIP_CLASSES)[np.asarray(cur.cls)[idx], 7] * 3.0
+    return np.stack([np.asarray(cur.px)[idx], np.asarray(cur.py)[idx],
+                     np.asarray(cur.pz)[idx], rad], -1) \
+        if len(idx) else np.zeros((0, 4), np.float32)
+
+
+@jax.jit
+def orbit_step(f: FleetState, center, orbit_r, orbit_speed: float = 0.01,
+               blend: float = 0.1):
+    """Orbit-keeping for ships assigned to guard a body (u_ship
+    orbiting behavior): steer velocity toward the tangential direction
+    at `orbit_speed` plus a radial correction toward `orbit_r`."""
+    cx, cy, cz = center[0], center[1], center[2]
+    rx = f.px - cx
+    ry = f.py - cy
+    r = jnp.sqrt(rx * rx + ry * ry) + 1e-9
+    tx = -ry / r
+    ty = rx / r
+    err = orbit_r - r
+    vdx = tx * orbit_speed + (rx / r) * err * 0.05
+    vdy = ty * orbit_speed + (ry / r) * err * 0.05
+    vdz = (cz - f.pz) * 0.05
+    vx = f.vx * (1 - blend) + vdx * blend
+    vy = f.vy * (1 - blend) + vdy * blend
+    vz = f.vz * (1 - blend) + vdz * blend
+    return f._replace(px=f.px + vx, py=f.py + vy, pz=f.pz + vz,
+                      vx=vx, vy=vy, vz=vz)

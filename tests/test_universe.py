@@ -124,3 +124,35 @@ def test_smiley_ai_seek_and_flee():
     away = jnp.sqrt((sm3.x - sm3.tx) ** 2 + (sm3.y - sm3.ty) ** 2) >= \
         jnp.sqrt((sm2.x - sm2.tx) ** 2 + (sm2.y - sm2.ty) ** 2) - 1e-6
     assert bool(away.all())
+
+
+def test_fleet_regen_explosions_orbit():
+    """u_ship depth: shield regeneration (ship.h:507 shield_re), death
+    explosions, and orbit-keeping around a body."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from w3d.universe import ships as SH
+
+    key = jax.random.key(1)
+    f = SH.make_fleet(key, 64, spread=0.5)
+    prev, deaths = f, 0
+    for i in range(300):
+        prev = f
+        f = SH.step_fleet(f, jax.random.fold_in(key, i))
+        deaths += len(SH.fleet_explosions(prev, f))
+    assert deaths == 64 - int(f.alive.sum())   # one explosion per death
+
+    lone = SH.make_fleet(key, 4, num_teams=1, spread=5.0)
+    lone = lone._replace(shields=lone.shields * 0.1)
+    s0 = float(lone.shields[0])
+    for i in range(50):
+        lone = SH.step_fleet(lone, jax.random.fold_in(key, 999 + i))
+    assert float(lone.shields[0]) > s0         # shields regenerate in peace
+
+    orb = SH.make_fleet(key, 8, num_teams=1, spread=2.0)
+    for _ in range(400):
+        orb = SH.orbit_step(orb, jnp.asarray([0.0, 0.0, 0.0]),
+                            jnp.float32(1.0))
+    r = np.sqrt(np.asarray(orb.px) ** 2 + np.asarray(orb.py) ** 2)
+    assert (np.abs(r - 1.0) < 0.25).all()      # settled on the orbit
