@@ -93,3 +93,66 @@ def cut_grass_at(block: GrassBlock, cx, cy, radius, height_frac=0.25):
     inside = d2 <= radius * radius
     return block._replace(cut=jnp.where(inside, jnp.minimum(block.cut, height_frac),
                                         block.cut))
+
+
+# ---------------------------------------------------------------------------
+# ground fire spread (enable_grass_fire / add_ground_fire: fire creeps
+# across grass cells, biased downwind, consuming fuel)
+# ---------------------------------------------------------------------------
+
+class GroundFire(NamedTuple):
+    """Cell grids: fire intensity [my, mx] and remaining fuel [my, mx]
+    (fuel ~ unburned grass density)."""
+
+    intensity: jax.Array
+    fuel: jax.Array
+
+
+def make_ground_fire(fuel_map) -> GroundFire:
+    f = jnp.asarray(fuel_map, jnp.float32)
+    return GroundFire(intensity=jnp.zeros_like(f), fuel=f)
+
+
+def ignite_at(gf: GroundFire, gx: int, gy: int, amount: float = 1.0):
+    return gf._replace(intensity=gf.intensity.at[gy, gx].add(amount))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def step_ground_fire(gf: GroundFire, wind_x, wind_y,
+                     spread: float = 0.35, burn_rate: float = 0.15,
+                     decay: float = 0.9, ignite_thresh: float = 0.05
+                     ) -> GroundFire:
+    """One spread tick: intensity diffuses to the 4-neighborhood with a
+    downwind bias, ignites cells with fuel, consumes fuel, and decays
+    where fuel is gone — the reference's creeping grass fire as a
+    cellular automaton (one fused stencil, no scatter)."""
+    I = gf.intensity
+    wxp = jnp.clip(wind_x, 0.0, 10.0)
+    wxn = jnp.clip(-wind_x, 0.0, 10.0)
+    wyp = jnp.clip(wind_y, 0.0, 10.0)
+    wyn = jnp.clip(-wind_y, 0.0, 10.0)
+    # neighbor inflow, upwind neighbors contribute more downwind
+    inflow = (jnp.roll(I, 1, 1) * (1.0 + wxp) + jnp.roll(I, -1, 1) * (1.0 + wxn)
+              + jnp.roll(I, 1, 0) * (1.0 + wyp) + jnp.roll(I, -1, 0) * (1.0 + wyn))
+    catch = (inflow * spread * 0.25 > ignite_thresh) & (gf.fuel > 0.05)
+    intensity = jnp.where(catch, jnp.maximum(I, inflow * spread * 0.25), I)
+    burning = intensity > ignite_thresh
+    burn = jnp.minimum(gf.fuel, burn_rate * intensity) * burning
+    fuel = gf.fuel - burn
+    # fire feeds on fuel (front self-sustains) and decays on spent cells
+    intensity = jnp.where(burning & (fuel > 0.05),
+                          jnp.minimum(intensity * 1.4, 1.5),
+                          intensity * decay)
+    intensity = jnp.where(intensity < 1e-3, 0.0, intensity)
+    return GroundFire(intensity=intensity, fuel=fuel)
+
+
+def scorch_grass(block: GrassBlock, gf: GroundFire, world,
+                 rate: float = 0.3) -> GrassBlock:
+    """Apply the fire grid to per-blade burn state (bilinear sample of
+    intensity at each blade, like burn_grass_at but field-driven)."""
+    my, mx = gf.intensity.shape
+    gx = jnp.clip(block.x * world.dx_inv + mx // 2, 0, mx - 1).astype(jnp.int32)
+    gy = jnp.clip(block.y * world.dy_inv + my // 2, 0, my - 1).astype(jnp.int32)
+    inten = gf.intensity[gy, gx]
+    return block._replace(burn=jnp.clip(block.burn + rate * inten, 0.0, 1.0))

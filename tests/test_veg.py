@@ -106,3 +106,38 @@ def test_building_spiders_and_snakes():
     gaps = np.sqrt(np.diff(np.asarray(sn.sx), axis=1) ** 2
                    + np.diff(np.asarray(sn.sy), axis=1) ** 2)
     assert gaps.max() < 0.03 and abs(gaps.mean() - 0.02) < 0.005
+
+
+def test_ground_fire_spread():
+    """enable_grass_fire: creeping grass fire — spreads downwind through
+    fuel, stops at firebreaks, scorches blades from the field."""
+    import numpy as np
+    import jax.numpy as jnp
+    from w3d.veg import grass as G
+    from w3d.utils.constants import WorldConst
+
+    fuel0 = np.ones((64, 64), np.float32)
+    fuel0[:, 40:] = 0.0                   # firebreak
+    gf = G.make_ground_fire(fuel0)
+    gf = G.ignite_at(gf, 10, 32, 2.0)
+    for _ in range(60):
+        gf = G.step_ground_fire(gf, jnp.float32(1.5), jnp.float32(0.0))
+    I = np.asarray(gf.intensity)
+    consumed = fuel0 - np.asarray(gf.fuel)
+    burned = consumed > 0.3
+    assert burned.sum() > 50              # fire spread through fuel
+    assert I[:, 41:].max() == 0.0         # firebreak holds
+    bx = np.where(burned.any(0))[0]
+    assert bx.max() - 10 > 10 - bx.min()  # downwind (+x) bias
+
+    world = WorldConst(mesh_x=64, mesh_y=64)
+    zv = jnp.zeros((16, 16))
+    blk = G.gen_grass_block(3, -1.0, -1.0, zv, jnp.ones((16, 16)), world)
+    # park one blade on a known burning cell and scorch from the field
+    cy, cx = np.unravel_index(np.asarray(gf.intensity).argmax(),
+                              gf.intensity.shape)
+    wx = (cx - 32) / world.dx_inv
+    wy = (cy - 32) / world.dy_inv
+    blk = blk._replace(x=blk.x.at[0].set(wx), y=blk.y.at[0].set(wy))
+    blk = G.scorch_grass(blk, gf, world)
+    assert float(blk.burn[0]) > 0.0       # field-driven scorching applies
