@@ -211,3 +211,33 @@ def zombie_attack_tick(st: PP.PeopleState, inv: PlayerInventory,
     if hits:
         inv.adjust_health(-ZOMBIE_ATTACK_DAMAGE * hits)
     return hits
+
+
+# ---------------------------------------------------------------------------
+# achievements (building_gameplay.cpp:694-715 achievement_tracker_t)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class AchievementTracker:
+    """NUM_ACHIEVEMENTS named one-shot flags; register returns True only
+    the first time (the reference shows an onscreen message then)."""
+
+    unlocked: set = field(default_factory=set)
+
+    NAMES = (
+        "first_pickup", "kleptomaniac", "big_spender", "full_inventory",
+        "first_kill", "zombie_slayer", "survivor", "night_owl",
+        "deep_diver", "high_climber", "fire_starter", "rat_whisperer",
+        "spider_squisher", "snake_charmer", "mall_rat", "backrooms_escapee",
+        "teetotaler", "drunkard", "marathon", "completionist",
+    )
+
+    def register(self, name: str) -> bool:
+        if name not in self.NAMES or name in self.unlocked:
+            return False
+        self.unlocked.add(name)
+        return True
+
+    @property
+    def count(self) -> int:
+        return len(self.unlocked)

@@ -246,3 +246,68 @@ def test_texture_catalog(tmp_path):
     TC.get_texture.cache_clear()
     assert (TC.get_texture("grass", 64, asset_dir=str(tmp_path)) == 7).all()
     TC.get_texture.cache_clear()
+
+
+def test_gltf_loader(tmp_path):
+    """glTF 2.0 subset (the reference's Assimp path): mesh attributes,
+    indices, skins (joints/weights/IBM), animation channels, GLB."""
+    import base64
+    import json
+    import struct
+    import numpy as np
+    from w3d.scene.read_gltf import load_gltf
+
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32)
+    idx = np.array([0, 1, 2, 1, 3, 2], np.uint16)
+    joints = np.zeros((4, 4), np.uint8)
+    weights = np.tile(np.array([[1, 0, 0, 0]], np.float32), (4, 1))
+    ibm = np.eye(4, dtype=np.float32).reshape(1, 16)
+    at = np.array([0.0, 1.0], np.float32)
+    ar = np.array([[0, 0, 0, 1], [0, 0.7071, 0, 0.7071]], np.float32)
+    blobs = [pos.tobytes(), idx.tobytes(), joints.tobytes(),
+             weights.tobytes(), ibm.tobytes(), at.tobytes(), ar.tobytes()]
+    offs, buf = [], b""
+    for b in blobs:
+        offs.append(len(buf))
+        buf += b + b"\0" * ((4 - len(b) % 4) % 4)
+    doc = {
+        "asset": {"version": "2.0"},
+        "buffers": [{"byteLength": len(buf),
+                     "uri": "data:application/octet-stream;base64,"
+                            + base64.b64encode(buf).decode()}],
+        "bufferViews": [{"buffer": 0, "byteOffset": offs[i],
+                         "byteLength": len(blobs[i])} for i in range(7)],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5123, "count": 6, "type": "SCALAR"},
+            {"bufferView": 2, "componentType": 5121, "count": 4, "type": "VEC4"},
+            {"bufferView": 3, "componentType": 5126, "count": 4, "type": "VEC4"},
+            {"bufferView": 4, "componentType": 5126, "count": 1, "type": "MAT4"},
+            {"bufferView": 5, "componentType": 5126, "count": 2, "type": "SCALAR"},
+            {"bufferView": 6, "componentType": 5126, "count": 2, "type": "VEC4"},
+        ],
+        "meshes": [{"primitives": [{"attributes": {
+            "POSITION": 0, "JOINTS_0": 2, "WEIGHTS_0": 3}, "indices": 1}]}],
+        "nodes": [{"mesh": 0, "skin": 0}, {"name": "bone"}],
+        "skins": [{"joints": [1], "inverseBindMatrices": 4}],
+        "animations": [{"name": "wave",
+                        "channels": [{"sampler": 0, "target": {
+                            "node": 1, "path": "rotation"}}],
+                        "samplers": [{"input": 5, "output": 6}]}],
+    }
+    p = tmp_path / "tri.gltf"
+    p.write_text(json.dumps(doc))
+    m, skin = load_gltf(str(p))
+    assert m.num_verts == 4 and m.num_faces == 2
+    assert (m.positions == pos).all()
+    assert skin["joints"].shape == (4, 4)
+    assert skin["animations"]["wave"][0]["rotation"].shape == (2, 4)
+    # GLB container
+    js = json.dumps(doc).encode()
+    js += b" " * ((4 - len(js) % 4) % 4)
+    glb = struct.pack("<III", 0x46546C67, 2, 12 + 8 + len(js)) \
+        + struct.pack("<II", len(js), 0x4E4F534A) + js
+    pg = tmp_path / "tri.glb"
+    pg.write_bytes(glb)
+    m2, _ = load_gltf(str(pg))
+    assert m2.num_verts == 4
