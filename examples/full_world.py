@@ -54,7 +54,6 @@ def main(out_dir="/tmp"):
     net = CR.gen_city_roads(plots)
     routes = CR.gen_connector_roads(plots, net)
     hm, bridges, tunnels = CR.carve_roads_with_structures(hm, routes, plots)
-    cell_w = world.dx
     blocks = [(p.x1 + 2, p.y1 + 2, p.x2 - 2, p.y2 - 2, i)
               for i, p in enumerate(plots)]
     hm_np = np.asarray(hm)
@@ -96,16 +95,22 @@ def main(out_dir="/tmp"):
     key = jax.random.key(0)
     for i in range(30):
         cars = TF.step_cars(cars, graph, jax.random.fold_in(key, i))
-    line = TF.gen_railroad([(r[0], r[1]) for r in routes[:1]]
-                           + [(routes[0][2], routes[0][3])]) \
-        if routes else None
+    trains = 0
+    if routes:
+        line = TF.gen_railroad([(routes[0][0], routes[0][1]),
+                                (routes[0][2], routes[0][3])])
+        tr = TF.make_trains(2, 1, seed=6)
+        for _ in range(40):
+            tr = TF.step_trains(tr, line)
+        trains = 2
     pads = TF.make_helipads(bl)
     helis = TF.make_helis(4, pads, seed=2) if len(pads) else None
     if helis is not None:
         for i in range(60):
             helis = TF.step_helis(helis, jnp.asarray(pads),
                                   jax.random.fold_in(key, 100 + i))
-    stats["traffic"] = {"cars": 32, "helipads": int(len(pads))}
+    stats["traffic"] = {"cars": 32, "trains": trains,
+                        "helipads": int(len(pads))}
 
     # --- vegetation on one tile
     from w3d.terrain import biomes as B
