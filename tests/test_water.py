@@ -96,3 +96,42 @@ def test_rain_accumulation():
     total = float(vol.sum())
     expect = 0.01 * WorldConst(mesh_x=32, mesh_y=32).dxdy * 32 * 32
     assert abs(total - expect) < 1e-4
+
+
+def test_precipitation_accumulation():
+    """precipitation.cpp + accumulation_matrix (mesh.h:113): spawned
+    snow lands and piles up per cell, rain routes to water volume,
+    accumulation melts above freezing only."""
+    import jax
+    import jax.numpy as jnp
+    from w3d.models import physics_model as PM
+    from w3d.physics import step as PS
+    from w3d.water import precip as PR
+    from w3d.utils.constants import WorldConst
+
+    world = WorldConst()
+    sw = PM.build_spheres_world(num_objects=2000, world=world,
+                                group_shapes=False)
+    st = sw.state._replace(status=jnp.zeros_like(sw.state.status))
+    key = jax.random.key(0)
+    st = PR.spawn_precip(st, key, 500, "SNOW", world, cloud_z=0.3)
+    st = PR.spawn_precip(st, jax.random.fold_in(key, 1), 500, "RAIN",
+                         world, cloud_z=0.3)
+    assert int((st.status > 0).sum()) == 1000
+    accum = jnp.zeros((world.mesh_y, world.mesh_x))
+    total_rain = 0.0
+    for _ in range(150):
+        st = PS.step_objects(st, sw.env, sw.cobjs, sw.table, substeps=2,
+                             world=world, obj_collisions=False)
+        accum, rv, landed = PR.accumulate_landed(accum, st,
+                                                 sw.env.mesh_height, world)
+        total_rain += float(rv)
+        st = PR.retire_landed(st, landed)
+    assert float(accum.sum()) > 100        # snow piled up
+    assert total_rain > 1.0                # rain became water volume
+    a0 = float(accum.sum())
+    accum = PR.melt_accumulation(accum, jnp.float32(20.0))
+    assert float(accum.sum()) < a0         # melts when warm
+    af = float(accum.sum())
+    accum = PR.melt_accumulation(accum, jnp.float32(-5.0))
+    assert float(accum.sum()) == af        # frozen: no melt
