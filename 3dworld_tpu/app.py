@@ -1,0 +1,96 @@
+"""Application entry: config -> world mode -> frame loop.
+
+The reference's `main` (3DWorld.cpp) reads the three-tier config,
+selects the world mode (ground / infinite tiled terrain / universe),
+builds the scene, and runs the display loop.  This is that path
+without the GL window: frames run headless, and per-frame metrics
+print as JSON lines (the framerate HUD / onscreen stats analog).
+
+    python -m 3dworld_tpu.app --config scene_config/config_spheres.txt \
+        --mode ground --frames 10
+    python -m 3dworld_tpu.app --mode tiled --frames 5
+    python -m 3dworld_tpu.app --mode universe --frames 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def run_ground(config: str, frames: int, num_objects: int):
+    from .scene.loader import load_scene
+    from .models.world import ground_frame
+    scene = load_scene(config, num_objects=num_objects)
+    for i in range(frames):
+        t0 = time.perf_counter()
+        scene = ground_frame(scene)
+        live = int((np.asarray(scene.objects.status) > 0).sum())
+        print(json.dumps({"frame": i, "mode": "ground", "live": live,
+                          "ms": round((time.perf_counter() - t0) * 1e3, 1)}))
+    return scene
+
+
+def run_tiled(frames: int, seed: int):
+    from .models.world import TiledWorld
+    from .terrain.tiles import TileManager
+    from .terrain.mesh import TerrainConfig
+    from .utils.constants import WorldConst
+    tm = TileManager(cfg=TerrainConfig(mesh_seed=seed),
+                     world=WorldConst(mesh_x=64, mesh_y=64), tile_size=64)
+    w = TiledWorld(tile_mgr=tm)
+    cam = 0.0
+    for i in range(frames):
+        t0 = time.perf_counter()
+        created, deleted = w.step(cam, 0.0)
+        cam += 0.8
+        print(json.dumps({"frame": i, "mode": "tiled",
+                          "tiles": len(tm.tiles),
+                          "created": len(created), "deleted": len(deleted),
+                          "ms": round((time.perf_counter() - t0) * 1e3, 1)}))
+    return w
+
+
+def run_universe(frames: int, seed: int):
+    import jax
+    from .models.world import UniverseWorld
+    from .universe.gen import UniverseState
+    from .universe.ships import make_fleet
+    w = UniverseWorld(state=UniverseState(),
+                      fleet=make_fleet(jax.random.key(seed), 64))
+    pos = [0.0, 0.0, 0.0]
+    for i in range(frames):
+        t0 = time.perf_counter()
+        created, freed = w.step(tuple(pos))
+        pos[0] += 0.5
+        print(json.dumps({"frame": i, "mode": "universe",
+                          "cells_created": len(created),
+                          "cells_freed": len(freed),
+                          "ships_alive": int(w.fleet.alive.sum()),
+                          "ms": round((time.perf_counter() - t0) * 1e3, 1)}))
+    return w
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--config", default="scene_config/config_spheres.txt",
+                    help="scene config (ground mode)")
+    ap.add_argument("--mode", choices=("ground", "tiled", "universe"),
+                    default="ground")
+    ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--objects", type=int, default=2000)
+    ap.add_argument("--seed", type=int, default=1)
+    args = ap.parse_args(argv)
+    if args.mode == "ground":
+        run_ground(args.config, args.frames, args.objects)
+    elif args.mode == "tiled":
+        run_tiled(args.frames, args.seed)
+    else:
+        run_universe(args.frames, args.seed)
+
+
+if __name__ == "__main__":
+    main()

@@ -221,3 +221,21 @@ def test_trains_helis_and_prings():
     ri, ro, bands = gen_prings(p)
     assert ri > 1.05 * p.radius and ro > ri and 1 <= len(bands) <= 10
     assert gen_prings(p)[:2] == (ri, ro)  # deterministic
+
+
+def test_app_entry_modes(capsys):
+    """3DWorld.cpp main() analog: config -> mode -> frame loop with
+    JSON metrics, for all three world modes."""
+    import json
+    from w3d import app as APP
+
+    APP.main(["--mode", "tiled", "--frames", "2", "--seed", "3"])
+    APP.main(["--mode", "universe", "--frames", "2"])
+    APP.main(["--mode", "ground", "--frames", "2", "--objects", "100"])
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    modes = {l["mode"] for l in lines}
+    assert modes == {"tiled", "universe", "ground"}
+    assert all("ms" in l for l in lines)
+    g = [l for l in lines if l["mode"] == "ground"]
+    assert g[-1]["live"] == 100
