@@ -311,3 +311,33 @@ def test_gltf_loader(tmp_path):
     pg.write_bytes(glb)
     m2, _ = load_gltf(str(pg))
     assert m2.num_verts == 4
+
+
+def test_mesh_and_state_text_io(tmp_path):
+    """mesh_gen.cpp:895-1045 read_mesh/write_mesh/save_state/load_state
+    text formats round-trip, including the 90x5 sine table and seeds."""
+    import numpy as np
+    from w3d.terrain import state_io as SIO
+
+    h = np.random.default_rng(0).standard_normal((12, 16)).astype(np.float32)
+    p = str(tmp_path / "mesh.txt")
+    SIO.write_mesh(p, h)
+    h2 = SIO.read_mesh(p, expect_shape=(12, 16))
+    assert np.allclose(h, h2, atol=1e-5)
+    h3 = SIO.read_mesh(p, mesh_file_scale=2.0, mesh_file_tz=1.0)
+    assert np.allclose(h3, 2.0 * h2 + 1.0, atol=1e-5)
+    try:
+        SIO.read_mesh(p, expect_shape=(8, 8))
+        assert False
+    except ValueError:
+        pass
+
+    table = np.random.default_rng(1).standard_normal((90, 5)).astype(np.float32)
+    st = SIO.SimState(2.5, 0.1, 1.2, (1.0, 2.0, 3.0), (0.0, 0.0, 0.5),
+                      3, -2, 0, 0, 7, 40014, 40692, 128, 128, 9, 5, table)
+    ps = str(tmp_path / "state.txt")
+    SIO.save_state(ps, st)
+    st2 = SIO.load_state(ps, expect_dims=(128, 128, 9, 5))
+    assert st2.rseed1 == 40014 and st2.rand_gen_index == 7
+    assert np.allclose(st2.sine_table, table, atol=1e-5)
+    assert st2.camera_origin == (1.0, 2.0, 3.0)
