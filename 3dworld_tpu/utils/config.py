@@ -28,6 +28,28 @@ def tokenize(text: str):
         yield from line.split()
 
 
+def tokenize_lines(text: str):
+    """Per-line token lists with # comments stripped."""
+    for line in text.splitlines():
+        hash_pos = line.find("#")
+        if hash_pos >= 0:
+            line = line[:hash_pos]
+        toks = line.split()
+        if toks:
+            yield toks
+
+
+def _num(typ, tok):
+    """fscanf-tolerant conversion: %i accepts '3.0' as 3 in practice
+    (several shipped configs mix int/float forms per keyword)."""
+    if typ is int:
+        try:
+            return int(tok)
+        except ValueError:
+            return int(float(tok))
+    return typ(tok)
+
+
 @dataclass
 class Config:
     """Engine configuration: the subset of reference keywords our systems
@@ -164,68 +186,248 @@ _KEYWORDS = {
     "camera_radius": ("camera_radius", 1, _FLT),
     "player_start": ("player_start", 3, _FLT),
     "wind_velocity": ("wind_velocity", 3, _FLT),
+    # --- extended registry: every remaining keyword appearing in the
+    # reference's shipped scene_config/config*.txt files (arity and type
+    # derived from their usage; 3DWorld.cpp:1771-2270 kwm tables).  Many
+    # are render-scope — they parse into plain Config attributes so any
+    # shipped config loads cleanly and sim-relevant values are typed.
+    "add_city_grass": ("add_city_grass", 1, _INT),
+    "allow_model3d_quads": ("allow_model3d_quads", 1, _INT),
+    "ambient_lighting_scale": ("ambient_lighting_scale", 3, _FLT),
+    "ambient_scale": ("ambient_scale", 1, _FLT),
+    "atmosphere": ("atmosphere", 1, _FLT),
+    "auto_calc_tt_model_zvals": ("auto_calc_tt_model_zvals", 1, _INT),
+    "begin_motion": ("begin_motion", 1, _INT),
+    "biome_x_offset": ("biome_x_offset", 1, _FLT),
+    "bush_probability": ("bush_probability", 5, _FLT),
+    "camera_height": ("camera_height", 1, _FLT),
+    "camera_step_height": ("camera_step_height", 1, _FLT),
+    "cloud_height_offset": ("cloud_height_offset", 1, _FLT),
+    "clouds_per_tile": ("clouds_per_tile", 1, _FLT),
+    "cobj_z_bias": ("cobj_z_bias", 1, _FLT),
+    "crater_radius": ("crater_radius", 1, _FLT),
+    "crater_size": ("crater_size", 1, _FLT),
+    "create_voxel_landscape": ("create_voxel_landscape", 1, _INT),
+    "cube_map_center": ("cube_map_center", 3, _FLT),
+    "def_texture_aniso": ("def_texture_aniso", 1, _FLT),
+    "def_texture_compress": ("def_texture_compress", 1, _INT),
+    "default_anim_id": ("default_anim_id", 1, _INT),
+    "default_ground_tex": ("default_ground_tex", 1, _STR),
+    "destroy_thresh": ("destroy_thresh", 1, _INT),
+    "detail_normal_map": ("detail_normal_map", 1, _INT),
+    "disable_dlights": ("disable_dlights", 1, _INT),
+    "disable_fire_delay": ("disable_fire_delay", 1, _INT),
+    "disable_inf_terrain": ("disable_inf_terrain", 1, _INT),
+    "disable_recoil": ("disable_recoil", 1, _INT),
+    "disable_shader_effects": ("disable_shader_effects", 1, _INT),
+    "disable_tt_water_reflect": ("disable_tt_water_reflect", 1, _INT),
+    "dlight_intensity_scale": ("dlight_intensity_scale", 1, _FLT),
+    "draw_building_interiors": ("draw_building_interiors", 1, _INT),
+    "dynamic_mesh_scroll": ("dynamic_mesh_scroll", 1, _INT),
+    "enable_cube_map_bump_maps": ("enable_cube_map_bump_maps", 1, _INT),
+    "enable_depth_clamp": ("enable_depth_clamp", 1, _INT),
+    "enable_dlight_shadows": ("enable_dlight_shadows", 1, _INT),
+    "enable_gamma_correction": ("enable_gamma_correction", 1, _INT),
+    "enable_grass_fire": ("enable_grass_fire", 1, _INT),
+    "enable_ground_csm": ("enable_ground_csm", 1, _INT),
+    "enable_hcopter_shadows": ("enable_hcopter_shadows", 1, _INT),
+    "enable_init_shields": ("enable_init_shields", 1, _INT),
+    "enable_model3d_bump_maps": ("enable_model3d_bump_maps", 1, _INT),
+    "enable_model3d_custom_mipmaps": ("enable_model3d_custom_mipmaps", 1, _INT),
+    "enable_model3d_tex_comp": ("enable_model3d_tex_comp", 1, _INT),
+    "enable_model_animations": ("enable_model_animations", 1, _INT),
+    "enable_mouse_look": ("enable_mouse_look", 1, _INT),
+    "enable_shine_map": ("enable_shine_map", 1, _INT),
+    "enable_spec_map": ("enable_spec_map", 1, _INT),
+    "enable_tiled_mesh_ao": ("enable_tiled_mesh_ao", 1, _INT),
+    "enable_timing_profiler": ("enable_timing_profiler", 1, _INT),
+    "enable_tt_model_indir": ("enable_tt_model_indir", 1, _INT),
+    "enable_tt_model_reflect": ("enable_tt_model_reflect", 1, _INT),
+    "far_clip_dist": ("far_clip_dist", 1, _FLT),
+    "fast_transparent_spheres": ("fast_transparent_spheres", 1, _INT),
+    "fast_water_reflect": ("fast_water_reflect", 1, _INT),
+    "flatten_tt_mesh_under_models": ("flatten_tt_mesh_under_models", 1, _INT),
+    "floating_light_range": ("floating_light_range", 6, _FLT),
+    "flower_density": ("flower_density", 1, _FLT),
+    "font_texture_atlas_fn": ("font_texture_atlas_fn", 1, _STR),
+    "free_for_all": ("free_for_all", 1, _INT),
+    "game_mode_disable_mask": ("game_mode_disable_mask", 1, _INT),
+    "global_lighting_update": ("global_lighting_update", 1, _INT),
+    "grass_density": ("grass_density", 1, _INT),
+    "grass_size": ("grass_size", 2, _FLT),
+    "ground_effects_level": ("ground_effects_level", 1, _INT),
+    "group_back_face_cull": ("group_back_face_cull", 1, _INT),
+    "head_bob_amount": ("head_bob_amount", 1, _FLT),
+    "hmap_filter_width": ("hmap_filter_width", 1, _INT),
+    "hmap_sine_mag": ("hmap_sine_mag", 5, _FLT),
+    "indir_light_exp": ("indir_light_exp", 1, _FLT),
+    "indir_vert_offset": ("indir_vert_offset", 1, _FLT),
+    "inf_terrain_scenery": ("inf_terrain_scenery", 1, _INT),
+    "init_game_mode": ("init_game_mode", 1, _INT),
+    "init_num_balls": ("init_num_balls", 1, _INT),
+    "init_tree_mode": ("init_tree_mode", 1, _INT),
+    "invert_bump_maps": ("invert_bump_maps", 1, _INT),
+    "invert_model3d_faces": ("invert_model3d_faces", 1, _INT),
+    "invert_model_nmap_bscale": ("invert_model_nmap_bscale", 1, _INT),
+    "jump_height": ("jump_height", 1, _FLT),
+    "leaf_color": ("leaf_color", 5, _FLT),
+    "left_handed": ("left_handed", 1, _INT),
+    "lighting_update_offline": ("lighting_update_offline", 1, _INT),
+    "load_hmv": ("load_hmv", 5, _INT),
+    "max_cube_map_tex_sz": ("max_cube_map_tex_sz", 1, _INT),
+    "max_ray_bounces": ("max_ray_bounces", 1, _INT),
+    "max_unique_trees": ("max_unique_trees", 1, _INT),
+    "merge_model_objects": ("merge_model_objects", 1, _INT),
+    "mesh_color_scale": ("mesh_color_scale", 3, _FLT),
+    "mesh_detail_tex": ("mesh_detail_tex", 1, _STR),
+    "mesh_diffuse_tex_fn": ("mesh_diffuse_tex_fn", 2, _STR),
+    "mesh_freq_mult": ("mesh_freq_mult", 1, _FLT),
+    "mesh_mag_mult": ("mesh_mag_mult", 1, _FLT),
+    "mesh_start_freq": ("mesh_start_freq", 1, _FLT),
+    "mesh_start_mag": ("mesh_start_mag", 1, _FLT),
+    "mh_filename": ("mh_filename", 4, _STR),
+    "mh_filename_tiled_terrain": ("mh_filename_tiled_terrain", 1, _STR),
+    "model3d_alpha_thresh": ("model3d_alpha_thresh", 1, _FLT),
+    "model3d_texture_anisotropy": ("model3d_texture_anisotropy", 1, _FLT),
+    "model3d_winding_number_normal": ("model3d_winding_number_normal", 1, _INT),
+    "model_auto_tc_scale": ("model_auto_tc_scale", 1, _FLT),
+    "model_calc_tan_vect": ("model_calc_tan_vect", 1, _INT),
+    "model_hemi_lighting_scale": ("model_hemi_lighting_scale", 1, _FLT),
+    "model_mat_lod_thresh": ("model_mat_lod_thresh", 1, _FLT),
+    "moon_rot": ("moon_rot", 1, _FLT),
+    "mouse_sensitivity": ("mouse_sensitivity", 1, _FLT),
+    "mouse_smooth_factor": ("mouse_smooth_factor", 1, _FLT),
+    "mt_cobj_tree_build": ("mt_cobj_tree_build", 1, _INT),
+    "nleaves_scale": ("nleaves_scale", 1, _FLT),
+    "no_store_model_textures_in_memory": ("no_store_model_textures_in_memory", 1, _INT),
+    "no_subdiv_model": ("no_subdiv_model", 1, _INT),
+    "num_bflies_per_tile": ("num_bflies_per_tile", 1, _INT),
+    "num_birds_per_tile": ("num_birds_per_tile", 1, _INT),
+    "num_dynam_parts": ("num_dynam_parts", 1, _INT),
+    "num_fish_per_tile": ("num_fish_per_tile", 1, _INT),
+    "num_test_snowflakes": ("num_test_snowflakes", 1, _INT),
+    "ocean_depth_opacity_mult": ("ocean_depth_opacity_mult", 1, _FLT),
+    "ocean_wave_height": ("ocean_wave_height", 1, _FLT),
+    "only_pine_palm_trees": ("only_pine_palm_trees", 1, _INT),
+    "pine_tree_radius_scale": ("pine_tree_radius_scale", 1, _FLT),
+    "play_gameplay_alert": ("play_gameplay_alert", 1, _INT),
+    "player_damage": ("player_damage", 1, _FLT),
+    "player_name": ("player_name", 1, _STR),
+    "player_speed": ("player_speed", 1, _FLT),
+    "pre_load_full_tiled_terrain": ("pre_load_full_tiled_terrain", 1, _INT),
+    "preproc_cube_cobjs": ("preproc_cube_cobjs", 1, _INT),
+    "ray_step_size_mult": ("ray_step_size_mult", 1, _FLT),
+    "read_hmap_modmap_filename": ("read_hmap_modmap_filename", 1, _STR),
+    "read_voxel_brush_filename": ("read_voxel_brush_filename", 1, _STR),
+    "reflect_plane_z": ("reflect_plane_z", 6, _FLT),
+    "reverse_3ds_vert_winding_order": ("reverse_3ds_vert_winding_order", 1, _INT),
+    "rgen_seed": ("rgen_seed", 1, _INT),
+    "rotate_trees": ("rotate_trees", 1, _INT),
+    "self_damage": ("self_damage", 1, _FLT),
+    "set_czmax": ("set_czmax", 1, _FLT),
+    "show_map_view_fractal": ("show_map_view_fractal", 1, _INT),
+    "skip_light_vis_test": ("skip_light_vis_test", 1, _INT),
+    "sky_occlude_scale": ("sky_occlude_scale", 1, _FLT),
+    "skybox_cube_map": ("skybox_cube_map", 1, _STR),
+    "sm_tree_density": ("sm_tree_density", 1, _FLT),
+    "sm_tree_scale": ("sm_tree_scale", 1, _FLT),
+    "smap_thresh_scale": ("smap_thresh_scale", 1, _FLT),
+    "smiley_accuracy": ("smiley_accuracy", 1, _INT),
+    "smiley_damage": ("smiley_damage", 1, _FLT),
+    "smiley_speed": ("smiley_speed", 1, _FLT),
+    "snow_coverage_resolution": ("snow_coverage_resolution", 1, _INT),
+    "snow_depth": ("snow_depth", 1, _FLT),
+    "snow_file": ("snow_file", 2, _STR),
+    "snow_random": ("snow_random", 1, _FLT),
+    "speed_mult": ("speed_mult", 1, _FLT),
+    "start_in_inf_terrain": ("start_in_inf_terrain", 1, _INT),
+    "start_maximized": ("start_maximized", 1, _INT),
+    "sun_rot": ("sun_rot", 1, _FLT),
+    "sunlight_brightness": ("sunlight_brightness", 1, _FLT),
+    "sunlight_intensity": ("sunlight_intensity", 1, _FLT),
+    "team_damage": ("team_damage", 1, _FLT),
+    "team_start": ("team_start", 5, _INT),
+    "teams": ("teams", 1, _INT),
+    "texture_alpha_in_red_comp": ("texture_alpha_in_red_comp", 1, _INT),
+    "tiled_terrain_fog_density": ("tiled_terrain_fog_density", 1, _FLT),
+    "tiled_terrain_only": ("tiled_terrain_only", 1, _INT),
+    "toggle_mesh_enabled": ("toggle_mesh_enabled", 0, _INT),
+    "toggle_reflections": ("toggle_reflections", 0, _INT),
+    "tree_4th_branches": ("tree_4th_branches", 1, _INT),
+    "tree_branch_radius": ("tree_branch_radius", 1, _FLT),
+    "tree_coll_level": ("tree_coll_level", 1, _INT),
+    "tree_dead_prob": ("tree_dead_prob", 1, _FLT),
+    "tree_deadness": ("tree_deadness", 1, _FLT),
+    "tree_density_thresh": ("tree_density_thresh", 1, _FLT),
+    "tree_depth_scale": ("tree_depth_scale", 1, _FLT),
+    "tree_height_scale": ("tree_height_scale", 1, _FLT),
+    "tree_lod_scale": ("tree_lod_scale", 4, _FLT),
+    "tree_size": ("tree_size", 1, _FLT),
+    "tree_slope_thresh": ("tree_slope_thresh", 1, _FLT),
+    "tree_type_rand_zone": ("tree_type_rand_zone", 1, _FLT),
+    "tt_grass_scale_factor": ("tt_grass_scale_factor", 1, _FLT),
+    "tt_triplanar_tex": ("tt_triplanar_tex", 1, _INT),
+    "two_sided_lighting": ("two_sided_lighting", 1, _INT),
+    "unlimited_weapons": ("unlimited_weapons", 1, _INT),
+    "use_core_context": ("use_core_context", 1, _INT),
+    "use_dense_voxels": ("use_dense_voxels", 1, _INT),
+    "use_grass_tess": ("use_grass_tess", 1, _INT),
+    "use_instanced_pine_trees": ("use_instanced_pine_trees", 1, _INT),
+    "use_interior_cube_map_refl": ("use_interior_cube_map_refl", 1, _INT),
+    "use_model3d_tex_mipmaps": ("use_model3d_tex_mipmaps", 1, _INT),
+    "use_model_lod_blocks": ("use_model_lod_blocks", 1, _INT),
+    "use_obj_file_bump_grayscale": ("use_obj_file_bump_grayscale", 1, _INT),
+    "use_voxel_rocks": ("use_voxel_rocks", 1, _INT),
+    "use_waypoints": ("use_waypoints", 1, _INT),
+    "use_z_prepass": ("use_z_prepass", 1, _INT),
+    "verbose": ("verbose", 1, _INT),
+    "vertex_optimize_flags": ("vertex_optimize_flags", 3, _INT),
+    "vsync_enabled": ("vsync_enabled", 1, _INT),
+    "water_is_lava": ("water_is_lava", 1, _INT),
+    "window_height": ("window_height", 1, _INT),
+    "window_width": ("window_width", 1, _INT),
+    "write_hmap_modmap_filename": ("write_hmap_modmap_filename", 1, _STR),
+    "write_voxel_brush_filename": ("write_voxel_brush_filename", 1, _STR),
 }
-_SUBCONFIG = {"voxel", "buildings", "sphere_gen", "city_params", "tree"}
+_SUBCONFIG = {"voxel", "buildings", "sphere_gen", "city_params", "city",
+              "tree"}
 
 
-class _TokenStream:
-    def __init__(self, tokens):
-        self._it = iter(tokens)
-        self._peeked = []
-
-    def next(self, default=None):
-        if self._peeked:
-            return self._peeked.pop()
-        return next(self._it, default)
-
-    def push(self, tok):
-        self._peeked.append(tok)
-
-
-def _parse_stream(ts: _TokenStream, cfg: Config, base_dir: str):
-    while True:
-        kw = ts.next()
-        if kw is None:
-            return cfg
-        if kw == "include":
-            fn = ts.next()
-            load_config_file(_resolve(fn, base_dir, cfg), cfg)
+def _parse_lines(lines, cfg: Config, base_dir: str):
+    """Line-oriented parse: each line is `keyword args...`; sub-config
+    prefixes (buildings/city/voxel/...) consume their WHOLE line (their
+    values can be multi-token, e.g. colors), like the reference's
+    per-domain kwm dispatch."""
+    for toks in lines:
+        kw, args = toks[0], toks[1:]
+        if kw == "include" and args:
+            load_config_file(_resolve(args[0], base_dir, cfg), cfg)
             continue
         if kw in _SUBCONFIG:
-            name = "city" if kw == "city_params" else kw
+            name = "city" if kw in ("city_params", "city") else kw
             sub = getattr(cfg, name, None)
-            key = ts.next()
-            val = ts.next()
-            if isinstance(sub, dict) and key is not None:
-                sub[key] = val
+            if isinstance(sub, dict) and args:
+                sub[args[0]] = args[1] if len(args) == 2 else tuple(args[1:])
             continue
         if kw in _KEYWORDS:
             fname, arity, typ = _KEYWORDS[kw]
-            if arity == 1:
-                setattr(cfg, fname, typ(ts.next()))
-            elif arity == -1:  # greedy ints (num_light_rays: 3-5 values)
-                vals = []
-                while True:
-                    tok = ts.next()
-                    if tok is None:
-                        break
-                    try:
-                        vals.append(typ(tok))
-                    except ValueError:
-                        ts.push(tok)
-                        break
-                setattr(cfg, fname, tuple(vals))
-            else:
-                vals = tuple(typ(ts.next()) for _ in range(arity))
-                setattr(cfg, fname, vals)
+            try:
+                if arity == 1:
+                    setattr(cfg, fname, _num(typ, args[0]))
+                elif arity == -1:  # variable-length (num_light_rays: 3-5)
+                    setattr(cfg, fname,
+                            tuple(_num(typ, a) for a in args))
+                else:
+                    vals = tuple(_num(typ, a) for a in args[:arity])
+                    setattr(cfg, fname, vals if arity > 1 else vals[0])
+            except (ValueError, IndexError):
+                cfg.extra[kw] = tuple(args)   # malformed: keep raw
         else:
-            # unmodeled: store the following token as its raw value (most
-            # reference keywords are "name value" pairs); flag-style
-            # keywords (toggle_*) store None
-            if kw.startswith("toggle_") or kw.startswith("enable_") or kw.startswith("disable_only_"):
-                cfg.extra[kw] = None
-            else:
-                cfg.extra[kw] = ts.next()
+            # unmodeled keyword: keep the raw args (flag-style lines
+            # store None)
+            cfg.extra[kw] = (args[0] if len(args) == 1
+                             else (tuple(args) if args else None))
+    return cfg
 
 
 def _resolve(fn: str, base_dir: str, cfg: Config) -> str:
@@ -246,7 +448,7 @@ def load_config_file(path: str, cfg: Config | None = None) -> Config:
     base = os.path.dirname(os.path.abspath(path))
     if base not in cfg.include_dirs:
         cfg.include_dirs = (*cfg.include_dirs, base)
-    return _parse_stream(_TokenStream(tokenize(text)), cfg, base)
+    return _parse_lines(tokenize_lines(text), cfg, base)
 
 
 def load_config(path: str) -> Config:

@@ -239,3 +239,25 @@ def test_app_entry_modes(capsys):
     assert all("ms" in l for l in lines)
     g = [l for l in lines if l["mode"] == "ground"]
     assert g[-1]["live"] == 100
+
+
+def test_all_reference_configs_parse():
+    """Every config*.txt shipped with the reference parses cleanly:
+    typed keywords land on Config fields (241-keyword registry), domain
+    prefixes (buildings/city/voxel/...) consume whole lines, and at
+    most a handful of exotica fall through to `extra`."""
+    import glob
+    import os
+    from w3d.utils.config import load_config
+
+    paths = sorted(glob.glob("/root/reference/scene_config/config*.txt"))
+    if not paths:        # reference tree not mounted: exercise ours only
+        paths = ["scene_config/config_spheres.txt"]
+    for p in paths:
+        cfg = load_config(p)
+        assert len(cfg.extra) <= 6, (os.path.basename(p), cfg.extra)
+    # typed values from the main config land correctly
+    if os.path.exists("/root/reference/scene_config/config.txt"):
+        c = load_config("/root/reference/scene_config/config.txt")
+        assert isinstance(c.mesh_size, tuple) and len(c.mesh_size) == 3
+        assert c.gravity > 0.0
