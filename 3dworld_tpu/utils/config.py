@@ -454,3 +454,64 @@ def load_config_file(path: str, cfg: Config | None = None) -> Config:
 def load_config(path: str) -> Config:
     """Load one scene config (the equivalent of a defaults.txt entry)."""
     return load_config_file(path)
+
+
+def _dget(d, key, typ, default):
+    v = d.get(key)
+    if v is None:
+        return default
+    try:
+        return typ(v if not isinstance(v, tuple) else v[0])
+    except (ValueError, TypeError):
+        return default
+
+
+def city_params(cfg: Config) -> dict:
+    """Typed view of the `city <param> ...` sub-config
+    (city_building_params.cpp keyword map): the knobs the city
+    generator consumes."""
+    c = cfg.city
+    return {
+        "num_cities": _dget(c, "num_cities", int, 2),
+        "city_size_min": _dget(c, "city_size_min", int, 16),
+        "city_size_max": _dget(c, "city_size_max", int, 32),
+        "city_border": _dget(c, "city_border", int, 4),
+        "road_width": _dget(c, "road_width", float, 1.0),
+        "road_spacing": _dget(c, "road_spacing", float, 8.0),
+        "num_cars": _dget(c, "num_cars", int, 0),
+        "num_peds": _dget(c, "num_peds", int, 0),
+        "num_rr_tracks": _dget(c, "num_rr_tracks", int, 0),
+        "plots_to_parks_ratio": _dget(c, "plots_to_parks_ratio", int, 20),
+    }
+
+
+def building_params(cfg: Config):
+    """Typed view of the `buildings <param> ...` sub-config mapped onto
+    city/buildings.py BuildingParams (+ the animal counts the building
+    AI consumes)."""
+    from ..city.buildings import BuildingParams
+    b = cfg.buildings
+    bp = BuildingParams(
+        min_sz=_dget(b, "size_range_min", float, 2.0),
+        max_sz=_dget(b, "size_range_max", float, 6.0),
+        min_floors=_dget(b, "min_levels", int, 1),
+        max_floors=_dget(b, "max_levels", int, 8),
+        num_materials=max(1, _dget(b, "num_materials", int, 4)),
+        round_prob=_dget(b, "round_prob", float, 0.15),
+        # rotated buildings only when the config allows a rotation angle
+        rotate_prob=0.2 if _dget(b, "max_rot_angle", float, 0.0) > 0 else 0.0,
+        max_rot_angle=_dget(b, "max_rot_angle", float, 0.5),
+    )
+    extras = {
+        "num_place": _dget(b, "num_place", int, 100),
+        "num_tries": _dget(b, "num_tries", int, 10),
+        "flatten_mesh": _dget(b, "flatten_mesh", int, 0),
+        "num_rats_min": _dget(b, "num_rats_min", int, 0),
+        "num_rats_max": _dget(b, "num_rats_max", int, 0),
+        "num_spiders_min": _dget(b, "num_spiders_min", int, 0),
+        "num_spiders_max": _dget(b, "num_spiders_max", int, 0),
+        "num_snakes_min": _dget(b, "num_snakes_min", int, 0),
+        "num_snakes_max": _dget(b, "num_snakes_max", int, 0),
+        "ai_target_player": _dget(b, "ai_target_player", int, 0),
+    }
+    return bp, extras

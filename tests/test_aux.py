@@ -261,3 +261,20 @@ def test_all_reference_configs_parse():
         c = load_config("/root/reference/scene_config/config.txt")
         assert isinstance(c.mesh_size, tuple) and len(c.mesh_size) == 3
         assert c.gravity > 0.0
+
+
+def test_city_building_param_accessors():
+    """city_building_params.cpp keyword maps: the `city`/`buildings`
+    sub-config lines drive typed generator parameters."""
+    import os
+    from w3d.utils.config import load_config, city_params, building_params
+
+    p = "/root/reference/scene_config/config_city.txt"
+    if not os.path.exists(p):
+        return
+    c = load_config(p)
+    cp = city_params(c)
+    assert cp["num_cities"] == 8 and cp["num_cars"] == 3000
+    bp, ex = building_params(c)
+    assert ex["num_rats_min"] == 5 and ex["ai_target_player"] == 1
+    assert bp.num_materials >= 1
