@@ -107,3 +107,37 @@ def gen_cities(heightmap, water_z, num_cities: int = 2, city_size: int = 24,
         used = used.at[max(0, y1 - pad):y2 + pad, max(0, x1 - pad):x2 + pad].set(True)
         plots.append(CityPlot(x1, y1, x2, y2, elev))
     return hm, plots
+
+
+def assign_parks(blocks, plots_to_parks_ratio: int = 20, seed: int = 0):
+    """Mark ~1 in `ratio` city blocks as parks (plots_to_parks_ratio,
+    city_building_params.cpp): parks get trees/benches instead of
+    buildings.  Returns (building_blocks, park_blocks), deterministic."""
+    from ..utils.rng import RandGen
+    rg = RandGen(seed + 41, 3 * seed + 13)
+    builds, parks = [], []
+    for b in blocks:
+        if plots_to_parks_ratio > 0 and rg.rand() % plots_to_parks_ratio == 0:
+            parks.append(b)
+        else:
+            builds.append(b)
+    return builds, parks
+
+
+def furnish_park(block, seed: int = 0, cell_w: float = 1.0):
+    """Park content: hashed tree positions + perimeter benches (the
+    reference places park trees/benches via city_obj_placer).  Returns
+    (tree_xy [T, 2], bench_xy [B, 2])."""
+    import numpy as np
+    from ..utils.rng import RandGen
+    x1, y1, x2, y2, _city = block
+    rg = RandGen(seed + 7, seed * 11 + 3)
+    n_trees = max(2, int((x2 - x1) * (y2 - y1) // 40))
+    trees = np.asarray(
+        [(x1 + 1 + rg.randd() * (x2 - x1 - 2),
+          y1 + 1 + rg.randd() * (y2 - y1 - 2)) for _ in range(n_trees)],
+        np.float32) * cell_w
+    benches = np.asarray(
+        [(x1 + 1, y1 + 1), (x2 - 1, y1 + 1), (x1 + 1, y2 - 1),
+         (x2 - 1, y2 - 1)], np.float32) * cell_w
+    return trees, benches

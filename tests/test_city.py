@@ -295,3 +295,19 @@ def test_expanded_room_catalog_and_asteroid_field():
     assert rad.std() > 0.02            # actually displaced
     pos2, _ = AST.asteroid_rock_mesh(42)
     assert (pos == pos2).all()         # deterministic per seed
+
+
+def test_parks_assignment():
+    """plots_to_parks_ratio: ~1 in N blocks becomes a park with trees
+    and perimeter benches instead of buildings; deterministic."""
+    from w3d.city.plots import assign_parks, furnish_park
+
+    blocks = [(8 * i, 0, 8 * i + 8, 8, 0) for i in range(40)]
+    builds, parks = assign_parks(blocks, 20, seed=1)
+    assert 0 < len(parks) < 8 and len(builds) + len(parks) == 40
+    assert assign_parks(blocks, 20, seed=1)[1] == parks
+    trees, benches = furnish_park(parks[0], seed=1)
+    assert len(trees) >= 1 and len(benches) == 4
+    # ratio 0 disables parks entirely
+    b0, p0 = assign_parks(blocks, 0, seed=1)
+    assert not p0 and len(b0) == 40
