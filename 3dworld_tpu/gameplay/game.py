@@ -189,3 +189,55 @@ def spawn_blood_decals(decals, state: ObjectState, hit_mask, key,
         decals, x, y, z, zeros, zeros, jnp.ones((n,)),
         jnp.full((n,), radius), jnp.ones((n,)),
         jnp.full((n,), -1, jnp.int32), jnp.full((n,), lifetime, jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# smiley waypoint navigation (ai.cpp: smileys route through the waypoint
+# graph rather than beelining; run_a_star + per-smiley path following)
+# ---------------------------------------------------------------------------
+
+def route_smileys(s: SmileyState, graph, max_path: int = 16):
+    """Host: A* route each smiley from its nearest waypoint to the
+    waypoint nearest its current target; returns padded path arrays
+    (wx, wy [N, max_path], plen [N]) for `follow_paths`."""
+    import numpy as np
+    from .waypoints import run_a_star
+    sx = np.asarray(s.x)
+    sy = np.asarray(s.y)
+    tx = np.asarray(s.tx)
+    ty = np.asarray(s.ty)
+    gx, gy = np.asarray(graph.x), np.asarray(graph.y)
+    n = len(sx)
+    wx = np.zeros((n, max_path), np.float32)
+    wy = np.zeros((n, max_path), np.float32)
+    plen = np.zeros(n, np.int32)
+    for i in range(n):
+        start = int(np.argmin((gx - sx[i]) ** 2 + (gy - sy[i]) ** 2))
+        goal = int(np.argmin((gx - tx[i]) ** 2 + (gy - ty[i]) ** 2))
+        path = run_a_star(graph, start, goal)[:max_path]
+        for k, w in enumerate(path):
+            wx[i, k] = gx[w]
+            wy[i, k] = gy[w]
+        plen[i] = len(path)
+    return jnp.asarray(wx), jnp.asarray(wy), jnp.asarray(plen)
+
+
+@jax.jit
+def follow_paths(s: SmileyState, wx, wy, plen, pos, speed: float = 0.01):
+    """Device: advance each smiley toward its current path waypoint;
+    returns (new state, new pos index [N]) — waypoint reached -> next."""
+    n = s.x.shape[0]
+    W = wx.shape[1]
+    oh = jax.nn.one_hot(jnp.minimum(pos, W - 1), W, dtype=jnp.float32)
+    cx = jnp.sum(wx * oh, -1)
+    cy = jnp.sum(wy * oh, -1)
+    dx = cx - s.x
+    dy = cy - s.y
+    d = jnp.sqrt(dx * dx + dy * dy) + 1e-9
+    alive = s.health > 0
+    step = jnp.minimum(speed, d) * alive
+    x = s.x + step * dx / d
+    y = s.y + step * dy / d
+    reached = d < 0.02
+    pos2 = jnp.where(reached & (pos < plen - 1), pos + 1, pos)
+    return s._replace(x=x, y=y), pos2

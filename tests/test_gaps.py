@@ -455,3 +455,27 @@ def test_building_indir_manager_and_game_score():
     hit = np.zeros(n, bool); hit[2] = hit[5] = True
     d = GG.spawn_blood_decals(d, st, hit, jax.random.key(0))
     assert int(d.status.sum()) == 2
+
+
+def test_smiley_waypoint_navigation():
+    """ai.cpp: smileys route through the waypoint graph (A* per smiley)
+    and follow the padded paths on device, closing on their targets."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from w3d.gameplay import game as GG, waypoints as WP
+    from w3d.utils.constants import WorldConst
+
+    world = WorldConst(mesh_x=64, mesh_y=64)
+    z = jnp.zeros((64, 64))
+    g = WP.build_waypoints(z, jnp.ones((64, 64)), -1.0, world, max_points=40)
+    s = GG.make_smileys(jax.random.key(0), 6)
+    s = s._replace(tx=-s.x, ty=-s.y)        # cross-map targets
+    wx, wy, plen = GG.route_smileys(s, g)
+    assert (np.asarray(plen) >= 1).all()
+    pos = jnp.zeros(6, jnp.int32)
+    d0 = float(jnp.sqrt((s.x - s.tx) ** 2 + (s.y - s.ty) ** 2).mean())
+    for _ in range(300):
+        s, pos = GG.follow_paths(s, wx, wy, plen, pos, speed=0.02)
+    d1 = float(jnp.sqrt((s.x - s.tx) ** 2 + (s.y - s.ty) ** 2).mean())
+    assert d1 < d0 and (np.asarray(pos) > 0).any()
