@@ -330,6 +330,9 @@ def erode(
     keys = jax.random.split(w3d_rng.key(seed, 0xE05), num_batches)
 
     # per-batch delta limiter: the sequential reference self-stabilizes
+    # (cf. the tile-based erosion stabilization discussion in
+    # arxiv 2210.14496, "Visually Improved Erosion Algorithm for the
+    # Procedural Generation of Tile-based Terrain" — PAPERS.md)
     # (every droplet sees all prior edits, erosion.cpp updates mh_padded
     # in place); frozen-snapshot batches superpose hundreds of droplets
     # carving the same channels, and past ~10K total droplets the

@@ -515,3 +515,23 @@ def building_params(cfg: Config):
         "ai_target_player": _dget(b, "ai_target_player", int, 0),
     }
     return bp, extras
+
+
+def load_config_tiered(base_dir: str = "scene_config") -> Config:
+    """The reference's three-tier startup load (3DWorld.cpp:1650-1665):
+    config_pre.txt -> each file listed in defaults.txt (or config.txt if
+    no defaults list) -> config_post.txt.  Missing tiers are nonfatal,
+    like the reference's optional files."""
+    cfg = Config()
+    load_config_file(os.path.join(base_dir, "config_pre.txt"), cfg)
+    defaults = os.path.join(base_dir, "defaults.txt")
+    if os.path.exists(defaults):
+        with open(defaults) as f:
+            for line in f:
+                name = line.split("#")[0].strip()
+                if name:
+                    load_config_file(_resolve(name, base_dir, cfg), cfg)
+    else:
+        load_config_file(os.path.join(base_dir, "config.txt"), cfg)
+    load_config_file(os.path.join(base_dir, "config_post.txt"), cfg)
+    return cfg

@@ -278,3 +278,18 @@ def test_city_building_param_accessors():
     bp, ex = building_params(c)
     assert ex["num_rats_min"] == 5 and ex["ai_target_player"] == 1
     assert bp.num_materials >= 1
+
+
+def test_tiered_config_load(tmp_path):
+    """3DWorld.cpp:1650-1665 three-tier load: config_pre -> defaults.txt
+    list -> config_post, later tiers overriding earlier ones."""
+    from w3d.utils.config import load_config_tiered
+
+    (tmp_path / "config_pre.txt").write_text("gravity 2.0\nmesh_seed 5\n")
+    (tmp_path / "defaults.txt").write_text("main.txt\n")
+    (tmp_path / "main.txt").write_text("gravity 1.5\nntrees 20\n")
+    (tmp_path / "config_post.txt").write_text("ntrees 99\n")
+    c = load_config_tiered(str(tmp_path))
+    assert c.gravity == 1.5        # defaults tier overrides pre
+    assert c.ntrees == 99          # post overrides defaults
+    assert c.mesh_seed == 5        # pre survives where not overridden
