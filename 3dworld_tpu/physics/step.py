@@ -258,6 +258,18 @@ def spatial_sort(state: ObjectState, world: WorldConst, cell: float = 0.1) -> Ob
     return ObjectState(*sorted_all[1:])
 
 
+def _pair_deltas(px, py, pz, vx, vy, vz, radius, mass, elas, active,
+                 window: int = 64):
+    """Backend dispatch: the Pallas roll-shift kernel on TPU (bit-exact,
+    2.4x the XLA fori_loop), the XLA path elsewhere."""
+    if jax.default_backend() == "tpu":
+        from ..ops.pallas.pairs_kernel import banded_pairs_pallas
+        return banded_pairs_pallas(px, py, pz, vx, vy, vz, radius, mass,
+                                   elas, active, window=window)
+    return banded_pair_collisions(px, py, pz, vx, vy, vz, radius, mass,
+                                  elas, active, window=window)
+
+
 def banded_pair_collisions(px, py, pz, vx, vy, vz, radius, mass, elas, active,
                            window: int = 64):
     """Pair collisions against the `window` nearest sorted-order neighbors.
@@ -470,7 +482,7 @@ def _substep(state: ObjectState, env: PhysicsEnv, cobjs: CobjSet | None,
     # --- dynamic object-object collisions (sorted-band broad phase) ---
     if obj_collisions:
         act = alive & (rad >= T.LARGE_OBJ_RAD)
-        dpx, dpy, dpz, dvx, dvy, dvz = banded_pair_collisions(
+        dpx, dpy, dpz, dvx, dvy, dvz = _pair_deltas(
             px, py, pz, vx, vy, vz, rad, mass, elas, act)
         px = px + jnp.where(act, dpx, 0.0)
         py = py + jnp.where(act, dpy, 0.0)
@@ -574,7 +586,7 @@ def step_objects_fused(
         off = outside_mesh(px, py, world)
         if obj_collisions:
             act = alive & (rad >= T.LARGE_OBJ_RAD)
-            dpx, dpy, dpz, dvx, dvy, dvz = banded_pair_collisions(
+            dpx, dpy, dpz, dvx, dvy, dvz = _pair_deltas(
                 px, py, pz, vx, vy, vz, rad, mass, elas, act)
             px = px + jnp.where(act, dpx, 0.0)
             py = py + jnp.where(act, dpy, 0.0)

@@ -109,3 +109,30 @@ def test_pallas_fused_substep_matches_xla():
     for name in ("status", "flags", "time"):
         a, b = getattr(ref, name), getattr(out, name)
         assert int((a != b).sum()) == 0, name
+
+
+def test_pallas_pairs_matches_xla():
+    """Roll-shift banded pairs kernel (interpret mode) is bit-equal to
+    the XLA fori_loop path on a sorted population."""
+    import jax
+    import jax.numpy as jnp
+    from w3d.models import physics_model as PM
+    from w3d.physics.step import banded_pair_collisions, spatial_sort
+    from w3d.ops.pallas.pairs_kernel import banded_pairs_pallas
+    from w3d.utils.constants import WorldConst
+
+    world = WorldConst()
+    sw = PM.build_spheres_world(num_objects=900, world=world,
+                                group_shapes=False)
+    st = spatial_sort(sw.state, world)
+    rad = jnp.full_like(st.px, 0.04)
+    mass = jnp.linspace(0.5, 2.0, 900)
+    elas = jnp.full_like(st.px, 0.5)
+    act = st.status > 0
+    ref = banded_pair_collisions(st.px, st.py, st.pz, st.vx, st.vy, st.vz,
+                                 rad, mass, elas, act, window=48)
+    out = banded_pairs_pallas(st.px, st.py, st.pz, st.vx, st.vy, st.vz,
+                              rad, mass, elas, act, window=48,
+                              interpret=True)
+    for a, b in zip(ref, out):
+        assert float(jnp.abs(a - b).max()) < 1e-6
