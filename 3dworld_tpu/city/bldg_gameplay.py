@@ -65,6 +65,12 @@ _PROPS = {
     RC.F_WHITEBOARD: (50.0, 15.0, True, False, 0.0),
     RC.F_CONF_TABLE: (250.0, 120.0, False, False, 0.0),
     RC.F_VENDING:  (2000.0, 400.0, False, False, 0.0),
+    RC.F_JAIL_BARS: (0.0, 0.0, False, False, 0.0),
+    RC.F_HOSPITAL_BED: (900.0, 180.0, False, False, 0.0),
+    RC.F_MACHINE:  (5000.0, 800.0, False, False, 0.0),
+    RC.F_SERVER_RACK_ROW: (8000.0, 600.0, False, False, 0.0),
+    RC.F_BOOTH:    (400.0, 150.0, False, False, 0.0),
+    RC.F_PARK_SPACE: (0.0, 0.0, False, False, 0.0),
 }
 MAX_CARRY_WEIGHT = 200.0  # lbs, reference player_inventory weight limit
 

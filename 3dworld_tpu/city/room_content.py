@@ -20,14 +20,16 @@ from ..utils.rng import RandGen
 # room types
 (R_HALL, R_BEDROOM, R_BATHROOM, R_KITCHEN, R_LIVING, R_OFFICE, R_DINING,
  R_STORAGE, R_LIBRARY, R_RETAIL, R_SERVER, R_LAUNDRY, R_UTILITY,
- R_CONFERENCE, R_CLASSROOM, R_CAFETERIA, R_GAME) = range(17)
+ R_CONFERENCE, R_CLASSROOM, R_CAFETERIA, R_GAME, R_JAIL, R_HOSPITAL,
+ R_FACTORY, R_DATACENTER, R_RESTAURANT, R_PARKING) = range(23)
 
 # furniture kinds
 (F_BED, F_TOILET, F_SINK, F_TUB, F_COUNTER, F_FRIDGE, F_STOVE, F_TABLE,
  F_CHAIR, F_COUCH, F_TV, F_DESK, F_BOOKCASE, F_SHELF, F_RACK, F_LAMP,
  F_RUG, F_PLANT, F_WARDROBE, F_NIGHTSTAND, F_DRESSER, F_MICROWAVE,
  F_WASHER, F_DRYER, F_WATER_HEATER, F_FURNACE, F_POOL_TABLE,
- F_WHITEBOARD, F_CONF_TABLE, F_VENDING) = range(30)
+ F_WHITEBOARD, F_CONF_TABLE, F_VENDING, F_JAIL_BARS, F_HOSPITAL_BED,
+ F_MACHINE, F_SERVER_RACK_ROW, F_BOOTH, F_PARK_SPACE) = range(36)
 
 # per-room-type furniture recipes: (kind, count, against_wall, w, d, h)
 _RECIPES = {
@@ -61,6 +63,19 @@ _RECIPES = {
                   (F_VENDING, 2, True, 0.12, 0.1, 0.3), (F_COUNTER, 1, True, 0.35, 0.12, 0.18)],
     R_GAME: [(F_POOL_TABLE, 1, False, 0.35, 0.2, 0.14), (F_COUCH, 1, True, 0.4, 0.16, 0.14),
              (F_TV, 1, True, 0.3, 0.06, 0.2)],
+    # specialized building types (building_jail/hospital/factory/
+    # datacenter/restaurant/parking .cpp generators, structural subset)
+    R_JAIL: [(F_JAIL_BARS, 3, True, 0.3, 0.02, 0.3), (F_BED, 2, True, 0.3, 0.2, 0.1),
+             (F_TOILET, 2, True, 0.1, 0.12, 0.1)],
+    R_HOSPITAL: [(F_HOSPITAL_BED, 3, True, 0.3, 0.18, 0.12), (F_COUNTER, 1, True, 0.3, 0.1, 0.18),
+                 (F_SINK, 1, True, 0.1, 0.08, 0.16), (F_CHAIR, 2, False, 0.08, 0.08, 0.14)],
+    R_FACTORY: [(F_MACHINE, 4, False, 0.25, 0.2, 0.3), (F_SHELF, 2, True, 0.3, 0.1, 0.3),
+                (F_COUNTER, 1, True, 0.25, 0.1, 0.18)],
+    R_DATACENTER: [(F_SERVER_RACK_ROW, 6, False, 0.5, 0.12, 0.35),
+                   (F_DESK, 1, True, 0.2, 0.12, 0.14)],
+    R_RESTAURANT: [(F_BOOTH, 4, True, 0.25, 0.15, 0.12), (F_TABLE, 3, False, 0.15, 0.15, 0.12),
+                   (F_CHAIR, 6, False, 0.08, 0.08, 0.12), (F_COUNTER, 1, True, 0.35, 0.12, 0.18)],
+    R_PARKING: [(F_PARK_SPACE, 8, False, 0.22, 0.45, 0.005)],
 }
 
 # bedroom upgrades: wardrobe/nightstand/dresser join the base recipe
@@ -91,9 +106,11 @@ def assign_room_types(interior, rg: RandGen, is_office_bldg: bool = False):
             continue
         area = r.area
         if is_office_bldg:
-            roll = rg.rand() % 12
+            roll = rg.rand() % 16
             types.append({0: R_SERVER, 1: R_STORAGE, 2: R_CONFERENCE,
-                          3: R_CLASSROOM, 4: R_CAFETERIA}.get(roll, R_OFFICE))
+                          3: R_CLASSROOM, 4: R_CAFETERIA, 5: R_DATACENTER,
+                          6: R_RESTAURANT,
+                          7: R_HOSPITAL}.get(roll, R_OFFICE))
             continue
         if area < 0.02:
             types.append(R_BATHROOM)

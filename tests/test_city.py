@@ -278,7 +278,7 @@ def test_expanded_room_catalog_and_asteroid_field():
         ro = RC.furnish_rooms(i, 0.08, seed, is_office_bldg=(seed % 2 == 0))
         seen_t.update(ro.room_types)
         seen_k.update(ro.kinds)
-    assert len(seen_t) >= 10 and len(seen_k) >= 15
+    assert len(seen_t) >= 12 and len(seen_k) >= 18
     for k in seen_k:
         assert k in BG._PROPS          # every kind has gameplay props
 
