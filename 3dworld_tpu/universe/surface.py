@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import noise as N
+from ..utils.rng import RandGen
 
 
 @functools.partial(jax.jit, static_argnames=("nlat", "nlon"))
@@ -63,3 +64,33 @@ def surface_color(heights, water_mask, temp: float):
     g = jnp.where(water_mask, 0.2, jnp.where(snow, 0.9, land_g))
     b = jnp.where(water_mask, 0.55, jnp.where(snow, 0.95, land_b))
     return jnp.stack([r, g, b])
+
+
+def add_craters(heights, seed: int = 0, num: int = 24,
+                max_radius: float = 0.12, depth: float = 0.35):
+    """Crater displacement on the spherical heightmap (the reference
+    renders craters in the planet fragment shader, craters.part via
+    HAS_CRATERS, Universe.cpp:278-283; here they displace the surface
+    geometry instead): classic bowl + raised-rim radial profile at
+    hashed lat/lon centers, sizes log-distributed, one vectorized pass.
+    heights: [nlat, nlon] in planet-radius units."""
+    h = jnp.asarray(heights, jnp.float32)
+    nlat, nlon = h.shape
+    rg = RandGen(seed + 17, 5 * seed + 29)
+    lat = jnp.linspace(0.0, np.pi, nlat)[:, None]
+    lon = jnp.linspace(0.0, 2.0 * np.pi, nlon, endpoint=False)[None, :]
+    for _ in range(num):
+        clat = rg.rand_uniform(0.15, np.pi - 0.15)
+        clon = rg.rand_uniform(0.0, 2.0 * np.pi)
+        r = max_radius * float(np.exp(rg.rand_uniform(-2.0, 0.0)))
+        # great-circle angular distance to the crater center
+        cosd = (jnp.sin(lat) * np.sin(clat) * jnp.cos(lon - clon)
+                + jnp.cos(lat) * np.cos(clat))
+        ang = jnp.arccos(jnp.clip(cosd, -1.0, 1.0))
+        t = ang / r
+        # bowl (t<1): depth*(t^2-1); rim (1<t<1.6): raised lip fading out
+        bowl = depth * r * (t * t - 1.0)
+        rim = 0.25 * depth * r * jnp.maximum(1.0 - (t - 1.0) / 0.6, 0.0)
+        prof = jnp.where(t < 1.0, bowl, jnp.where(t < 1.6, rim, 0.0))
+        h = h + prof
+    return h

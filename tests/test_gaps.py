@@ -479,3 +479,36 @@ def test_smiley_waypoint_navigation():
         s, pos = GG.follow_paths(s, wx, wy, plen, pos, speed=0.02)
     d1 = float(jnp.sqrt((s.x - s.tx) ** 2 + (s.y - s.ty) ** 2).mean())
     assert d1 < d0 and (np.asarray(pos) > 0).any()
+
+
+def test_player_physics_and_craters():
+    """Camera sphere walking (proc_sphere_coll / set_true_obj_height):
+    rests on cobj tops, never tunnels, jumps; planet craters displace
+    the spherical heightmap with bowls + rims."""
+    import jax.numpy as jnp
+    import numpy as np
+    from w3d.gameplay import player as PL
+    from w3d.models import physics_model as PM
+    from w3d.universe.surface import add_craters
+    from w3d.utils.constants import WorldConst
+
+    world = WorldConst()
+    sw = PM.build_spheres_world(num_objects=10, world=world)
+    mesh = sw.env.mesh_height
+    p = PL.make_player(3.5, 3.5, 1.0)
+    for _ in range(80):
+        p = PL.step_player(p, mesh, sw.cobjs, 0.0, 0.0, False, world=world)
+    assert bool(p.on_ground[0])                    # rests on the cube top
+    assert abs(float(p.z[0]) - 0.045) < 0.03
+    for _ in range(200):                           # walk across the scene
+        p = PL.step_player(p, mesh, sw.cobjs, -1.0, -1.0, False, world=world)
+    assert float(p.z[0]) >= -0.05                  # no tunneling into cobjs
+    z0 = float(p.z[0])
+    p = PL.step_player(p, mesh, sw.cobjs, 0.0, 0.0, True, world=world)
+    for _ in range(3):
+        p = PL.step_player(p, mesh, sw.cobjs, 0.0, 0.0, False, world=world)
+    assert float(p.z[0]) > z0 + 0.01               # jumped
+
+    h2 = np.asarray(add_craters(jnp.zeros((64, 128)), seed=3))
+    assert h2.min() < -0.005 and h2.max() > 0.001  # bowls + rims
+    assert (np.asarray(add_craters(jnp.zeros((64, 128)), seed=3)) == h2).all()
