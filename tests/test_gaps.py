@@ -503,11 +503,17 @@ def test_player_physics_and_craters():
     for _ in range(200):                           # walk across the scene
         p = PL.step_player(p, mesh, sw.cobjs, -1.0, -1.0, False, world=world)
     assert float(p.z[0]) >= -0.05                  # no tunneling into cobjs
-    z0 = float(p.z[0])
-    p = PL.step_player(p, mesh, sw.cobjs, 0.0, 0.0, True, world=world)
+    # jump from a settled stance (walking can end leaning on a sphere,
+    # where the deepest hit's sideways normal isn't a standing surface)
+    p2 = PL.make_player(3.5, 3.5, 0.5)
+    for _ in range(60):
+        p2 = PL.step_player(p2, mesh, sw.cobjs, 0.0, 0.0, False, world=world)
+    z0 = float(p2.z[0])
+    assert bool(p2.on_ground[0])
+    p2 = PL.step_player(p2, mesh, sw.cobjs, 0.0, 0.0, True, world=world)
     for _ in range(3):
-        p = PL.step_player(p, mesh, sw.cobjs, 0.0, 0.0, False, world=world)
-    assert float(p.z[0]) > z0 + 0.01               # jumped
+        p2 = PL.step_player(p2, mesh, sw.cobjs, 0.0, 0.0, False, world=world)
+    assert float(p2.z[0]) > z0 + 0.01              # jumped
 
     h2 = np.asarray(add_craters(jnp.zeros((64, 128)), seed=3))
     assert h2.min() < -0.005 and h2.max() > 0.001  # bowls + rims
