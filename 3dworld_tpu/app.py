@@ -24,12 +24,18 @@ import numpy as np
 def run_ground(config: str, frames: int, num_objects: int):
     from .scene.loader import load_scene
     from .models.world import ground_frame
+    from .gameplay import player as PL
     scene = load_scene(config, num_objects=num_objects)
+    ply = PL.make_player(0.0, 0.0, 1.0)
     for i in range(frames):
         t0 = time.perf_counter()
         scene = ground_frame(scene)
+        # the player walks a small circle through the scene
+        ply = PL.step_player(ply, scene.env.mesh_height, scene.cobjs,
+                             np.cos(0.2 * i), np.sin(0.2 * i), False)
         live = int((np.asarray(scene.objects.status) > 0).sum())
         print(json.dumps({"frame": i, "mode": "ground", "live": live,
+                          "player_z": round(float(ply.z[0]), 3),
                           "ms": round((time.perf_counter() - t0) * 1e3, 1)}))
     return scene
 

@@ -19,6 +19,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import functools
+
 from ..utils.constants import WorldConst, DEFAULT_WORLD
 from ..physics.step import sample_mesh, outside_mesh
 from ..physics.cobjs import deepest_hits, deepest_hits_grouped, GroupedCobjs
@@ -41,6 +43,9 @@ def make_player(x=0.0, y=0.0, z=1.0) -> PlayerState:
                        jnp.asarray([False]))
 
 
+@functools.partial(jax.jit, static_argnames=("dt", "world", "camera_radius",
+                                             "camera_height", "step_height",
+                                             "speed"))
 def step_player(p: PlayerState, mesh, cobjs, move_x, move_y, jump,
                 dt: float = 0.05, world: WorldConst = DEFAULT_WORLD,
                 camera_radius: float = 0.045, camera_height: float = 0.08,

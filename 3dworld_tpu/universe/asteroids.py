@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import noise as NZ
-from ..physics.step import morton_key, banded_pair_collisions
+from ..physics.step import morton_key, _pair_deltas
 
 AST_VEL_SCALE = 0.002
 AST_ROT_MAX = 0.02
@@ -93,7 +93,7 @@ def step_asteroid_field(f: AsteroidField, field_radius, dt,
     px, py, pz, vx, vy, vz, rad, rot, rr, rs = srt[1:]
     mass = rad ** 3
     act = jnp.ones_like(px, bool)
-    dpx, dpy, dpz, dvx, dvy, dvz = banded_pair_collisions(
+    dpx, dpy, dpz, dvx, dvy, dvz = _pair_deltas(
         px, py, pz, vx, vy, vz, rad, mass, jnp.ones_like(px), act,
         window=window)
     return AsteroidField(
