@@ -518,3 +518,64 @@ def test_player_physics_and_craters():
     h2 = np.asarray(add_craters(jnp.zeros((64, 128)), seed=3))
     assert h2.min() < -0.005 and h2.max() > 0.001  # bowls + rims
     assert (np.asarray(add_craters(jnp.zeros((64, 128)), seed=3)) == h2).all()
+
+
+def test_full_gameplay_frame_integration():
+    """The complete FPS loop across subsystems: fire a rocket, fly it
+    into the scene through physics, explode on contact
+    (update_game_frame), blast damage + fragments, score credit, blood
+    decals into the pool, smoke puff into the cloud pool."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from w3d.models import physics_model as PM
+    from w3d.physics import step as PS, types as T, destroy as PD
+    from w3d.physics import particles as PT2
+    from w3d.gameplay import game as GG, frame as GF
+    from w3d.utils.constants import WorldConst
+
+    world = WorldConst()
+    sw = PM.build_spheres_world(num_objects=64, world=world,
+                                group_shapes=False)
+    st = sw.state
+    # fire a rocket straight down from above the ground cube
+    free = np.where(np.asarray(st.status) == 0)[0]
+    if len(free) == 0:
+        st = st._replace(status=st.status.at[0].set(0))
+        free = np.asarray([0])
+    widx = next(i for i, w in enumerate(GG.WEAPONS) if w[1] == "ROCKET")
+    st = GG.fire_weapon(st, free, widx, (0.0, 0.0, 1.0), (0.0, 0.0, -1.0),
+                        sw.table)
+    rocket = int(free[0])
+    # fly until collision flags set
+    for _ in range(60):
+        st = PS.step_objects(st, sw.env, sw.cobjs, sw.table, substeps=4,
+                             world=world, obj_collisions=False)
+        if int(np.asarray(st.flags)[rocket]) & T.FL_COLLIDED:
+            break
+    assert int(np.asarray(st.flags)[rocket]) & T.FL_COLLIDED
+
+    ds = PD.DestroyState(jnp.zeros((world.mesh_y, world.mesh_x)))
+    res = GF.update_game_frame(st, sw.cobjs, ds, sw.table,
+                               key=jax.random.key(3))
+    assert len(res.explosions) >= 1            # the rocket exploded
+    assert int(np.asarray(res.state.status)[rocket]) == 0  # projectile died
+
+    # credit the kill + splatter blood + puff smoke
+    sc = GG.make_scores(2)
+    sc = GG.credit_damage(sc, jnp.asarray([0]), jnp.asarray([400.0]),
+                          jnp.asarray([True]))
+    assert int(sc.kills[0]) == 1
+    decals = PT2.make_decals(8)
+    hit = np.zeros(64, bool)
+    hit[rocket] = True
+    decals = GG.spawn_blood_decals(decals, res.state, hit, jax.random.key(1))
+    assert int(decals.status.sum()) == 1
+    clouds = PT2.make_clouds(8)
+    ex = res.explosions[0]
+    clouds = PT2.spawn_clouds(clouds, jnp.asarray([ex[0]]),
+                              jnp.asarray([ex[1]]), jnp.asarray([ex[2]]),
+                              jnp.zeros(1), jnp.zeros(1), jnp.asarray([0.3]),
+                              jnp.asarray([ex[3] * 0.5]), jnp.ones(1),
+                              jnp.ones(1), jnp.zeros(1))
+    assert int(clouds.status.sum()) == 1
