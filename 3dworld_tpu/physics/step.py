@@ -258,11 +258,21 @@ def spatial_sort(state: ObjectState, world: WorldConst, cell: float = 0.1) -> Ob
     return ObjectState(*sorted_all[1:])
 
 
+def _on_tpu() -> bool:
+    """Where will this trace execute?  Honors jax.default_device(...)
+    contexts (jax.default_backend() alone ignores them, which broke
+    mixed-device runs like scripts/tpu_parity_check.py)."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", str(dev)) == "tpu"
+    return jax.default_backend() == "tpu"
+
+
 def _pair_deltas(px, py, pz, vx, vy, vz, radius, mass, elas, active,
                  window: int = 64):
     """Backend dispatch: the Pallas roll-shift kernel on TPU (bit-exact,
     2.4x the XLA fori_loop), the XLA path elsewhere."""
-    if jax.default_backend() == "tpu":
+    if _on_tpu():
         from ..ops.pallas.pairs_kernel import banded_pairs_pallas
         return banded_pairs_pallas(px, py, pz, vx, vy, vz, radius, mass,
                                    elas, active, window=window)
