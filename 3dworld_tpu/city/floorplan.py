@@ -49,6 +49,7 @@ class Interior:
     walls: list = field(default_factory=list)   # (x1,y1,z1,x2,y2,z2)
     doors: list = field(default_factory=list)   # (x, y, z, dim)
     stairs: list = field(default_factory=list)  # (x1,y1,x2,y2,floor)
+    elevators: list = field(default_factory=list)  # (x1,y1,x2,y2) shafts (all floors)
     num_floors: int = 1
 
 
@@ -98,6 +99,12 @@ def gen_interior(part, num_floors: int, floor_height: float, seed: int,
     sx = x1 + rg.rand_uniform(0.1, 0.7) * w
     sy = y1 + rg.rand_uniform(0.1, 0.7) * h
     s_sz = 3.0 * floor_height
+    # elevator shaft next to the stairwell in buildings tall enough
+    # (building_floorplan adds stacked elevators; >= 3 floors here)
+    if num_floors >= 3:
+        ex = min(sx + s_sz + wall_t, x2 - 1.5 * fh)
+        out.elevators.append((ex, sy, min(ex + 1.2 * fh, x2),
+                              min(sy + 1.2 * fh, y2)))
 
     for fl in range(num_floors):
         z = z1 + fl * floor_height
@@ -161,3 +168,46 @@ def gen_building_interiors(buildings, params, seed: int = 1):
                                   has_basement=(rg.randd() < 0.3),
                                   has_attic=(b.roof_type == 1))
     return buildings
+
+
+# ---------------------------------------------------------------------------
+# elevator car state machine (the reference's elevator_t + the
+# player_in_elevator states 0=out 1=in 2=doors closed 3=moving,
+# building_gameplay.cpp:17)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ElevatorCar:
+    """One car in a shaft: floor-to-floor travel with door timing."""
+
+    z: float = 0.0               # car height in floor units
+    target: int = 0              # destination floor
+    state: int = 0               # 0 idle(open), 1 closing, 2 moving, 3 opening
+    timer: int = 0
+    DOOR_TICKS: int = 20
+    SPEED: float = 0.05          # floors per tick
+
+    def call(self, floor: int):
+        if self.state == 0 and floor != round(self.z):
+            self.target = floor
+            self.state = 1
+            self.timer = self.DOOR_TICKS
+
+    def step(self):
+        if self.state == 1:          # doors closing
+            self.timer -= 1
+            if self.timer <= 0:
+                self.state = 2
+        elif self.state == 2:        # moving
+            d = self.target - self.z
+            if abs(d) <= self.SPEED:
+                self.z = float(self.target)
+                self.state = 3
+                self.timer = self.DOOR_TICKS
+            else:
+                self.z += self.SPEED if d > 0 else -self.SPEED
+        elif self.state == 3:        # doors opening
+            self.timer -= 1
+            if self.timer <= 0:
+                self.state = 0
+        return self.state

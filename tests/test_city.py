@@ -311,3 +311,30 @@ def test_parks_assignment():
     # ratio 0 disables parks entirely
     b0, p0 = assign_parks(blocks, 0, seed=1)
     assert not p0 and len(b0) == 40
+
+
+def test_elevators():
+    """building_floorplan stacked elevators + the elevator_t car state
+    machine (idle -> doors closing -> moving -> doors opening -> idle,
+    the player_in_elevator states of building_gameplay.cpp:17)."""
+    from w3d.city import floorplan as CF
+
+    i = CF.gen_interior((0.0, 0.0, 0.0, 0.6, 0.45, 0.4), 4, 0.08, seed=5)
+    assert len(i.elevators) == 1           # tall building gets a shaft
+    (x1, y1, x2, y2) = i.elevators[0]
+    assert x2 > x1 and y2 > y1
+    i2 = CF.gen_interior((0.0, 0.0, 0.0, 0.6, 0.45, 0.4), 2, 0.08, seed=5)
+    assert len(i2.elevators) == 0          # short building: stairs only
+
+    e = CF.ElevatorCar()
+    e.call(3)
+    states = set()
+    for _ in range(200):
+        states.add(e.step())
+    assert e.z == 3.0 and states == {0, 1, 2, 3}
+    e.call(3)                              # already there: stays idle
+    assert e.state == 0
+    e.call(1)                              # new trip down
+    for _ in range(200):
+        e.step()
+    assert e.z == 1.0 and e.state == 0
