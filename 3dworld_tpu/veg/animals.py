@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-A_BIRD, A_FISH, A_BUTTERFLY, A_RAT, A_SPIDER, A_SNAKE = range(6)
+A_BIRD, A_FISH, A_BUTTERFLY, A_RAT, A_SPIDER, A_SNAKE, A_FLY = range(7)
 
 
 class AnimalState(NamedTuple):
@@ -231,3 +231,49 @@ def step_snakes(s: SnakeState, key, bounds, seg_gap: float = 0.02,
     sx = sx.at[:, 0].set(head_x)
     sy = sy.at[:, 0].set(head_y)
     return s._replace(sx=sx, sy=sy, hx=hx, hy=hy)
+
+
+# ---------------------------------------------------------------------------
+# flies + tank fish (building_animals.cpp flies; building_fish.cpp fish
+# constrained to tanks / flooded rooms) — thin bounded-flock wrappers
+# ---------------------------------------------------------------------------
+
+def make_flies(key, n: int, center, spread: float = 0.05) -> AnimalState:
+    """A fly swarm buzzing around an attractor (trash/food): tiny
+    erratic boids homed on `center`."""
+    a = make_animals(key, n, A_FLY, center=center, spread=spread)
+    return a._replace(vx=a.vx * 3.0, vy=a.vy * 3.0, vz=a.vz * 5.0)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def step_flies(a: AnimalState, key, center, spread: float = 0.08):
+    """Erratic jitter + strong homing; flies never wander far from the
+    attractor (register_fly_attract semantics)."""
+    n = a.px.shape[0]
+    k1, k2, k3 = jax.random.split(key, 3)
+    jx = 0.004 * jax.random.normal(k1, (n,))
+    jy = 0.004 * jax.random.normal(k2, (n,))
+    jz = 0.004 * jax.random.normal(k3, (n,))
+    hx = (center[0] - a.px) * 0.02
+    hy = (center[1] - a.py) * 0.02
+    hz = (center[2] - a.pz) * 0.02
+    vx = jnp.clip(0.9 * a.vx + jx + hx, -0.02, 0.02)
+    vy = jnp.clip(0.9 * a.vy + jy + hy, -0.02, 0.02)
+    vz = jnp.clip(0.9 * a.vz + jz + hz, -0.02, 0.02)
+    return a._replace(px=a.px + vx, py=a.py + vy, pz=a.pz + vz,
+                      vx=vx, vy=vy, vz=vz)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def step_tank_fish(a: AnimalState, bounds, sep_r: float = 0.02,
+                   max_speed: float = 0.005):
+    """Fish schooling inside a box (pet-store tanks / flooded rooms,
+    building_fish.cpp): the flock step plus hard wall reflection."""
+    x1, y1, z1, x2, y2, z2 = bounds
+    a = step_flock(a, z1, z2, sep_r=sep_r, coh_r=0.2, max_speed=max_speed,
+                   home=(0.5 * (x1 + x2), 0.5 * (y1 + y2)))
+    vx = jnp.where((a.px < x1) | (a.px > x2), -a.vx, a.vx)
+    vy = jnp.where((a.py < y1) | (a.py > y2), -a.vy, a.vy)
+    vz = jnp.where((a.pz < z1) | (a.pz > z2), -a.vz, a.vz)
+    return a._replace(px=jnp.clip(a.px, x1, x2), py=jnp.clip(a.py, y1, y2),
+                      pz=jnp.clip(a.pz, z1, z2), vx=vx, vy=vy, vz=vz)

@@ -141,3 +141,31 @@ def test_ground_fire_spread():
     blk = blk._replace(x=blk.x.at[0].set(wx), y=blk.y.at[0].set(wy))
     blk = G.scorch_grass(blk, gf, world)
     assert float(blk.burn[0]) > 0.0       # field-driven scorching applies
+
+
+def test_flies_and_tank_fish():
+    """building_animals.cpp flies (attractor swarms) + building_fish.cpp
+    fish constrained to tank volumes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from w3d.veg import animals as A
+
+    key = jax.random.key(0)
+    flies = A.make_flies(key, 32, (1.0, 1.0, 0.5))
+    for i in range(200):
+        flies = A.step_flies(flies, jax.random.fold_in(key, i),
+                             jnp.asarray([1.0, 1.0, 0.5]))
+    d = np.sqrt((np.asarray(flies.px) - 1) ** 2
+                + (np.asarray(flies.py) - 1) ** 2
+                + (np.asarray(flies.pz) - 0.5) ** 2)
+    assert d.max() < 0.4                   # swarm stays at the attractor
+    assert d.std() > 1e-4                  # ...but buzzes, not frozen
+
+    fish = A.make_animals(key, 16, A.A_FISH, center=(0.5, 0.5, 0.25),
+                          spread=0.1)
+    for _ in range(300):
+        fish = A.step_tank_fish(fish, (0.0, 0.0, 0.0, 1.0, 1.0, 0.5))
+    for arr, lo, hi in ((fish.px, 0, 1), (fish.py, 0, 1), (fish.pz, 0, 0.5)):
+        a = np.asarray(arr)
+        assert (a >= lo - 1e-6).all() and (a <= hi + 1e-6).all()
