@@ -1,0 +1,76 @@
+"""Flooded basements (building_water.cpp).
+
+The reference floods extended basements to a per-building water level:
+the water volume spans the floor below the level (`get_floor_below_
+water_level`, building_water.cpp:177-241), objects in it float or
+drown, the player wades slower and takes an oxygen drain underwater.
+
+Model: per-building water state with leak inflow and pump/drain
+outflow; the level maps to (floor index, fraction); helpers answer the
+queries gameplay needs (is a point underwater, wade speed factor,
+float height for buoyant room objects).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+WADE_SLOW = 0.45          # speed factor when wading (reference slows the player)
+OXYGEN_DRAIN = 0.004      # per tick fully submerged
+
+
+@dataclass
+class BasementWater:
+    """Water level in a building's basement stack."""
+
+    floor_height: float
+    basement_z1: float            # bottom of the deepest basement level
+    num_levels: int = 1           # basement floors below ground
+    level: float = 0.0            # water depth above basement_z1
+    leak_rate: float = 0.0        # inflow per tick
+    drain_rate: float = 0.0      # pump outflow per tick
+
+    @property
+    def water_z(self) -> float:
+        return self.basement_z1 + self.level
+
+    @property
+    def max_level(self) -> float:
+        return self.num_levels * self.floor_height
+
+    def floor_below_water(self) -> int:
+        """get_floor_below_water_level: index (0 = deepest basement)."""
+        return int(min(self.level // self.floor_height,
+                       self.num_levels - 1))
+
+    def step(self, dt: float = 1.0):
+        self.level = float(np.clip(
+            self.level + (self.leak_rate - self.drain_rate) * dt,
+            0.0, self.max_level))
+        return self.level
+
+    def is_underwater(self, z: float, margin: float = 0.0) -> bool:
+        return z + margin < self.water_z and self.level > 1e-6
+
+    def wade_factor(self, z_feet: float, height: float) -> float:
+        """Player speed factor: 1 when dry, WADE_SLOW when waist-deep+."""
+        depth = self.water_z - z_feet
+        if depth <= 0 or self.level <= 1e-6:
+            return 1.0
+        frac = min(depth / max(0.5 * height, 1e-6), 1.0)
+        return 1.0 - (1.0 - WADE_SLOW) * frac
+
+    def float_z(self, obj_density: float, obj_radius: float) -> float:
+        """Resting height of a buoyant sphere on the basement water
+        (check_water_collision's float line: z = wpz + r*(1-2*density))."""
+        return self.water_z + obj_radius * (1.0 - 2.0 * obj_density)
+
+
+def oxygen_tick(oxygen: float, head_z: float, bw: BasementWater) -> float:
+    """Player oxygen: drains fully submerged, recovers above water
+    (player_inventory_t oxygen handling)."""
+    if bw.is_underwater(head_z):
+        return max(oxygen - OXYGEN_DRAIN, 0.0)
+    return min(oxygen + 2.0 * OXYGEN_DRAIN, 1.0)

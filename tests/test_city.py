@@ -338,3 +338,39 @@ def test_elevators():
     for _ in range(200):
         e.step()
     assert e.z == 1.0 and e.state == 0
+
+
+def test_flooded_basements():
+    """building_water.cpp: rising basement water with floor-below-level
+    query, wading slowdown, buoyant float height, oxygen drain."""
+    from w3d.city.building_water import BasementWater, oxygen_tick, WADE_SLOW
+
+    bw = BasementWater(floor_height=0.8, basement_z1=-1.6, num_levels=2,
+                       leak_rate=0.05)
+    for _ in range(10):
+        bw.step()
+    assert abs(bw.level - 0.5) < 1e-6
+    assert bw.floor_below_water() == 0          # still in the deepest level
+    for _ in range(10):
+        bw.step()
+    assert bw.floor_below_water() == 1          # flooded past floor 0
+    for _ in range(100):
+        bw.step()
+    assert bw.level == bw.max_level             # capped at ground level
+
+    assert bw.is_underwater(-0.5) and not bw.is_underwater(0.5)
+    assert bw.wade_factor(5.0, 0.2) == 1.0      # dry: full speed
+    assert abs(bw.wade_factor(-1.6, 0.2) - WADE_SLOW) < 1e-6  # submerged
+    fz = bw.float_z(obj_density=0.2, obj_radius=0.05)
+    assert fz > bw.water_z                      # light objects ride high
+    ox = 1.0
+    for _ in range(50):
+        ox = oxygen_tick(ox, -0.5, bw)
+    assert ox < 1.0                             # draining underwater
+    ox2 = oxygen_tick(ox, 0.5, bw)
+    assert ox2 > ox                             # recovering above water
+    # pump it out
+    bw.leak_rate, bw.drain_rate = 0.0, 0.2
+    for _ in range(20):
+        bw.step()
+    assert bw.level == 0.0 and not bw.is_underwater(-1.5)
