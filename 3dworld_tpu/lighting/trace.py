@@ -49,6 +49,8 @@ class TraceParams(NamedTuple):
     water_plane_z: float = -1.0e9
     specular_enabled: bool = True
     mesh_steps: int = 24           # heightfield-march samples per ray
+    exact_mesh: bool = False       # DDA cell-walking intersect (exact,
+                                   # ~2x the cost of the sampled march)
 
 
 def _luminance(r, g, b):
@@ -98,8 +100,13 @@ def trace_batch(
         tmax = jnp.full((N,), LL)
         chit, ct, cnx, cny, cnz, coh = R.ray_cobjs_nearest(
             ox, oy, oz, dx, dy, dz, tmax, cobjs)
-        mhit, mt = R.ray_heightfield(ox, oy, oz, dx, dy, dz, tmax, mesh, world,
-                                     num_steps=params.mesh_steps)
+        if params.exact_mesh:
+            mhit, mt = R.ray_heightfield_dda(ox, oy, oz, dx, dy, dz, tmax,
+                                             mesh, world,
+                                             max_cells=4 * params.mesh_steps)
+        else:
+            mhit, mt = R.ray_heightfield(ox, oy, oz, dx, dy, dz, tmax, mesh,
+                                         world, num_steps=params.mesh_steps)
         use_mesh = mhit & (~chit | (mt < ct))
         hit = chit | mhit
         t = jnp.where(use_mesh, mt, ct)

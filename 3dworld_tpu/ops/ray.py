@@ -235,3 +235,106 @@ def cosine_hemisphere_dirs(key, nx, ny, nz, shape):
     vz = nz + rz / rl
     vl = jnp.sqrt(vx * vx + vy * vy + vz * vz) + _EPS
     return vx / vl, vy / vl, vz / vl
+
+
+def ray_heightfield_dda(ox, oy, oz, dx, dy, dz, tmax, mesh,
+                        world: WorldConst, max_cells: int = 64):
+    """Exact cell-walking ray-vs-heightfield intersection.
+
+    The reference's `mesh_intersector` (mesh_intersect.h:21,
+    mesh_intersect.cpp:248-256) visits mesh cells along the ray and
+    intersects exactly within each; this is that traversal as a
+    fixed-iteration DDA: per step, fetch the cell's 4 corners (one-hot
+    matmuls), solve the quadratic z(t) = h_bilinear(t) on [t_entry,
+    t_exit], advance to the next cell boundary otherwise.  Exact for
+    rays crossing <= max_cells cells (no thin-feature misses, unlike
+    the fixed-sampling `ray_heightfield`).  Returns (hit [N], t [N]).
+    """
+    from ..physics.step import _bilinear_onehots  # noqa: F401 (same module family)
+
+    my, mx = mesh.shape
+    N = ox.shape[0]
+    gx0 = ox * world.dx_inv + mx // 2
+    gy0 = oy * world.dy_inv + my // 2
+    gdx = dx * world.dx_inv
+    gdy = dy * world.dy_inv
+    ar_x = jnp.arange(mx, dtype=jnp.float32)[None, :]
+    ar_y = jnp.arange(my, dtype=jnp.float32)[None, :]
+
+    def corners(cx, cy):
+        ohx0 = (cx[:, None] == ar_x).astype(jnp.float32)
+        ohx1 = (cx[:, None] + 1 == ar_x).astype(jnp.float32)
+        ohy0 = (cy[:, None] == ar_y).astype(jnp.float32)
+        ohy1 = (cy[:, None] + 1 == ar_y).astype(jnp.float32)
+        r0 = jnp.einsum("ny,yx->nx", ohy0, mesh,
+                        preferred_element_type=jnp.float32)
+        r1 = jnp.einsum("ny,yx->nx", ohy1, mesh,
+                        preferred_element_type=jnp.float32)
+        return (jnp.sum(r0 * ohx0, -1), jnp.sum(r0 * ohx1, -1),
+                jnp.sum(r1 * ohx0, -1), jnp.sum(r1 * ohx1, -1))
+
+    eps = 1e-5
+
+    def body(carry, _):
+        t, found, t_hit = carry
+        # current cell
+        px = gx0 + t * gdx
+        py = gy0 + t * gdy
+        cx = jnp.floor(px)
+        cy = jnp.floor(py)
+        inside = (cx >= 0) & (cx < mx - 1) & (cy >= 0) & (cy < my - 1)
+        cxc = jnp.clip(cx, 0, mx - 2)
+        cyc = jnp.clip(cy, 0, my - 2)
+        h00, h10, h01, h11 = corners(cxc, cyc)
+        # exit t: next x / y cell boundary
+        tx = jnp.where(gdx > eps, (cx + 1 - gx0) / jnp.where(gdx == 0, 1, gdx),
+                       jnp.where(gdx < -eps, (cx - gx0) / jnp.where(gdx == 0, 1, gdx),
+                                 jnp.inf))
+        ty = jnp.where(gdy > eps, (cy + 1 - gy0) / jnp.where(gdy == 0, 1, gdy),
+                       jnp.where(gdy < -eps, (cy - gy0) / jnp.where(gdy == 0, 1, gdy),
+                                 jnp.inf))
+        t_exit = jnp.minimum(jnp.minimum(tx, ty), tmax)
+        # f(t) = z(t) - h(x(t), y(t)); h bilinear -> f quadratic in t
+        # local coords u = px - cx + s*gdx, v = py - cy + s*gdy, s = t' - t
+        u0 = px - cxc
+        v0 = py - cyc
+        a_h = (h00 - h10 - h01 + h11)
+        # h(u, v) = h00 + (h10-h00) u + (h01-h00) v + a_h u v
+        # f(s) = (oz + (t+s) dz) - h(u0+s gdx, v0+s gdy)
+        c0 = (oz + t * dz) - (h00 + (h10 - h00) * u0 + (h01 - h00) * v0
+                              + a_h * u0 * v0)
+        c1 = dz - ((h10 - h00) * gdx + (h01 - h00) * gdy
+                   + a_h * (u0 * gdy + v0 * gdx))
+        c2 = -a_h * gdx * gdy
+        # solve c2 s^2 + c1 s + c0 = 0 on s in [0, t_exit - t]
+        smax = jnp.maximum(t_exit - t, 0.0)
+        disc = c1 * c1 - 4.0 * c2 * c0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        is_quad = jnp.abs(c2) > 1e-12
+        s_lin = jnp.where(jnp.abs(c1) > 1e-12, -c0 / jnp.where(c1 == 0, 1, c1),
+                          jnp.inf)
+        q = -0.5 * (c1 + jnp.sign(c1) * sq)
+        r1_ = jnp.where(is_quad, q / jnp.where(c2 == 0, 1, c2), s_lin)
+        r2_ = jnp.where(is_quad & (jnp.abs(q) > 1e-20),
+                        c0 / jnp.where(q == 0, 1, q), jnp.inf)
+        ok1 = (disc >= 0) & (r1_ >= 0) & (r1_ <= smax)
+        ok2 = (disc >= 0) & (r2_ >= 0) & (r2_ <= smax)
+        s_hit = jnp.where(ok1 & ok2, jnp.minimum(r1_, r2_),
+                          jnp.where(ok1, r1_, jnp.where(ok2, r2_, jnp.inf)))
+        # an origin already below the surface counts as an immediate hit
+        started_below = (c0 < 0.0)
+        s_hit = jnp.where(started_below, 0.0, s_hit)
+        new_hit = inside & ~found & jnp.isfinite(s_hit) & (t + s_hit <= tmax)
+        t_hit = jnp.where(new_hit, t + s_hit, t_hit)
+        found = found | new_hit
+        # monotonic advance: f32 boundary times can round to just BEHIND
+        # the current t (cells whose crossing we already passed), which
+        # would reset t to the same value forever — always move forward
+        t = jnp.where(found, t, jnp.maximum(t + eps, t_exit + eps))
+        done_off = ~inside & ((t > tmax) | (~jnp.isfinite(t_exit)))
+        found_or_done = found | done_off
+        return (t, found, t_hit), None
+
+    init = (jnp.zeros(N), jnp.zeros(N, bool), jnp.full((N,), _BIG))
+    (t, found, t_hit), _ = jax.lax.scan(body, init, None, length=max_cells)
+    return found, t_hit

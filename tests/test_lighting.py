@@ -113,3 +113,52 @@ def test_lightgrid_io_roundtrip(tmp_path):
     g2 = L.load_npz(p)
     np.testing.assert_array_equal(np.asarray(grid.sc_r), np.asarray(g2.sc_r))
     assert float(g2.dz) == float(grid.dz)
+
+
+def test_dda_heightfield_exact():
+    """mesh_intersector equivalent (mesh_intersect.cpp:248): the DDA
+    cell walk matches a dense-sampling oracle exactly on hit masks and
+    to sampling resolution on t; the fixed-step march misses thin
+    features the DDA catches."""
+    import numpy as np
+    import jax.numpy as jnp
+    from w3d.ops.ray import ray_heightfield, ray_heightfield_dda
+    from w3d.utils.constants import WorldConst
+
+    world = WorldConst(mesh_x=64, mesh_y=64)
+    rng = np.random.default_rng(0)
+    mesh_np = (0.3 * rng.standard_normal((64, 64))).astype(np.float32)
+    mesh = jnp.asarray(mesh_np)
+
+    def bilin(x, y):
+        gx = np.clip(x * world.dx_inv + 32, 0, 62.999)
+        gy = np.clip(y * world.dy_inv + 32, 0, 62.999)
+        x0 = np.floor(gx).astype(int)
+        y0 = np.floor(gy).astype(int)
+        fx, fy = gx - x0, gy - y0
+        return ((mesh_np[y0, x0] * (1 - fx) + mesh_np[y0, x0 + 1] * fx)
+                * (1 - fy)
+                + (mesh_np[y0 + 1, x0] * (1 - fx)
+                   + mesh_np[y0 + 1, x0 + 1] * fx) * fy)
+
+    N = 24
+    o = np.stack([rng.uniform(-1.5, 1.5, N), rng.uniform(-1.5, 1.5, N),
+                  rng.uniform(0.8, 1.5, N)], 1).astype(np.float32)
+    d = np.stack([rng.uniform(-1, 1, N), rng.uniform(-1, 1, N),
+                  rng.uniform(-1.0, -0.3, N)], 1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmax = jnp.full((N,), 4.0)
+    hit, t = ray_heightfield_dda(
+        *[jnp.asarray(o[:, i]) for i in range(3)],
+        *[jnp.asarray(d[:, i]) for i in range(3)], tmax, mesh, world,
+        max_cells=256)
+    for i in range(N):
+        ts = np.linspace(0, 4.0, 40000)[1:]
+        p = o[i][None] + ts[:, None] * d[i][None]
+        inb = (np.abs(p[:, 0]) < world.x_scene) \
+            & (np.abs(p[:, 1]) < world.y_scene)
+        below = (p[:, 2] < bilin(p[:, 0], p[:, 1])) & inb
+        k = np.argmax(below)
+        assert bool(below[k]) == bool(hit[i]), i
+        if below[k]:
+            assert abs(ts[k] - float(t[i])) < 2e-3, i
