@@ -293,3 +293,26 @@ def test_tiered_config_load(tmp_path):
     assert c.gravity == 1.5        # defaults tier overrides pre
     assert c.ntrees == 99          # post overrides defaults
     assert c.mesh_seed == 5        # pre survives where not overridden
+
+
+def test_import_every_module():
+    """Every module in the package imports cleanly through the w3d
+    alias (guards against bitrot in rarely-touched corners)."""
+    import importlib
+    import os
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "3dworld_tpu"
+    failed = []
+    for p in root.rglob("*.py"):
+        rel = p.relative_to(root)
+        if rel.name == "__init__.py":
+            parts = rel.parts[:-1]
+        else:
+            parts = rel.parts[:-1] + (rel.stem,)
+        mod = "w3d" + ("." + ".".join(parts) if parts else "")
+        try:
+            importlib.import_module(mod)
+        except Exception as e:  # noqa: BLE001 - collecting all failures
+            failed.append((mod, repr(e)))
+    assert not failed, failed

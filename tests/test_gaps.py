@@ -579,3 +579,36 @@ def test_full_gameplay_frame_integration():
                               jnp.asarray([ex[3] * 0.5]), jnp.ones(1),
                               jnp.ones(1), jnp.zeros(1))
     assert int(clouds.status.sum()) == 1
+
+
+def test_spray_paint():
+    """spray_paint.cpp: view-ray painting — mesh hits stamp the paint
+    grid + a decal, cobj hits decal the surface, misses do nothing."""
+    import jax.numpy as jnp
+    from w3d.gameplay import spray as SP
+    from w3d.physics import particles as PT
+    from w3d.physics.cobjs import empty_cobjs
+    from w3d.models import physics_model as PM
+    from w3d.utils.constants import WorldConst
+
+    world = WorldConst()
+    sw = PM.build_spheres_world(num_objects=4, world=world,
+                                group_shapes=False)
+    mesh = sw.env.mesh_height
+    grid = SP.make_paint_grid(world)
+    decals = PT.make_decals(8)
+    grid, decals, hit = SP.spray_paint(grid, decals, mesh, empty_cobjs(4),
+                                       (3.5, 3.5, 1.0), (0.0, 0.0, -1.0),
+                                       color_ix=0, world=world)
+    assert hit and int((grid[..., 3] > 0).sum()) == 1
+    assert int(decals.status.sum()) == 1
+    # the ground cube intercepts before the mesh -> cobj decal, no stamp
+    grid, decals, hit2 = SP.spray_paint(grid, decals, mesh, sw.cobjs,
+                                        (0.0, 0.0, 1.0), (0.0, 0.0, -1.0),
+                                        color_ix=2, world=world)
+    assert hit2 and int(decals.status.sum()) == 2
+    assert int((grid[..., 3] > 0).sum()) == 1      # still one stamp
+    _g, _d, hit3 = SP.spray_paint(grid, decals, mesh, sw.cobjs,
+                                  (0.0, 0.0, 1.0), (0.0, 0.0, 1.0),
+                                  world=world)
+    assert not hit3                                # sky: no paint
