@@ -53,3 +53,32 @@ def test_halo_context_assembly():
 def test_sharded_tile_batch_and_physics():
     from __graft_entry__ import dryrun_multichip
     dryrun_multichip(min(8, len(jax.devices())))
+
+
+def test_flagship_entry_step_over_8cpu_mesh():
+    """The FULL flagship entry() step (production shapes: 8x128^2 tiles with
+    erosion + 2048-object physics frame with pair collisions) jitted over
+    the 8-device mesh with tile/object axes sharded."""
+    m = _mesh8()
+    from __graft_entry__ import entry
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    fn, args = entry()
+    sh1 = NamedSharding(m, P("tiles"))
+
+    @jax.jit
+    def sharded_fn(table_arrs, x0, y0, zmax_est, wpz, state):
+        x0 = jax.lax.with_sharding_constraint(x0, sh1)
+        y0 = jax.lax.with_sharding_constraint(y0, sh1)
+        sh = lambda a: jax.lax.with_sharding_constraint(a, sh1)
+        state = state._replace(px=sh(state.px), py=sh(state.py),
+                               pz=sh(state.pz), vx=sh(state.vx),
+                               vy=sh(state.vy), vz=sh(state.vz))
+        return fn(table_arrs, x0, y0, zmax_est, wpz, state)
+
+    with m:
+        tiles, st = sharded_fn(*args)
+        tiles.block_until_ready()
+    assert tiles.shape[0] == 8
+    assert bool(jnp.isfinite(tiles).all())
+    assert bool(jnp.isfinite(st.pz).all())
