@@ -331,8 +331,6 @@ def ray_heightfield_dda(ox, oy, oz, dx, dy, dz, tmax, mesh,
         # the current t (cells whose crossing we already passed), which
         # would reset t to the same value forever — always move forward
         t = jnp.where(found, t, jnp.maximum(t + eps, t_exit + eps))
-        done_off = ~inside & ((t > tmax) | (~jnp.isfinite(t_exit)))
-        found_or_done = found | done_off
         return (t, found, t_hit), None
 
     init = (jnp.zeros(N), jnp.zeros(N, bool), jnp.full((N,), _BIG))

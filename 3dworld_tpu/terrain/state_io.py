@@ -88,7 +88,12 @@ def load_state(path: str, expect_dims=None) -> SimState:
     if expect_dims is not None and (mx, my, nfc, nrs) != tuple(expect_dims):
         raise ValueError("saved state is incompatible with the current "
                          f"configuration: {(mx, my, nfc, nrs)}")
-    table = np.asarray([float(next(g)) for _ in range(nfc * nrs * 2 * 5)],
+    # F_TABLE_SIZE = NUM_FREQ_COMP * N_RAND_SIN2 rows of 5 floats each
+    # (mesh_gen.cpp:30, load_state table loop mesh_gen.cpp:991-999)
+    table = np.asarray([float(next(g)) for _ in range(nfc * nrs * 5)],
                        np.float32).reshape(-1, 5)
+    if table.shape[0] != nfc * nrs:
+        raise ValueError(f"sine table has {table.shape[0]} rows, "
+                         f"expected F_TABLE_SIZE={nfc * nrs}")
     return SimState(c_radius, c_phi, c_theta, co, sp, xoff, yoff, xoff2,
                     yoff2, rgi, rs1, rs2, mx, my, nfc, nrs, table)

@@ -33,6 +33,12 @@ def load_pytree(path: str, like):
     leaves_like, treedef = jax.tree_util.tree_flatten(like)
     n = sum(1 for k in z.files if k.startswith("leaf_"))
     assert n == len(leaves_like), f"leaf count mismatch: {n} vs {len(leaves_like)}"
+    if "__treedef__" in z.files:
+        stored = json.loads(z["__treedef__"].tobytes().decode())
+        if stored != str(treedef):
+            raise ValueError(
+                f"checkpoint treedef mismatch:\n  stored: {stored}\n"
+                f"  expected: {treedef}")
     leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(n)]
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
@@ -67,11 +73,16 @@ class ModmapJournal:
         return hm
 
     def save(self, path: str) -> None:
-        np.save(path, np.array(self.edits, np.float32).reshape(-1, 5))
+        # np.save appends '.npy' to bare paths; write through a file object
+        # so save('x.modmap')/load('x.modmap') agree on the filename
+        with open(path, "wb") as f:
+            np.save(f, np.array(self.edits, np.float32).reshape(-1, 5))
 
     @classmethod
     def load(cls, path: str) -> "ModmapJournal":
         j = cls()
-        for row in np.load(path).reshape(-1, 5):
+        with open(path, "rb") as f:
+            rows = np.load(f).reshape(-1, 5)
+        for row in rows:
             j.add(int(row[0]), int(row[1]), int(row[2]), float(row[3]), int(row[4]))
         return j

@@ -50,8 +50,12 @@ def test_modmap_journal(tmp_path):
     hm = jnp.zeros((16, 16))
     h1 = np.asarray(j.apply(hm))
     assert h1[8, 8] > 0.4 and h1[2, 2] < -0.1
-    p = str(tmp_path / "m.modmap.npy")
+    # bare .modmap path (no .npy suffix) must round-trip — np.save used to
+    # silently write 'm.modmap.npy' while load looked for 'm.modmap'
+    p = str(tmp_path / "m.modmap")
     j.save(p)
+    import os
+    assert os.path.exists(p) and not os.path.exists(p + ".npy")
     j2 = CK.ModmapJournal.load(p)
     np.testing.assert_allclose(np.asarray(j2.apply(hm)), h1, rtol=1e-6)
     j2.undo()
@@ -67,6 +71,13 @@ def test_checkpoint_pytree_roundtrip(tmp_path):
     st2 = CK.load_pytree(p, st)
     np.testing.assert_array_equal(np.asarray(st.vx), np.asarray(st2.vx))
     np.testing.assert_array_equal(np.asarray(st.status), np.asarray(st2.status))
+    # restoring into a structurally different pytree with the same leaf
+    # count must raise, not silently permute fields
+    import jax
+    other = {f"k{i}": np.zeros(3) for i in range(len(jax.tree_util.tree_leaves(st)))}
+    import pytest
+    with pytest.raises(ValueError, match="treedef mismatch"):
+        CK.load_pytree(p, other)
 
 
 def test_profiler():
@@ -332,12 +343,15 @@ def test_mesh_and_state_text_io(tmp_path):
     except ValueError:
         pass
 
+    # real dims: NUM_FREQ_COMP=9, N_RAND_SIN2=10 -> F_TABLE_SIZE=90 rows
+    # (mesh_gen.cpp:30); the file stores exactly 90x5 floats
     table = np.random.default_rng(1).standard_normal((90, 5)).astype(np.float32)
     st = SIO.SimState(2.5, 0.1, 1.2, (1.0, 2.0, 3.0), (0.0, 0.0, 0.5),
-                      3, -2, 0, 0, 7, 40014, 40692, 128, 128, 9, 5, table)
+                      3, -2, 0, 0, 7, 40014, 40692, 128, 128, 9, 10, table)
     ps = str(tmp_path / "state.txt")
     SIO.save_state(ps, st)
-    st2 = SIO.load_state(ps, expect_dims=(128, 128, 9, 5))
+    st2 = SIO.load_state(ps, expect_dims=(128, 128, 9, 10))
+    assert st2.sine_table.shape == (90, 5)
     assert st2.rseed1 == 40014 and st2.rand_gen_index == 7
     assert np.allclose(st2.sine_table, table, atol=1e-5)
     assert st2.camera_origin == (1.0, 2.0, 3.0)
