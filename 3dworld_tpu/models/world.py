@@ -35,7 +35,24 @@ WMODE_INF_TERRAIN = 2
 
 def ground_frame(scene: GroundScene, substeps: int = 4,
                  obj_collisions: bool = True) -> GroundScene:
-    """One WMODE_GROUND frame: process_groups + ripples (display() loop)."""
+    """One WMODE_GROUND frame: platforms + process_groups + ripples
+    (display() loop; platform/trigger pass = display_world.cpp:889)."""
+    from ..physics import platforms as PP
+
+    if scene.platforms is not None and scene.platforms.size > 0:
+        st0 = scene.objects
+        trig = None
+        if scene.triggers is not None and scene.triggers.x.shape[0] > 0:
+            trig = PP.eval_triggers(scene.triggers, st0.px, st0.py, st0.pz,
+                                    scene.platforms)
+        plats, mx, my, mz = PP.advance_platforms(scene.platforms, trig)
+        rad = scene.table.radius[st0.otype]
+        dx, dy, dz = PP.rider_deltas(st0.px, st0.py, st0.pz, st0.status,
+                                     scene.cobjs, plats, mx, my, mz, rad)
+        scene.cobjs = PP.apply_platform_motion(scene.cobjs, plats, mx, my, mz)
+        scene.objects = st0._replace(px=st0.px + dx, py=st0.py + dy,
+                                     pz=st0.pz + dz)
+        scene.platforms = plats
     st = PS.step_objects(scene.objects, scene.env, scene.cobjs, scene.table,
                          substeps=substeps, world=scene.world,
                          obj_collisions=obj_collisions)

@@ -57,6 +57,15 @@ class CobjSet(NamedTuple):
     alpha: jax.Array
     specular: jax.Array
     shine: jax.Array
+    # scene-DSL properties (build_world.cpp: Q platforms, density/metalness/
+    # damage keywords, 'l' light_atten/refract_ix, 'a' destroyability)
+    platform_id: jax.Array  # [M] int32, -1 = not on a platform
+    density: jax.Array      # [M] cp.density (movable mass = density*volume)
+    metalness: jax.Array    # [M]
+    damage: jax.Array       # [M] contact damage/sec
+    light_atten: jax.Array  # [M] volume light attenuation ('l' optional)
+    refract_ix: jax.Array   # [M] refraction index ('l' optional)
+    destroy: jax.Array      # [M] int32 destroyability level ('a')
 
     @property
     def size(self) -> int:
@@ -77,6 +86,10 @@ def empty_cobjs(capacity: int) -> CobjSet:
         color_r=jnp.ones((capacity,)), color_g=jnp.ones((capacity,)),
         color_b=jnp.ones((capacity,)), alpha=jnp.ones((capacity,)),
         specular=z, shine=jnp.ones((capacity,)),
+        platform_id=jnp.full((capacity,), -1, jnp.int32),
+        density=jnp.ones((capacity,)), metalness=z, damage=z,
+        light_atten=z, refract_ix=jnp.ones((capacity,)),
+        destroy=jnp.zeros((capacity,), jnp.int32),
     )
 
 

@@ -42,6 +42,10 @@ SPILL_ELASTIC = 0.8
 WATER_DAMPING = 0.1
 CRITICAL_ANGLE = 0.5
 MAX_SPLASH_DEPTH = 0.1  # 3DWorld.h:52
+# surface rolling (surface_advance, Physics.cpp:10-15,980-1037)
+KILL_DEPTH = 12.0
+RECOVER_DEPTH = 1.0
+SURF_ADV_STEP = 2.0
 
 # build_world.cpp:24-25
 LG_STEPS_PER_FRAME = 10

@@ -19,6 +19,7 @@ from ..utils.config import Config, load_config
 from ..utils.constants import WorldConst
 from ..terrain import mesh as TM
 from ..physics import types as PT, step as PS, cobjs as PC
+from ..physics import platforms as PP
 from ..lighting import lmap as LM
 from ..water import ripples as WR
 from . import cobj as SC
@@ -37,6 +38,10 @@ class GroundScene:
     ripples: WR.RippleState
     light_grid: LM.LightGrid
     sphere_mats: SphereMaterials
+    # full scene-DSL entities (build_world.cpp parser outputs)
+    parse: SC.SceneParse = None
+    platforms: PP.PlatformSet = None
+    triggers: PP.TriggerSet = None
 
 
 def load_scene(config_path: str, num_objects: int = 0,
@@ -51,16 +56,20 @@ def load_scene(config_path: str, num_objects: int = 0,
 
     # coll objects (resolved against the config dir + search dirs)
     cobjs = None
+    parse = SC.SceneParse()
     if cfg.load_coll_objs and cfg.coll_obj_file:
         for d in (os.path.dirname(os.path.abspath(config_path)),
                   os.path.dirname(os.path.dirname(os.path.abspath(config_path))),
                   *search_dirs):
             p = os.path.join(d, cfg.coll_obj_file)
             if os.path.exists(p):
-                cobjs = SC.load_cobjs(p, sphere_gen_seed=cfg.rand_seed)
+                parse = SC.parse_coll_obj_file(p, sphere_gen_seed=cfg.rand_seed)
+                cobjs = SC.pack_cobjs(parse)
                 break
     if cobjs is None:
         cobjs = PC.empty_cobjs(128)
+    platforms = PP.build_platforms(parse.platforms)
+    triggers = PP.triggers_from_specs(parse.platforms)
 
     sphere_mats = SphereMaterials()
     if cfg.sphere_materials_fn:
@@ -96,4 +105,5 @@ def load_scene(config_path: str, num_objects: int = 0,
         ripples=WR.make_ripples(world.mesh_y, world.mesh_x),
         light_grid=LM.make_light_grid(world),
         sphere_mats=sphere_mats,
+        parse=parse, platforms=platforms, triggers=triggers,
     )

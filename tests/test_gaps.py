@@ -14,14 +14,15 @@ from w3d.gameplay import teleport as GT
 TABLE = PT.make_type_table()
 
 
-def _cube_scene():
+def _cube_scene(platform_id=-1):
     sp = SC.SceneParse()
-    sp.cobjs.append(SC.RawCobj(SC.COLL_CUBE, (0, 0, 0), (1, 1, 0.2)))
+    sp.cobjs.append(SC.RawCobj(SC.COLL_CUBE, (0, 0, 0), (1, 1, 0.2),
+                               platform_id=platform_id))
     return SC.pack_cobjs(sp)
 
 
 def test_platform_continuous_pingpong():
-    co = _cube_scene()
+    co = _cube_scene(platform_id=0)
     plat = PP.make_platforms([0], [[0.0, 0.0, 1.0]], 0.1)
     zs = []
     for _ in range(25):
@@ -33,26 +34,33 @@ def test_platform_continuous_pingpong():
 
 
 def test_platform_trigger():
-    plat = PP.make_platforms([0], [[0.0, 0.0, 1.0]], 0.1, mode=PP.P_TRIGGERED)
-    tr = PP.TriggerSet(x=jnp.asarray([0.5]), y=jnp.asarray([0.5]),
-                       z=jnp.asarray([0.0]), radius=jnp.asarray([1.0]),
-                       platform=jnp.asarray([0]))
-    # activator inside the trigger
-    plat = PP.eval_triggers(tr, jnp.asarray([0.6]), jnp.asarray([0.6]),
+    """Reference semantics (platform.cpp:296-380): a triggered platform
+    activates on proximity, runs its full cycle (fwd, rdelay, rev) and
+    returns to origin, then waits for the next activation."""
+    plat = PP.make_platforms([0], [[0.0, 0.0, 1.0]], 0.2, mode=PP.P_TRIGGERED)
+    tr = PP.make_triggers([0.5], [0.5], [0.0], [1.0], [0])
+    # no activator nearby: platform stays at origin
+    trig = PP.eval_triggers(tr, jnp.asarray([9.0]), jnp.asarray([9.0]),
                             jnp.asarray([0.0]), plat)
-    assert bool(plat.active[0])
-    plat2, _, _, mz = PP.step_platforms(plat)
-    assert float(plat2.t[0]) > 0
-    # activator away -> deactivates, platform returns
-    plat3 = PP.eval_triggers(tr, jnp.asarray([9.0]), jnp.asarray([9.0]),
-                             jnp.asarray([0.0]), plat2)
-    assert not bool(plat3.active[0])
-    plat4, _, _, _ = PP.step_platforms(plat3)
-    assert float(plat4.t[0]) < float(plat3.t[0])
+    assert not bool(trig[0])
+    plat2, _, _, mz = PP.advance_platforms(plat, trig)
+    assert float(plat2.dist[0]) == 0.0
+    # activator inside the trigger: activates and moves forward
+    trig = PP.eval_triggers(tr, jnp.asarray([0.6]), jnp.asarray([0.6]),
+                            jnp.asarray([0.0]), plat2)
+    assert bool(trig[0])
+    plat3, _, _, mz = PP.advance_platforms(plat2, trig)
+    plat4, _, _, _ = PP.advance_platforms(plat3)
+    assert float(plat4.dist[0]) > 0
+    # full cycle returns to origin and deactivates
+    for _ in range(12):
+        plat4, _, _, _ = PP.advance_platforms(plat4)
+    assert float(plat4.dist[0]) == 0.0
+    assert int(plat4.state[0]) == PP.ST_NOACT
 
 
 def test_platform_riders():
-    co = _cube_scene()
+    co = _cube_scene(platform_id=0)
     plat = PP.make_platforms([0], [[1.0, 0.0, 0.0]], 0.1)
     plat, mx, my, mz = PP.step_platforms(plat)
     rad = jnp.full((2,), 0.04)
@@ -61,6 +69,53 @@ def test_platform_riders():
         jnp.asarray([0.24, 0.24]), jnp.asarray([4, 4]), co, plat, mx, my, mz, rad)
     assert float(dx[0]) > 0.0     # on the platform: inherits motion
     assert float(dx[1]) == 0.0    # elsewhere: untouched
+
+
+def test_platform_from_scene_dsl_carries_object():
+    """End-to-end: a 'Q' platform parsed from the DSL moves its cube and
+    carries a stopped ball riding on top (VERDICT task 2 done-criterion)."""
+    import tempfile, os
+    src = """
+l 0.8 1.0 1.0 1.0 1.0 -1
+sound_file click.wav
+Q 1  2.0 2.0 0.0 0.0  1.0 0.0  0 0 0  1 0 0  1
+B 0.0 1.0 0.0 1.0 0.0 0.2
+Q 0
+B 5.0 6.0 5.0 6.0 0.0 0.2
+"""
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        f.write(src)
+        path = f.name
+    try:
+        sp = SC.parse_coll_obj_file(path)
+    finally:
+        os.unlink(path)
+    assert not sp.skipped
+    assert len(sp.platforms) == 1 and len(sp.cobjs) == 2
+    assert sp.cobjs[0].platform_id == 0 and sp.cobjs[1].platform_id == -1
+    assert sp.platforms[0].cont and sp.platforms[0].sound == "click.wav"
+    co = SC.pack_cobjs(sp)
+    assert int(co.platform_id[0]) == 0 and int(co.platform_id[1]) == -1
+    plat = PP.build_platforms(sp.platforms)
+    # ball resting on the platform top (cube top z=0.2, radius 0.05)
+    px = jnp.asarray([0.5]); py = jnp.asarray([0.5]); pz = jnp.asarray([0.26])
+    rad = jnp.asarray([0.05])
+    status = jnp.asarray([4])
+    moved_cobj = moved_ball = 0.0
+    peak = 0.0
+    for _ in range(30):
+        plat, mx, my, mz = PP.advance_platforms(plat)
+        dx, dy, dz = PP.rider_deltas(px, py, pz, status, co, plat,
+                                     mx, my, mz, rad)
+        co = PP.apply_platform_motion(co, plat, mx, my, mz)
+        px = px + dx
+        moved_cobj += float(mx[0])
+        moved_ball += float(dx[0])
+        peak = max(peak, float(co.p1[0, 0]))
+    assert abs(peak - 1.0) < 1e-5     # traveled the full ext_dist then back
+    assert moved_cobj < peak          # reversing (ping-pong) after the end
+    assert abs(moved_ball - moved_cobj) < 1e-4  # ball carried with it
+    assert float(co.p1[1, 0]) == 5.0  # non-platform cobj untouched
 
 
 def test_destroy_and_fragments():

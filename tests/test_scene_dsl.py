@@ -1,0 +1,272 @@
+"""Full cobj scene-DSL coverage (read_coll_obj_file,
+build_world.cpp:1186-2080): all 18 shipped coll_objs files must parse with
+ZERO skipped semantic commands, and individual command semantics are pinned
+here (transforms, negative-shape CSG, step deltas, hollow cylinders,
+lights, triggers)."""
+import glob
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+import w3d
+from w3d.scene import cobj as SC
+
+REF = "/root/reference/coll_objs"
+
+
+def _parse_str(src, **kw):
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        f.write(src)
+        path = f.name
+    try:
+        return SC.parse_coll_obj_file(path, **kw)
+    finally:
+        os.unlink(path)
+
+
+def test_all_shipped_coll_objs_fully_parse():
+    files = sorted(glob.glob(os.path.join(REF, "*")))
+    assert len(files) == 18
+    total = 0
+    for f in files:
+        sp = SC.parse_coll_obj_file(f)
+        assert sp.skipped == {}, (f, sp.skipped)
+        total += len(sp.cobjs)
+    assert total > 500
+
+
+def test_shipped_entity_counts():
+    """Aggregate entity counts across the shipped scenes: every 'Q 1'
+    becomes a platform, 'L' lights and teleporters exist."""
+    agg = {"platforms": 0, "lights": 0, "teleporters": 0, "models": 0,
+           "fires": 0, "water": 0, "jump_pads": 0}
+    for f in sorted(glob.glob(os.path.join(REF, "*"))):
+        sp = SC.parse_coll_obj_file(f)
+        agg["platforms"] += len(sp.platforms)
+        agg["lights"] += len(sp.lights)
+        agg["teleporters"] += len(sp.teleporters)
+        agg["models"] += len(sp.models)
+        agg["fires"] += len(sp.fires)
+        agg["water"] += len(sp.water)
+        agg["jump_pads"] += len(sp.jump_pads)
+    assert agg["platforms"] >= 30      # 44 'Q' commands incl. 'Q 0' disables
+    assert agg["lights"] >= 6
+    assert agg["teleporters"] >= 1
+    assert agg["models"] >= 5
+    assert agg["fires"] >= 2
+    assert agg["jump_pads"] >= 1
+
+
+def test_transform_stack():
+    """t (relative translate), T (absolute), m (scale), M (mirror),
+    s (swap dims), R (restore): mirror -> swap -> scale -> translate
+    (geom_xform_t::xform_pos, model3d.h:63-67)."""
+    sp = _parse_str("""
+t 1 2 3
+S 0 0 0 0.5
+m 2.0
+S 1 0 0 0.5
+M 0
+S 1 0 0 0.5
+s 0 1
+S 1 2 0 0.5
+R
+T 0 0 0
+m 1.0
+S 1 2 3 0.5
+""")
+    assert not sp.skipped and len(sp.cobjs) == 5
+    c = sp.cobjs
+    assert c[0].p1 == (1.0, 2.0, 3.0) and c[0].r1 == 0.5
+    assert c[1].p1 == (3.0, 2.0, 3.0) and c[1].r1 == 1.0   # scaled r
+    assert c[2].p1 == (-1.0, 2.0, 3.0)                      # mirrored x
+    # swap(0,1) after mirror: pos=(1,2,0) -> mirror x -> (-1,2,0)
+    # -> swap x,y -> (2,-1,0) -> scale 2 -> (4,-2,0) -> +t
+    assert c[3].p1 == (5.0, 0.0, 3.0)
+    assert c[4].p1 == (1.0, 2.0, 3.0)                       # restored
+
+
+def test_cube_and_optional_corner_radius():
+    sp = _parse_str("B 0 1 0 2 0 3 0.25\nB 0 1 0 1 0 1\nS 0 0 0 1\n")
+    assert not sp.skipped and len(sp.cobjs) == 3
+    assert sp.cobjs[0].corner_radius == 0.25
+    assert sp.cobjs[0].p2 == (1.0, 2.0, 3.0)
+    assert sp.cobjs[1].corner_radius == 0.0
+
+
+def test_negative_shape_csg_carving():
+    """'n 1' marks shapes negative; pack subtracts them from positive
+    cubes (csg.cpp semantics)."""
+    sp = _parse_str("""
+B 0 4 0 4 0 1
+n 1
+B 1 3 1 3 0 1
+n 0
+""")
+    assert not sp.skipped
+    assert len(sp.cobjs) == 2 and sp.cobjs[1].negative
+    co = SC.pack_cobjs(sp)
+    live = int((np.asarray(co.shape) != 0).sum())
+    assert live >= 2    # carved into side pieces
+    # the hole: no remaining cube covers the center of the carve
+    p1 = np.asarray(co.p1)[:live]
+    p2 = np.asarray(co.p2)[:live]
+    inside = ((p1[:, 0] < 2) & (p2[:, 0] > 2) & (p1[:, 1] < 2)
+              & (p2[:, 1] > 2) & (p1[:, 2] < 0.5) & (p2[:, 2] > 0.5))
+    assert not inside.any()
+
+
+def test_step_delta_stairs():
+    """'D dx dy dz num' replicates the last shape num times (stairs)."""
+    sp = _parse_str("B 0 1 0 1 0 0.2\nD 0.5 0 0.2 4\n")
+    assert not sp.skipped and len(sp.cobjs) == 5
+    assert sp.cobjs[4].p1 == (2.0, 0.0, 0.8)
+
+
+def test_hollow_cylinder_polygons():
+    sp = _parse_str("c 0 0 0  0 0 2  1.0 0.9  8\n")
+    assert not sp.skipped
+    assert len(sp.cobjs) == 8
+    assert all(c.shape == SC.COLL_POLYGON and len(c.pts) == 4
+               for c in sp.cobjs)
+    # all quads at ring radius ~0.95
+    for c in sp.cobjs:
+        for p in c.pts:
+            r = np.hypot(p[0], p[1])
+            assert 0.85 < r < 1.1
+
+
+def test_polygon_split_beyond_quad():
+    sp = _parse_str("P 5  0 0 0  1 0 0  1 1 0  0.5 1.5 0  0 1 0  0.1\n")
+    assert not sp.skipped
+    assert len(sp.cobjs) >= 2
+    assert all(3 <= len(c.pts) <= 4 for c in sp.cobjs)
+
+
+def test_material_layer_and_save_restore():
+    sp = _parse_str("""
+l 0.8 0.5 0.6 0.7 1.0 -1 1 1.33 0.4 1
+r 0.9 60.0
+metalness 0.7
+density 2.5
+damage 10.0
+J steel
+l 0.1 1 1 1 1 -1
+S 0 0 0 1
+j steel
+S 2 0 0 1
+""")
+    assert not sp.skipped and len(sp.cobjs) == 2
+    a, b = sp.cobjs
+    assert a.layer.elasticity == 0.1
+    assert b.layer.elasticity == 0.8
+    assert b.layer.refract_ix == 1.33 and b.layer.light_atten == 0.4
+    assert b.layer.emissive and b.layer.metalness == 0.7
+    assert b.layer.density == 2.5 and b.layer.damage == 10.0
+    assert b.layer.shininess == 60.0
+    co = SC.pack_cobjs(sp)
+    np.testing.assert_allclose(float(co.refract_ix[1]), 1.33, rtol=1e-6)
+    np.testing.assert_allclose(float(co.light_atten[1]), 0.4, rtol=1e-6)
+    np.testing.assert_allclose(float(co.metalness[1]), 0.7, rtol=1e-6)
+
+
+def test_lights_full_parse():
+    """'L' ambient+diffuse, spotlight direction, line light, 'V' binding,
+    'b' cube volume light."""
+    sp = _parse_str("""
+L 0.5 0.8  1 2 3  1.0 0.9 0.8 1.0
+L 0.0 1.0  0 0 5  1 1 1 1  0 0 -1  0.3 0.1
+L 0.0 1.0  0 0 1  1 0 0 1  4 0 1  1.0 0.0 1
+V 1 2 3
+b 0 1 0 1 0 1  0.2 0.4 0.9  1.5 1000 0
+""")
+    assert not sp.skipped
+    kinds = [(l.kind, l.is_line) for l in sp.lights]
+    assert ("ambient", False) in kinds and ("diffuse", False) in kinds
+    spot = sp.lights[2]
+    assert spot.dir == (0.0, 0.0, -1.0) and spot.beamwidth == 0.3
+    line = sp.lights[3]
+    assert line.is_line and line.pos2 == (4.0, 0.0, 1.0)
+    assert line.bind_pos == (1.0, 2.0, 3.0)
+    assert len(sp.cube_lights) == 1
+    assert sp.cube_lights[0].num_rays == 1000
+
+
+def test_trigger_attaches_to_platform():
+    sp = _parse_str("""
+K 1 1 0.5  2.0 0.0 5.0  1 0
+Q 1  1.0 1.0 0.0 0.0  2.0 0.0  0 0 0  0 0 1  0
+B 0 1 0 1 0 0.2
+K
+Q 0
+""")
+    assert not sp.skipped
+    assert len(sp.platforms) == 1
+    pf = sp.platforms[0]
+    assert len(pf.triggers) == 1
+    assert pf.triggers[0].act_pos == (1.0, 1.0, 0.5)
+    assert pf.triggers[0].player_only
+    assert not pf.cont
+
+
+def test_teleporter_jumppad_fire_water():
+    sp = _parse_str("""
+x 0 0 1  5 5 1  0.5 0 1
+jump_pad 1 1 0 0.4  0 0 3
+f 0.5 0.1 1.0  2 2 0
+w 1.0 1.0 0.25
+W -1 1 -1 1 0.5 10.0
+""")
+    assert not sp.skipped
+    tp = sp.teleporters[0]
+    assert tp.dest == (5.0, 5.0, 1.0) and tp.is_indoors
+    assert sp.jump_pads[0].velocity == (0.0, 0.0, 3.0)
+    assert sp.fires[0].pos == (2.0, 2.0, 0.0)
+    assert sp.water[0].kind == "spring" and sp.water[1].kind == "section"
+
+
+def test_vegetation_commands():
+    sp = _parse_str("""
+g 1.5 1.0 1.0 1
+E 0 0 40 2
+F 1 1 0.5 0.1 0
+G 2 2 0.3 0.05 1
+H 3 3 0.5 0 4 20 0
+""")
+    assert not sp.skipped
+    kinds = [v.kind for v in sp.vegetation]
+    assert kinds == ["tree", "small_tree", "plant", "hedge"]
+    assert sp.vegetation[0].height_scale == 1.5
+    assert sp.vegetation[3].count == 4
+
+
+def test_include_propagates_transform(tmp_path):
+    inc = tmp_path / "inc.txt"
+    inc.write_text("S 0 0 0 1\n")
+    main = tmp_path / "main.txt"
+    main.write_text(f"t 10 0 0\ni {inc.name}\nS 0 0 0 1\n")
+    sp = SC.parse_coll_obj_file(str(main))
+    assert not sp.skipped and len(sp.cobjs) == 2
+    assert sp.cobjs[0].p1 == (10.0, 0.0, 0.0)   # xform applies inside include
+    assert sp.cobjs[1].p1 == (10.0, 0.0, 0.0)
+
+
+def test_block_and_line_comments():
+    sp = _parse_str("/* block\ncomment */ S 0 0 0 1 # line comment\nS 1 0 0 1\n")
+    assert not sp.skipped and len(sp.cobjs) == 2
+
+
+def test_cobj_groups_and_surfs():
+    sp = _parse_str("""
+start_cobj_group
+e 63
+B 0 1 0 1 0 1
+end_cobj_group
+B 2 3 0 1 0 1
+""")
+    assert not sp.skipped
+    assert sp.cobjs[0].group_id == 0 and sp.cobjs[0].layer.surfs == 63
+    assert sp.cobjs[1].group_id == -1
+    assert sp.num_cobj_groups == 1
