@@ -96,6 +96,8 @@ def _substep_kernel(env_ref, maps_ref, cf_ref,
     wx, wy, wz = env_ref[2], env_ref[3], env_ref[4]
     water_plane_z = env_ref[5]
     dx_inv, dy_inv = env_ref[6], env_ref[7]
+    x_scene = env_ref[8]
+    dx_val, dy_val = env_ref[9], env_ref[10]
 
     # ---- state rows ----
     px = px_ref[0, :, :]
@@ -115,28 +117,39 @@ def _substep_kernel(env_ref, maps_ref, cf_ref,
     tv = tv_ref[0, :, :]
 
     alive = status > 0
+    # capture + clear last-substep collision (advance_object entry,
+    # Physics.cpp:720-721) — mirrors step._substep exactly
+    coll_last = (flags & T.FL_COLLIDED) != 0
+    flags = flags & ~T.FL_COLLIDED
     floating = (flags & T.FL_FLOATING) != 0
     z_stop = (flags & T.FL_Z_STOPPED) != 0
     xy_stop = (flags & T.FL_XY_STOPPED) != 0
     underwater = (flags & T.FL_UNDERWATER) != 0
-    moving = alive & (status != 4)
+    in_water = (flags & T.FL_IN_WATER) != 0
+    moving = alive & (status == 1)
+    grounded = alive & ((status == 2) | (status == 3))
 
     # ---- integrate (Physics.cpp:760-833) ----
     air_eff = jnp.where(underwater, 0.0,
                         jnp.where(floating, (1.0 - T.WATER_SURF_FRICTION) * air, air))
+    gscale = jnp.where(in_water & (dens > T.WATER_DENSITY),
+                       (dens - T.WATER_DENSITY) / dens, 1.0)
     can_fall = moving & ~z_stop
     vz_new = jnp.where(-vz < tv,
-                       jnp.maximum(vz - base_gravity * T.GRAVITY * tstep * grav, -tv),
+                       jnp.maximum(vz - base_gravity * gscale * T.GRAVITY
+                                   * tstep * grav, -tv),
                        vz)
-    vz = jnp.where(can_fall, vz_new, jnp.where(z_stop, 0.0, vz))
+    vz = jnp.where(can_fall, vz_new, jnp.where(z_stop & moving, 0.0, vz))
     vz = jnp.where(can_fall & ((jnp.abs(air_eff * wz) > jnp.abs(vz))
                                | ((wz < 0) != (vz < 0))),
                    vz + air_eff * wz, vz)
     move_xy = moving & ~xy_stop
+    collided = coll_last | (jnp.abs(vz) < 1.0e-6)
 
     def drag(v, w):
-        c = (jnp.abs(air_eff * w) > jnp.abs(v)) | ((w < 0) != (v < 0))
-        return jnp.where(c & move_xy, (1.0 - air_eff) * v + air_eff * w, v)
+        vtot = v + jnp.where(collided, 0.0, w)
+        c = (jnp.abs(air_eff * vtot) > jnp.abs(v)) | ((vtot < 0) != (v < 0))
+        return jnp.where(c & move_xy, (1.0 - air_eff) * v + air_eff * vtot, v)
 
     vx = drag(vx, wx)
     vy = drag(vy, wy)
@@ -407,8 +420,8 @@ def _substep_kernel(env_ref, maps_ref, cf_ref,
     flags = jnp.where(hit, flags | (T.FL_STATIC_COBJ_COLL | T.FL_COLLIDED),
                       flags)
 
-    # ---- mesh bounce ----
-    mesh_coll = on_mesh & alive & ~touches_water & ~hit
+    # ---- mesh bounce (airborne only, Physics.cpp:868-882) ----
+    mesh_coll = on_mesh & moving & ~touches_water & ~hit
     pz = jnp.where(mesh_coll, jnp.maximum(pz, mh + rad), pz)
     mbx, mby, mbz, did_m = bounce(mnx, mny, mnz, elas * T.LAND_ELASTICITY)
     v_sq2 = vx * vx + vy * vy + vz * vz
@@ -421,6 +434,37 @@ def _substep_kernel(env_ref, maps_ref, cf_ref,
     vz = jnp.where(md, mbz, jnp.where(mesh_coll, vz * damp_m, vz))
     status = jnp.where(md, 1, jnp.where(mesh_coll, 2, status))
     flags = jnp.where(mesh_coll, flags | T.FL_COLLIDED, flags)
+
+    # ---- on-ground rolling (surface_advance, Physics.cpp:980-1037),
+    # mirrors step._substep ----
+    roll_ok = grounded & ~hit & ~touches_water
+    stick_g = (fric >= T.STICK_THRESHOLD) | xy_stop
+    killed_g = roll_ok & (pz < mh - T.KILL_DEPTH * rad)
+    pz = jnp.where(roll_ok & (pz < mh - T.RECOVER_DEPTH * rad), mh, pz)
+    dzn = jnp.sqrt(jnp.maximum(mnx * mnx + mny * mny, 1.0e-20))
+    vel_m = ((T.SURF_ADV_STEP / x_scene) * dzn
+             * (1.0 - 0.5 * fric) / T.DEF_TIMESTEP)
+    vel_m = jnp.where(in_water & (dens >= T.WATER_DENSITY),
+                      vel_m * (dens - T.WATER_DENSITY) / jnp.maximum(dens, _EPS),
+                      vel_m)
+    moved_g = (dzn > 1.0e-12) & (dzn > fric) & (vel_m > 1.0e-12)
+    mvx = jnp.where(moved_g, vel_m * dx_val * mnx / dzn, 0.0)
+    mvy = jnp.where(moved_g, vel_m * dy_val * mny / dzn, 0.0)
+    vmult = jnp.maximum(1.0 - fric, 0.0)
+    gvx = mvx * (1.0 - vmult) + vx * vmult
+    gvy = mvy * (1.0 - vmult) + vy * vmult
+    rolling = roll_ok & ~stick_g
+    vx = jnp.where(rolling, gvx, jnp.where(roll_ok & stick_g, 0.0, vx))
+    vy = jnp.where(rolling, gvy, jnp.where(roll_ok & stick_g, 0.0, vy))
+    vz = jnp.where(roll_ok, 0.0, vz)
+    px = px + jnp.where(rolling, gvx * tstep, 0.0)
+    py = py + jnp.where(rolling, gvy * tstep, 0.0)
+    pz = jnp.where(roll_ok, mh + rad, pz)
+    settled = roll_ok & (stick_g | ~moved_g)
+    vx = jnp.where(settled, 0.0, vx)
+    vy = jnp.where(settled, 0.0, vy)
+    status = jnp.where(settled, 4, jnp.where(rolling & moved_g, 3, status))
+    status = jnp.where(killed_g, 0, status)
 
     opx_ref[0, :, :] = px
     opy_ref[0, :, :] = py

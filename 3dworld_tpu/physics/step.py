@@ -240,22 +240,212 @@ def morton_key(px, py, cell: float, half_extent: float):
     return (_part1by1(cx) | (_part1by1(cy) << 1)).astype(jnp.uint32)
 
 
-def spatial_sort(state: ObjectState, world: WorldConst, cell: float = 0.1) -> ObjectState:
-    """Sort the whole object population by Morton cell key.
+def spatial_sort(state: ObjectState, world: WorldConst,
+                 key: str = "x") -> ObjectState:
+    """Sort the whole object population spatially.
 
     `lax.sort` co-sorts every state column on TPU — no argsort+gather.
     Object order carries no meaning in this engine (no cross-references),
-    so the state simply *stays* sorted; the pair pass then only needs a
-    small sorted-order window (collision partners are spatially adjacent,
-    hence almost always nearby in Z-order).  Dead objects sort last so the
+    so the state simply *stays* sorted.  Dead objects sort last so the
     active prefix stays dense.
+
+    Default key is the x coordinate: contacts then sit within a sorted-
+    order window bounded by the occupancy of an rsum-wide x slab (~250 at
+    the 10K config_spheres pile density; audited in
+    tests/test_physics_oracle.py), so the banded pair pass with
+    window=PAIR_WINDOW is EXACT for realistic densities.  The Morton key
+    ('morton') is kept for reference but its Z-order curve has long jumps
+    that put ~11% of pile contacts beyond any practical window.
     """
-    key = morton_key(state.px, state.py, cell, 2.0 * world.x_scene)
-    key = jnp.where(state.status > 0, key, jnp.uint32(0xFFFFFFFF))
+    if key == "morton":
+        k = morton_key(state.px, state.py, 0.1, 2.0 * world.x_scene)
+        k = jnp.where(state.status > 0, k, jnp.uint32(0xFFFFFFFF))
+    else:
+        k = jnp.where(state.status > 0, state.px, jnp.float32(jnp.inf))
     cols = [state.px, state.py, state.pz, state.vx, state.vy, state.vz,
             state.status, state.flags, state.otype, state.time, state.health]
-    sorted_all = jax.lax.sort([key] + cols, num_keys=1)
+    sorted_all = jax.lax.sort([k] + cols, num_keys=1)
     return ObjectState(*sorted_all[1:])
+
+
+def grid_pair_collisions(px, py, pz, vx, vy, vz, radius, mass, elas, active,
+                         cell: float, half_extent: float, K: int = 16):
+    """EXACT pair broad phase: the reference's collision grid
+    (v_collision_matrix, collision_detect.h:421-438) as a regular TPU
+    array program.
+
+    Objects hash into 3D cells of size `cell` (>= max pair diameter); each
+    cell keeps up to K occupants in a bucket table built by one lax.sort +
+    scatter; every object then tests the 27 neighbor cells' candidates —
+    fixed-shape [N, 27K] gathers, no [N,N] work.  Misses occur only on
+    bucket overflow (audited in tests/test_physics_oracle.py: 0 at 10K
+    config_spheres pile density with cell=0.12, K=16).
+
+    Returns the same (dpx,dpy,dpz,dvx,dvy,dvz) one-sided symmetric deltas
+    as banded_pair_collisions.
+    """
+    n = px.shape[0]
+    f32 = px.dtype
+    # hashed cell ids (spatial hashing: cells -> H buckets, H ~ 4N so
+    # distinct-cell hash collisions are rare; they only ADD candidates,
+    # never drop pairs — the distance test filters them)
+    H = 1 << max(int(np.ceil(np.log2(max(4 * n, 64)))), 6)
+    cx = jnp.floor((px + half_extent) / cell).astype(jnp.int32)
+    cy = jnp.floor((py + half_extent) / cell).astype(jnp.int32)
+    cz = jnp.floor((pz + half_extent) / cell).astype(jnp.int32)
+
+    def chash(ax, ay, az):
+        h = (ax * jnp.int32(73856093)) ^ (ay * jnp.int32(19349663)) \
+            ^ (az * jnp.int32(83492791))
+        return (h & jnp.int32(0x7FFFFFFF)) % H
+
+    cid = chash(cx, cy, cz)
+    cid = jnp.where(active, cid, H)                     # dead -> overflow
+    # bucket build: objects of a (hashed) cell are contiguous after sorting
+    sorted_cid, sorted_idx = jax.lax.sort(
+        [cid, jnp.arange(n, dtype=jnp.int32)], num_keys=1)
+    first = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
+    rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    nbuck = H * K
+    addr = sorted_cid * K + rank
+    addr = jnp.where((rank < K) & (sorted_cid < H), addr, nbuck)
+    bucket = jnp.full((nbuck + 1,), n, jnp.int32)
+    bucket = bucket.at[addr].set(sorted_idx, mode="drop")
+
+    # candidate index matrix [N, 27K]; if two neighbor cells hash to the
+    # same bucket, mask the later one (else its candidates double-count)
+    bases = []
+    for dz_ in (-1, 0, 1):
+        for dy_ in (-1, 0, 1):
+            for dx_ in (-1, 0, 1):
+                bases.append(chash(cx + dx_, cy + dy_, cz + dz_))
+    cand_cols = []
+    dup_cols = []
+    for a, base in enumerate(bases):
+        dup = jnp.zeros((n,), bool)
+        for b in range(a):
+            dup = dup | (base == bases[b])
+        for k in range(K):
+            cand_cols.append(bucket[base * K + k])
+            dup_cols.append(dup)
+    cand = jnp.stack(cand_cols, axis=1)                 # [N, 27K]
+    dup_mask = jnp.stack(dup_cols, axis=1)
+
+    padd = lambda a, v: jnp.concatenate([a, jnp.full((1,), v, a.dtype)])
+    gx, gy, gz = padd(px, 1e9), padd(py, 1e9), padd(pz, 1e9)
+    gvx, gvy, gvz = padd(vx, 0), padd(vy, 0), padd(vz, 0)
+    gr, gm, ge = padd(radius, 0), padd(mass, 1), padd(elas, 0)
+    ga = padd(active.astype(f32), 0)
+
+    ex = px[:, None] - gx[cand]
+    ey = py[:, None] - gy[cand]
+    ez = pz[:, None] - gz[cand]
+    d2 = jnp.maximum(ex * ex + ey * ey + ez * ez, 1e-12)
+    dist = jnp.sqrt(d2)
+    rsum = radius[:, None] + gr[cand]
+    valid = ((cand != jnp.arange(n, dtype=jnp.int32)[:, None]) & (cand < n)
+             & (active[:, None]) & (ga[cand] > 0) & ~dup_mask)
+    hit = valid & (dist < rsum)
+    pen = jnp.where(hit, rsum - dist, 0.0)
+    mj = gm[cand]
+    mw_i = mj / (mass[:, None] + mj)
+    push_i = pen * mw_i / dist
+    relv = ((vx[:, None] - gvx[cand]) * ex + (vy[:, None] - gvy[cand]) * ey
+            + (vz[:, None] - gvz[cand]) * ez) / d2
+    eij = jnp.minimum(elas[:, None], ge[cand])
+    ai = jnp.where(hit & (relv < 0), -(1.0 + eij) * relv, 0.0) * mw_i
+    dpx = jnp.sum(push_i * ex, -1)
+    dpy = jnp.sum(push_i * ey, -1)
+    dpz = jnp.sum(push_i * ez, -1)
+    dvx = jnp.sum(ai * ex, -1)
+    dvy = jnp.sum(ai * ey, -1)
+    dvz = jnp.sum(ai * ez, -1)
+    return dpx, dpy, dpz, dvx, dvy, dvz
+
+
+def block_pair_collisions(px, py, pz, vx, vy, vz, radius, mass, elas, active,
+                          block: int = 384):
+    """Gather-free pair pass over the x-SORTED order.
+
+    Blocks of `block` consecutive objects; every unordered pair is
+    evaluated ONCE, in one of two dense [G, B, B] matrices:
+      * SELF: upper triangle of block-g x block-g,
+      * NEXT: block-g x block-(g+1) (full).
+    i-side deltas come from row sums, j-side from column sums (rolled back
+    one block for NEXT) — both reduction directions are native on TPU, and
+    there are no gathers and no [N,N] work.
+
+    Exact for every pair within `block` ranks in the sorted order (and up
+    to 2B-1 for straddling pairs), i.e. while no rsum-wide x slab holds
+    more than `block` objects — audited at 10K pile density in
+    tests/test_physics_oracle.py (max span 247).  Returns the same
+    symmetric deltas as grid_pair_collisions.
+    """
+    n = px.shape[0]
+    B = block
+    G = -(-n // B)
+    npad = G * B
+    padv = lambda a, v=0.0: jnp.pad(a, (0, npad - n), constant_values=v)
+    X, Y, Z = padv(px, 1e9), padv(py, 1e9), padv(pz, 1e9)
+    VX, VY, VZ = padv(vx), padv(vy), padv(vz)
+    R, M_, E = padv(radius), padv(mass, 1.0), padv(elas)
+    A = padv(active.astype(px.dtype))
+
+    bl = lambda a: a.reshape(G, B)
+    nx = lambda a: jnp.roll(a.reshape(G, B), -1, 0)
+
+    ii = jnp.arange(B, dtype=jnp.int32)
+    upper = (ii[:, None] < ii[None, :])[None]            # [1, B, B]
+    # NEXT matrices: block G-1's "next" wraps to block 0 — mask it out
+    next_ok = (jnp.arange(G, dtype=jnp.int32) < G - 1)[:, None, None]
+
+    def halfpass(side):
+        """side 0: SELF (j in own block, upper triangle); side 1: NEXT."""
+        nb = bl if side == 0 else nx
+        ex = bl(X)[:, :, None] - nb(X)[:, None, :]
+        ey = bl(Y)[:, :, None] - nb(Y)[:, None, :]
+        ez = bl(Z)[:, :, None] - nb(Z)[:, None, :]
+        d2 = jnp.maximum(ex * ex + ey * ey + ez * ez, 1e-12)
+        rinv = jax.lax.rsqrt(d2)   # one transcendental per pair
+        rsum = bl(R)[:, :, None] + nb(R)[:, None, :]
+        valid = (bl(A)[:, :, None] > 0) & (nb(A)[:, None, :] > 0)
+        valid = valid & (upper if side == 0 else next_ok)
+        hit = valid & (d2 < rsum * rsum)
+        mi = bl(M_)[:, :, None]
+        mj = nb(M_)[:, None, :]
+        minv = 1.0 / (mi + mj)
+        # pen/dist, shared by both sides; mass weights split it
+        p = jnp.where(hit, rsum * rinv - 1.0, 0.0)
+        relv = ((bl(VX)[:, :, None] - nb(VX)[:, None, :]) * ex
+                + (bl(VY)[:, :, None] - nb(VY)[:, None, :]) * ey
+                + (bl(VZ)[:, :, None] - nb(VZ)[:, None, :]) * ez) \
+            * (rinv * rinv)
+        eij = jnp.minimum(bl(E)[:, :, None], nb(E)[:, None, :])
+        a = jnp.where(hit & (relv < 0), -(1.0 + eij) * relv, 0.0)
+        wi = mj * minv      # i-side weight
+        wj = mi * minv
+        outs = []
+        for e in (ex, ey, ez):
+            pi = jnp.sum(p * wi * e, -1)          # rows -> i side [G,B]
+            pj = jnp.sum(p * wj * e, -2)          # cols -> j side [G,B]
+            outs.append((pi, pj))
+        for e in (ex, ey, ez):
+            qi = jnp.sum(a * wi * e, -1)
+            qj = jnp.sum(a * wj * e, -2)
+            outs.append((qi, qj))
+        return outs
+
+    self_o = halfpass(0)
+    next_o = halfpass(1)
+    res = []
+    for k in range(6):
+        si, sj = self_o[k]
+        ni_, nj = next_o[k]
+        # j-side contributions are -delta (e points i->j); NEXT j sums
+        # belong to block g+1
+        tot = si - sj + ni_ - jnp.roll(nj, 1, 0)
+        res.append(tot.reshape(npad)[:n])
+    return tuple(res)
 
 
 def _on_tpu() -> bool:
@@ -268,10 +458,34 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+# pair-pass cell size: >= 2x the largest dynamic-object radius in the type
+# table (SMILEY 0.06 -> rsum 0.12); smaller cells cut bucket occupancy
+# (audited at 10K pile density: 0 overflow misses with K=16)
+PAIR_CELL = 0.12
+# banded window over the x-sorted order: must exceed the max occupancy of
+# an rsum-wide x slab (247 measured at 10K pile density; audited in
+# tests/test_physics_oracle.py)
+PAIR_WINDOW = 384
+
+
 def _pair_deltas(px, py, pz, vx, vy, vz, radius, mass, elas, active,
-                 window: int = 64):
-    """Backend dispatch: the Pallas roll-shift kernel on TPU (bit-exact,
-    2.4x the XLA fori_loop), the XLA path elsewhere."""
+                 window: int = PAIR_WINDOW, world: WorldConst = DEFAULT_WORLD,
+                 method: str = "block"):
+    """Pair-collision dispatch.  Default: the block pass over the x-SORTED
+    order (spatial_sort key='x') — exact while no rsum-wide x slab holds
+    more than PAIR_WINDOW objects (audited), gather-free, TPU-fast.
+    'grid' is the spatial-hash exact path: density-independent but
+    gather-bound (~200 ms/substep at 10K on v5e — TPU XLA random gathers),
+    kept as the audit reference.  'banded' is the legacy small-window
+    roll-shift path (Pallas kernel on TPU)."""
+    if method == "grid":
+        return grid_pair_collisions(px, py, pz, vx, vy, vz, radius, mass,
+                                    elas, active, cell=PAIR_CELL,
+                                    half_extent=2.0 * world.x_scene)
+    if method == "block":
+        return block_pair_collisions(px, py, pz, vx, vy, vz, radius, mass,
+                                     elas, active, block=window)
+    window = min(window, 64)
     if _on_tpu():
         from ..ops.pallas.pairs_kernel import banded_pairs_pallas
         return banded_pairs_pallas(px, py, pz, vx, vy, vz, radius, mass,
@@ -362,12 +576,19 @@ def _substep(state: ObjectState, env: PhysicsEnv, cobjs: CobjSet | None,
     rad, air, fric, grav, elas, dens, tv, mass, _life = _type_params(state.otype, table)
 
     alive = state.status > 0
-    flags = state.flags
+    # capture + clear last-substep collision (advance_object entry,
+    # Physics.cpp:720-721: coll_last_frame then flags &= ~OBJ_COLLIDED)
+    coll_last = (state.flags & T.FL_COLLIDED) != 0
+    flags = state.flags & ~T.FL_COLLIDED
     floating = (flags & T.FL_FLOATING) != 0
     z_stop = (flags & T.FL_Z_STOPPED) != 0
     xy_stop = (flags & T.FL_XY_STOPPED) != 0
     underwater = (flags & T.FL_UNDERWATER) != 0
-    moving = alive & (state.status != 4)
+    in_water = (flags & T.FL_IN_WATER) != 0
+    # the reference's airborne branch is status==1 only; 2/3 take the
+    # on-ground surface_advance path below (Physics.cpp:755,901)
+    moving = alive & (state.status == 1)
+    grounded = alive & ((state.status == 2) | (state.status == 3))
 
     px, py, pz = state.px, state.py, state.pz
     vx, vy, vz = state.vx, state.vy, state.vz
@@ -376,21 +597,28 @@ def _substep(state: ObjectState, env: PhysicsEnv, cobjs: CobjSet | None,
     air_eff = jnp.where(underwater, 0.0,
                         jnp.where(floating, (1.0 - T.WATER_SURF_FRICTION) * air, air))
 
-    # gravity with terminal velocity (Physics.cpp:815-819)
+    # gravity with terminal velocity (Physics.cpp:795-819); objects denser
+    # than water sink with reduced gravity (gscale, :798)
+    gscale = jnp.where(in_water & (dens > T.WATER_DENSITY),
+                       (dens - T.WATER_DENSITY) / dens, 1.0)
     can_fall = moving & ~z_stop
     vz_new = jnp.where(-vz < tv,
-                       jnp.maximum(vz - env.base_gravity * T.GRAVITY * tstep * grav, -tv),
+                       jnp.maximum(vz - env.base_gravity * gscale * T.GRAVITY
+                                   * tstep * grav, -tv),
                        vz)
-    vz = jnp.where(can_fall, vz_new, jnp.where(z_stop, 0.0, vz))
-    # wind (Physics.cpp:820-833)
+    vz = jnp.where(can_fall, vz_new, jnp.where(z_stop & moving, 0.0, vz))
+    # wind (Physics.cpp:820-833): xy drag relaxes toward vtot = v + wind
+    # (wind skipped when collided last frame); z adds wind directly
     wx, wy, wz = env.wind[0], env.wind[1], env.wind[2]
     vz = jnp.where(can_fall & ((jnp.abs(air_eff * wz) > jnp.abs(vz)) | ((wz < 0) != (vz < 0))),
                    vz + air_eff * wz, vz)
     move_xy = moving & ~xy_stop
+    collided = coll_last | (jnp.abs(vz) < 1.0e-6)
 
     def drag(v, w):
-        c = (jnp.abs(air_eff * w) > jnp.abs(v)) | ((w < 0) != (v < 0))
-        return jnp.where(c & move_xy, (1.0 - air_eff) * v + air_eff * w, v)
+        vtot = v + jnp.where(collided, 0.0, w)
+        c = (jnp.abs(air_eff * vtot) > jnp.abs(v)) | ((vtot < 0) != (v < 0))
+        return jnp.where(c & move_xy, (1.0 - air_eff) * v + air_eff * vtot, v)
 
     vx = drag(vx, wx)
     vy = drag(vy, wy)
@@ -473,8 +701,8 @@ def _substep(state: ObjectState, env: PhysicsEnv, cobjs: CobjSet | None,
         flags = jnp.where(hit, flags | (T.FL_STATIC_COBJ_COLL | T.FL_COLLIDED), flags)
         cobj_hit = hit
 
-    # --- mesh bounce (val==2 && !coll path) ---
-    mesh_coll = on_mesh & alive & ~touches_water & ~cobj_hit
+    # --- mesh bounce (airborne val==2 && !coll path, Physics.cpp:868-882) ---
+    mesh_coll = on_mesh & moving & ~touches_water & ~cobj_hit
     pz = jnp.where(mesh_coll, jnp.maximum(pz, mh + rad), pz)
     bx, by, bz, did_m = bounce_velocity(vx, vy, vz, mnx, mny, mnz,
                                         elas * T.LAND_ELASTICITY, air)
@@ -489,11 +717,45 @@ def _substep(state: ObjectState, env: PhysicsEnv, cobjs: CobjSet | None,
     status = jnp.where(md, 1, jnp.where(mesh_coll, 2, status))
     flags = jnp.where(mesh_coll, flags | T.FL_COLLIDED, flags)
 
+    # --- on-ground rolling (surface_advance, Physics.cpp:980-1037):
+    # grounded objects roll downhill along the surface normal's xy
+    # component, blending residual momentum by (1-friction), then stop
+    # (status 4) when the slope can't overcome friction ---
+    roll_ok = grounded & ~cobj_hit & ~touches_water
+    stick_g = (fric >= T.STICK_THRESHOLD) | xy_stop
+    killed_g = roll_ok & (pz < mh - T.KILL_DEPTH * rad)
+    pz = jnp.where(roll_ok & (pz < mh - T.RECOVER_DEPTH * rad), mh, pz)
+    dzn = jnp.sqrt(jnp.maximum(mnx * mnx + mny * mny, 1.0e-20))
+    vel_m = ((T.SURF_ADV_STEP / world.x_scene) * dzn
+             * (1.0 - 0.5 * fric) / T.DEF_TIMESTEP)
+    vel_m = jnp.where(in_water & (dens >= T.WATER_DENSITY),
+                      vel_m * (dens - T.WATER_DENSITY) / jnp.maximum(dens, 1e-9),
+                      vel_m)
+    moved_g = (dzn > 1.0e-12) & (dzn > fric) & (vel_m > 1.0e-12)
+    mvx = jnp.where(moved_g, vel_m * world.dx * mnx / dzn, 0.0)
+    mvy = jnp.where(moved_g, vel_m * world.dy * mny / dzn, 0.0)
+    vmult = jnp.maximum(1.0 - fric, 0.0)          # (1-friction)^fticks
+    gvx = mvx * (1.0 - vmult) + vx * vmult
+    gvy = mvy * (1.0 - vmult) + vy * vmult
+    rolling = roll_ok & ~stick_g
+    vx = jnp.where(rolling, gvx, jnp.where(roll_ok & stick_g, 0.0, vx))
+    vy = jnp.where(rolling, gvy, jnp.where(roll_ok & stick_g, 0.0, vy))
+    vz = jnp.where(roll_ok, 0.0, vz)
+    px = px + jnp.where(rolling, gvx * tstep, 0.0)
+    py = py + jnp.where(rolling, gvy * tstep, 0.0)
+    pz = jnp.where(roll_ok, mh + rad, pz)
+    # val==1 (no slope motion) -> stopped; val==2 -> status 3 (moving)
+    settled = roll_ok & (stick_g | ~moved_g)
+    vx = jnp.where(settled, 0.0, vx)
+    vy = jnp.where(settled, 0.0, vy)
+    status = jnp.where(settled, 4, jnp.where(rolling & moved_g, 3, status))
+    status = jnp.where(killed_g, 0, status)
+
     # --- dynamic object-object collisions (sorted-band broad phase) ---
     if obj_collisions:
         act = alive & (rad >= T.LARGE_OBJ_RAD)
         dpx, dpy, dpz, dvx, dvy, dvz = _pair_deltas(
-            px, py, pz, vx, vy, vz, rad, mass, elas, act)
+            px, py, pz, vx, vy, vz, rad, mass, elas, act, world=world)
         px = px + jnp.where(act, dpx, 0.0)
         py = py + jnp.where(act, dpy, 0.0)
         pz = pz + jnp.where(act, dpz, 0.0)
@@ -580,7 +842,10 @@ def step_objects_fused(
     env8 = jnp.stack([dt, env.base_gravity,
                       env.wind[0], env.wind[1], env.wind[2],
                       env.water_plane_z,
-                      jnp.float32(world.dx_inv), jnp.float32(world.dy_inv)])
+                      jnp.float32(world.dx_inv), jnp.float32(world.dy_inv),
+                      jnp.float32(world.x_scene),
+                      jnp.float32(world.dx), jnp.float32(world.dy),
+                      jnp.float32(0.0)])
     my, mx = env.mesh_height.shape
 
     def body(s, _):
@@ -597,7 +862,7 @@ def step_objects_fused(
         if obj_collisions:
             act = alive & (rad >= T.LARGE_OBJ_RAD)
             dpx, dpy, dpz, dvx, dvy, dvz = _pair_deltas(
-                px, py, pz, vx, vy, vz, rad, mass, elas, act)
+                px, py, pz, vx, vy, vz, rad, mass, elas, act, world=world)
             px = px + jnp.where(act, dpx, 0.0)
             py = py + jnp.where(act, dpy, 0.0)
             pz = pz + jnp.where(act, dpz, 0.0)
