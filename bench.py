@@ -5,12 +5,15 @@ physics steps/sec at 10K objects.  `value` is the combined speedup vs the
 single-thread CPU baseline (geometric mean of the two ratios); the raw
 numbers ride along as extra fields.
 
-Baselines (single-thread C++-class throughput, see BASELINE.md):
-* terrain: ~200 tiles/s (128^2 zvals via 90-term sine sums + 512-droplet
-  erosion per tile; the reference budgets <=3 CPU tiles per ~17ms frame,
-  tiled_mesh.cpp:2314-2316).
-* physics: ~40 frames/s for 10K objects x 10 substeps of integrate +
-  collide (process_groups, build_world.cpp:310-600; LG_STEPS_PER_FRAME=10).
+Baselines — two anchors, both recorded (BASELINE.md "Measured baselines"):
+* conservative reference-derived estimate (used for `vs_baseline` so the
+  headline is never inflated): 200 tiles/s, 40 phys fps — what a good
+  single-thread C++ implementation plausibly sustains (the reference
+  budgets <=3 CPU tiles per ~17ms frame, tiled_mesh.cpp:2314-2316;
+  process_groups with LG_STEPS_PER_FRAME=10, build_world.cpp:310-600).
+* measured same-program single-core CPU (XLA:CPU backend, nproc=1, this
+  machine, 2026-08-16): 5.29 tiles/s, 0.44 phys fps @10K — reported in the
+  `measured_cpu_*` / `vs_measured_cpu` fields.
 
 Note: each timed rep uses different inputs — the axon TPU relay memoizes
 identical (executable, input) pairs; results are forced with a host read
@@ -24,8 +27,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASE_TILES_PER_SEC = 200.0
+BASE_TILES_PER_SEC = 200.0       # conservative C++-estimate anchor
 BASE_PHYS_FPS = 40.0
+MEASURED_CPU_TILES_PER_SEC = 5.29  # same programs, XLA:CPU, 1 core
+MEASURED_CPU_PHYS_FPS = 0.44
 NUM_TILES = 256
 NUM_OBJS = 10000
 PHYS_SUBSTEPS = 10
@@ -79,7 +84,10 @@ def bench_physics(jax):
     # table) is closed over so XLA treats it as loop-invariant — carrying
     # it through the scan measured 2.7x slower (per-iteration re-derivation
     # of what it otherwise folds at compile time).
-    frames = 25
+    # frames=5 per dispatch: longer frame scans (25) crash the TPU worker
+    # on this libtpu ("kernel fault"); 4 chained un-forced dispatches
+    # pipeline, so the relay RTT still amortizes away.
+    frames = 5
 
     def run(st):
         def body(x, _):
@@ -93,7 +101,7 @@ def bench_physics(jax):
     float(cur.px.sum())
     cur = f(cur)
     float(cur.px.sum())   # second warmup: drain any overlapped work
-    reps = 4
+    reps = 16
     t0 = time.perf_counter()
     for _ in range(reps):
         cur = f(cur)
@@ -111,13 +119,19 @@ def main():
     r_t = tiles / BASE_TILES_PER_SEC
     r_p = phys / BASE_PHYS_FPS
     combined = (r_t * r_p) ** 0.5
+    m_t = tiles / MEASURED_CPU_TILES_PER_SEC
+    m_p = phys / MEASURED_CPU_PHYS_FPS
     print(json.dumps({
         "metric": "terrain_tiles_and_physics_speedup",
         "value": round(combined, 2),
-        "unit": "geomean speedup vs 1-core CPU (tiles/s/200, phys_fps/40)",
+        "unit": "geomean speedup vs conservative 1-core CPU estimate "
+                "(tiles/s/200, phys_fps/40)",
         "vs_baseline": round(combined, 2),
         "terrain_tiles_per_sec": round(tiles, 1),
         "physics_frames_per_sec_10k": round(phys, 1),
+        "measured_cpu_tiles_per_sec": MEASURED_CPU_TILES_PER_SEC,
+        "measured_cpu_phys_fps": MEASURED_CPU_PHYS_FPS,
+        "vs_measured_cpu": round((m_t * m_p) ** 0.5, 1),
     }))
 
 
