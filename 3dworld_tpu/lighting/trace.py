@@ -37,9 +37,25 @@ from . import lmap as L
 DIFFUSE_REFL = 0.9   # ray_trace.cpp:18
 SPEC_REFL = 1.0
 WEIGHT_THRESH = 0.01
-SNOW_ALBEDO = 0.9
-MESH_ALBEDO = (0.55, 0.45, 0.30)  # approx landscape texture color (the
-# reference samples the generated terrain texture; get_landscape_texture_color)
+SNOW_ALBEDO = 0.9    # ray_trace.cpp:20
+ICE_ALBEDO = 0.8     # ray_trace.cpp:21
+ICE_C = (0.65, 0.65, 1.0)          # 3DWorld.h:1297
+WATER_C = (0.4, 0.4, 1.0)          # 3DWorld.h:1296
+UW_ATTEN_SCALE = (0.9, 1.0, 1.5)   # get_underwater_atten_color(0,0),
+                                   # edit_ui.cpp:330-336; max = WHITE
+W_FREEZE_POINT = -0.1              # 3DWorld.h:90
+LT_DIR_FALLOFF = 0.005             # lightmap.h:15
+MESH_ALBEDO = (0.55, 0.45, 0.30)  # fallback landscape color when no
+# land_color map is supplied (the reference samples the generated terrain
+# texture; get_landscape_texture_color)
+
+# mean colors of the 5 biome texture layers {sand, dirt, grass, rock,
+# snow} (stand-ins for the reference's texture-average colors)
+LAYER_COLORS = ((0.76, 0.70, 0.50),   # sand
+                (0.45, 0.33, 0.20),   # dirt
+                (0.30, 0.52, 0.20),   # grass
+                (0.52, 0.50, 0.48),   # rock
+                (0.93, 0.93, 1.00))   # snow
 
 
 class TraceParams(NamedTuple):
@@ -51,10 +67,27 @@ class TraceParams(NamedTuple):
     mesh_steps: int = 24           # heightfield-march samples per ray
     exact_mesh: bool = False       # DDA cell-walking intersect (exact,
                                    # ~2x the cost of the sampled march)
+    temperature: float = 20.0      # <= W_FREEZE_POINT -> water becomes ice
+    transmission: bool = True      # alpha<1 cobj refraction/transmission
 
 
 def _luminance(r, g, b):
     return 0.299 * r + 0.587 * g + 0.114 * b  # colorRGBA::get_luminance
+
+
+def landscape_color_map(mesh, world: WorldConst, biome_noise=None):
+    """[my, mx, 3] landscape albedo from the biome weight layers —
+    get_landscape_texture_color(xpos, ypos) equivalent (the reference
+    samples the blended landscape texture; here the 5-layer biome weights
+    blend the layers' mean colors)."""
+    from ..terrain import biomes as B
+    dzdx = (jnp.roll(mesh, -1, 1) - jnp.roll(mesh, 1, 1)) * (0.5 * world.dx_inv)
+    dzdy = (jnp.roll(mesh, -1, 0) - jnp.roll(mesh, 1, 0)) * (0.5 * world.dy_inv)
+    nz = jax.lax.rsqrt(dzdx * dzdx + dzdy * dzdy + 1.0)
+    w = B.biome_weights(mesh, nz, mesh.min(), mesh.max(),
+                        biome_noise=biome_noise)          # [5, my, mx]
+    cols = jnp.asarray(LAYER_COLORS, jnp.float32)         # [5, 3]
+    return jnp.einsum("lyx,lc->yxc", w, cols)
 
 
 def _accumulate_segment(grid, ltype, ox, oy, oz, dx, dy, dz, t_hit, w, cr, cg, cb,
@@ -85,21 +118,39 @@ def trace_batch(
     ltype: int = L.LIGHTING_SKY,
     params: TraceParams = TraceParams(),
     world: WorldConst = DEFAULT_WORLD,
+    land_color=None,               # [my,mx,3] landscape albedo (else const)
+    snow_depth=None,               # [my,mx] snow cover (enables snow coll)
 ) -> L.LightGrid:
-    """Trace one flat ray batch to completion, accumulating into `grid`."""
+    """Trace one flat ray batch to completion, accumulating into `grid`.
+
+    Surface interaction chain matches cast_light_ray
+    (ray_trace.cpp:256-490): water attenuation / ice / snow overrides,
+    landscape-texture albedo for mesh hits, cobj color + specular, and
+    Fresnel-weighted transmission through alpha<1 cobjs.  The reference
+    forks reflected + transmitted recursions; this lockstep tracer keeps
+    one ray per slot and picks a branch stochastically with
+    importance-compensated weights (unbiased in expectation), after
+    depositing the interior chord segment deterministically."""
     N = ox.shape[0]
     LL = params.line_length
+    frozen = params.temperature <= W_FREEZE_POINT
     state = dict(ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
                  w=w0, r=cr, g=cg, b=cb,
                  alive=jnp.ones((N,), bool), grid=grid)
     w_init = w0
 
+    def _mesh_cell(hx, hy):
+        my, mx = mesh.shape
+        gx = jnp.clip(jnp.round(hx * world.dx_inv + mx // 2), 0, mx - 1)
+        gy = jnp.clip(jnp.round(hy * world.dy_inv + my // 2), 0, my - 1)
+        return gy.astype(jnp.int32), gx.astype(jnp.int32)
+
     def bounce(st, key_d):
         ox, oy, oz = st["ox"], st["oy"], st["oz"]
         dx, dy, dz = st["dx"], st["dy"], st["dz"]
         tmax = jnp.full((N,), LL)
-        chit, ct, cnx, cny, cnz, coh = R.ray_cobjs_nearest(
-            ox, oy, oz, dx, dy, dz, tmax, cobjs)
+        chit, ct, cnx, cny, cnz, coh, ct_exit = R.ray_cobjs_nearest(
+            ox, oy, oz, dx, dy, dz, tmax, cobjs, with_exit=True)
         if params.exact_mesh:
             mhit, mt = R.ray_heightfield_dda(ox, oy, oz, dx, dy, dz, tmax,
                                              mesh, world,
@@ -112,6 +163,21 @@ def trace_batch(
         t = jnp.where(use_mesh, mt, ct)
         t = jnp.where(hit, t, LL)
 
+        # water / ice crossing (ray_trace.cpp:296-309): a hit below the
+        # water plane from above either stops at the ice surface (frozen)
+        # or attenuates through the water volume
+        wpz = params.water_plane_z
+        hz0 = oz + t * dz
+        crossed = hit & (oz >= wpz) & (hz0 < wpz)
+        if frozen:
+            t_ice = (wpz - oz) / jnp.where(jnp.abs(dz) < 1e-9, -1e-9, dz)
+            t = jnp.where(crossed, t_ice, t)
+            ice_coll = crossed
+            water_coll = jnp.zeros((N,), bool)
+        else:
+            ice_coll = jnp.zeros((N,), bool)
+            water_coll = crossed
+
         alive = st["alive"]
         contrib = alive & hit    # un-hit rays deposit nothing (ray_trace.cpp:341)
         grid2 = _accumulate_segment(
@@ -119,40 +185,129 @@ def trace_batch(
             st["w"] * contrib.astype(jnp.float32), st["r"], st["g"], st["b"],
             jnp.ones((N,), jnp.float32), params.samples_per_segment, world)
 
-        # hit point + normal
+        # hit point + normal (ice: always +z, ray_trace.cpp:301)
         hx = ox + t * dx
         hy = oy + t * dy
         hz = oz + t * dz
-        mnh, mnx, mny, mnz = None, None, None, None
         from ..physics.step import sample_mesh
         _, mx_, my_, mz_ = sample_mesh(mesh, hx, hy, world)
         nx = jnp.where(use_mesh, mx_, cnx)
         ny = jnp.where(use_mesh, my_, cny)
         nz = jnp.where(use_mesh, mz_, cnz)
+        nx = jnp.where(ice_coll, 0.0, nx)
+        ny = jnp.where(ice_coll, 0.0, ny)
+        nz = jnp.where(ice_coll, 1.0, nz)
 
-        # water crossing attenuation (ray_trace.cpp:347-365 simplified):
-        wpz = params.water_plane_z
-        crossed = hit & (oz >= wpz) & (hz < wpz)
-        wdepth = jnp.maximum(wpz - hz, 0.0)
-        awater = jnp.exp(-2.0 * wdepth)  # depth attenuation
-        watt = jnp.where(crossed, 0.95 * awater, 1.0)
+        # water volume attenuation (ray_trace.cpp:347-365): solid WATER_C
+        # * 0.95, channel atten 1 - min(1, uw_scale * 0.8 * dist), dist =
+        # 2x the underwater optical path; shallow-angle rays die
+        dzc = jnp.where(jnp.abs(dz) < 1e-6, -1e-6, dz)
+        wdist = jnp.where(water_coll, -2.0 * jnp.maximum(wpz - hz, 0.0) / dzc, 0.0)
+        wr = WATER_C[0] * 0.95 * (1.0 - jnp.minimum(1.0, UW_ATTEN_SCALE[0] * 0.8 * wdist))
+        wg = WATER_C[1] * 0.95 * (1.0 - jnp.minimum(1.0, UW_ATTEN_SCALE[1] * 0.8 * wdist))
+        wb = WATER_C[2] * 0.95 * (1.0 - jnp.minimum(1.0, UW_ATTEN_SCALE[2] * 0.8 * wdist))
+        too_shallow = water_coll & (dz > -1e-6)
+        wlum = jnp.where(water_coll, _luminance(wr, wg, wb), 1.0)
+        watt_r = jnp.where(water_coll, wr, 1.0)
+        watt_g = jnp.where(water_coll, wg, 1.0)
+        watt_b = jnp.where(water_coll, wb, 1.0)
 
-        # albedo: cobj color (one-hot reduce) or mesh landscape color
+        # albedo: cobj color (one-hot reduce) or sampled landscape color
         acr = coh @ cobjs.color_r
         acg = coh @ cobjs.color_g
         acb = coh @ cobjs.color_b
         aspec = coh @ cobjs.specular
         ashine = coh @ cobjs.shine
-        acr = jnp.where(use_mesh, MESH_ALBEDO[0], acr)
-        acg = jnp.where(use_mesh, MESH_ALBEDO[1], acg)
-        acb = jnp.where(use_mesh, MESH_ALBEDO[2], acb)
+        gy, gx = _mesh_cell(hx, hy)
+        if land_color is not None:
+            lcr = land_color[gy, gx, 0]
+            lcg = land_color[gy, gx, 1]
+            lcb = land_color[gy, gx, 2]
+        else:
+            lcr = jnp.full((N,), MESH_ALBEDO[0])
+            lcg = jnp.full((N,), MESH_ALBEDO[1])
+            lcb = jnp.full((N,), MESH_ALBEDO[2])
+        acr = jnp.where(use_mesh, lcr, acr)
+        acg = jnp.where(use_mesh, lcg, acg)
+        acb = jnp.where(use_mesh, lcb, acb)
         aspec = jnp.where(use_mesh, 0.0, aspec)
+
+        # ice override (ray_trace.cpp:371-376)
+        acr = jnp.where(ice_coll, ICE_ALBEDO * ICE_C[0], acr)
+        acg = jnp.where(ice_coll, ICE_ALBEDO * ICE_C[1], acg)
+        acb = jnp.where(ice_coll, ICE_ALBEDO * ICE_C[2], acb)
+        aspec = jnp.where(ice_coll, 0.5, aspec)
+        ashine = jnp.where(ice_coll, 60.0, ashine)
+
+        # snow override (ray_trace.cpp:313-327,366-370): upward-facing
+        # hits under snow cover reflect SNOW_ALBEDO white
+        if snow_depth is not None:
+            snow_coll = hit & ~water_coll & ~ice_coll & (nz > 0.0) & \
+                (snow_depth[gy, gx] > 0.0)
+            acr = jnp.where(snow_coll, SNOW_ALBEDO, acr)
+            acg = jnp.where(snow_coll, SNOW_ALBEDO, acg)
+            acb = jnp.where(snow_coll, SNOW_ALBEDO, acb)
+            aspec = jnp.where(snow_coll, 0.5, aspec)
+            ashine = jnp.where(snow_coll, 50.0, ashine)
+
         lum = _luminance(acr, acg, acb)
         refl = DIFFUSE_REFL * (1.0 - aspec) + SPEC_REFL * aspec
-        w = st["w"] * lum * refl * watt
-        r = st["r"] * acr * watt
-        g = st["g"] * acg * watt
-        b = st["b"] * acb * watt
+
+        # --- transmission through alpha<1 cobjs (ray_trace.cpp:407-458).
+        # Straight-through chord approximation: the refracted and
+        # re-refracted interior path is replaced by the incident-direction
+        # chord [t, t_exit] (the reference itself ignores bending for the
+        # weight and notes the chord-distance shortcut), attenuated by
+        # get_light_transmit's exp(-light_atten * chord)
+        calpha = coh @ cobjs.alpha
+        cref_ix = coh @ cobjs.refract_ix
+        catten = coh @ cobjs.light_atten
+        cobj_coll = hit & ~use_mesh & ~ice_coll
+        if params.transmission:
+            semi = cobj_coll & (calpha < 1.0)
+            # Fresnel reflected fraction (get_fresnel_reflection,
+            # Math3d.cpp:46-56; n1=1)
+            n2 = jnp.maximum(cref_ix, 1.0)
+            cos_i = jnp.abs(dx * nx + dy * ny + dz * nz)
+            sin_i = jnp.sqrt(jnp.maximum(1.0 - cos_i * cos_i, 0.0))
+            val = sin_i / n2
+            cos_t = jnp.sqrt(jnp.maximum(1.0 - val * val, 0.0))
+            rs = (cos_i - n2 * cos_t) / jnp.maximum(cos_i + n2 * cos_t, 1e-9)
+            rp = (cos_t - n2 * cos_i) / jnp.maximum(cos_t + n2 * cos_i, 1e-9)
+            fres = 0.5 * (rs * rs + rp * rp)
+            # get_reflected_weight (Math3d.cpp:58): alpha when ix == 1
+            rweight = jnp.where(cref_ix != 1.0,
+                                calpha + (1.0 - calpha) * jnp.clip(fres, 0.0, 1.0),
+                                calpha)
+            chord = jnp.maximum(ct_exit - t, 0.0)
+            transmit_atten = jnp.where(semi & (catten > 0.0),
+                                       jnp.exp(-catten * chord), 1.0)
+            w_lum = st["w"] * lum * wlum        # weight *= cobj luminance
+            w_t = jnp.where(semi, (1.0 - rweight) * w_lum * transmit_atten, 0.0)
+            w_r = w_lum * jnp.where(semi, rweight, 1.0) * refl
+            # deposit the interior chord (add_path_to_lmcs(p2, p_int))
+            t_chord = jnp.where(semi, chord, 0.0)
+            keep_t = jnp.abs(w_t) > WEIGHT_THRESH * jnp.abs(w_init)
+            grid2 = _accumulate_segment(
+                grid2, ltype, hx, hy, hz, dx, dy, dz, t_chord,
+                w_t * (contrib & keep_t).astype(jnp.float32),
+                st["r"] * acr * watt_r, st["g"] * acg * watt_g,
+                st["b"] * acb * watt_b,
+                jnp.ones((N,), jnp.float32), params.samples_per_segment,
+                world)
+            # stochastic branch pick, importance-compensated
+            p_t = jnp.abs(w_t) / jnp.maximum(jnp.abs(w_t) + jnp.abs(w_r), 1e-12)
+            u_t = jax.random.uniform(jax.random.fold_in(key_d, 7), (N,))
+            take_t = semi & keep_t & (u_t < p_t)
+            w = jnp.where(take_t, w_t / jnp.maximum(p_t, 1e-6),
+                          w_r / jnp.maximum(1.0 - p_t, 1e-6))
+        else:
+            take_t = jnp.zeros((N,), bool)
+            w = st["w"] * lum * refl * wlum
+        w = jnp.where(too_shallow, 0.0, w)
+        r = st["r"] * acr * watt_r
+        g = st["g"] * acg * watt_g
+        b = st["b"] * acb * watt_b
 
         alive = contrib & (jnp.abs(w) >= WEIGHT_THRESH * jnp.abs(w_init))
 
@@ -179,9 +334,19 @@ def trace_batch(
             sdy = jnp.where(do_spec, spy / spl, sdy)
             sdz = jnp.where(do_spec, spz / spl, sdz)
 
+        # transmitted rays continue straight from the chord exit point
         eps = 1e-4
+        ex_ = hx + jnp.where(take_t, (jnp.maximum(ct_exit - t, 0.0) + eps) * dx,
+                             eps * nx)
+        ey_ = hy + jnp.where(take_t, (jnp.maximum(ct_exit - t, 0.0) + eps) * dy,
+                             eps * ny)
+        ez_ = hz + jnp.where(take_t, (jnp.maximum(ct_exit - t, 0.0) + eps) * dz,
+                             eps * nz)
+        sdx = jnp.where(take_t, dx, sdx)
+        sdy = jnp.where(take_t, dy, sdy)
+        sdz = jnp.where(take_t, dz, sdz)
         new = dict(
-            ox=hx + eps * nx, oy=hy + eps * ny, oz=hz + eps * nz,
+            ox=ex_, oy=ey_, oz=ez_,
             dx=sdx, dy=sdy, dz=sdz,
             w=w, r=r, g=g, b=b, alive=alive, grid=grid2,
         )
@@ -259,7 +424,7 @@ def local_rays(key, n: int, light_pos, light_color, world: WorldConst,
 def compute_sky_lighting(grid, cobjs, mesh, num_rays: int, seed: int = 0,
                          params: TraceParams = TraceParams(),
                          world: WorldConst = DEFAULT_WORLD,
-                         batch: int = 65536):
+                         batch: int = 65536, land_color=None, snow_depth=None):
     """compute_ray_trace_lighting(LIGHTING_SKY) equivalent: batched."""
     nb = -(-num_rays // batch)
     for i in range(nb):
@@ -267,18 +432,115 @@ def compute_sky_lighting(grid, cobjs, mesh, num_rays: int, seed: int = 0,
         rays = sky_rays(jax.random.fold_in(k, 1), min(batch, num_rays - i * batch),
                         world, ray_weight=float(num_rays))
         grid = trace_batch(grid, cobjs, mesh, *rays, jax.random.fold_in(k, 2),
-                           ltype=L.LIGHTING_SKY, params=params, world=world)
+                           ltype=L.LIGHTING_SKY, params=params, world=world,
+                           land_color=land_color, snow_depth=snow_depth)
     return L.normalize_sky(grid)
 
 
 def compute_local_lighting(grid, cobjs, mesh, lights, rays_per_light: int,
                            seed: int = 0, params: TraceParams = TraceParams(),
-                           world: WorldConst = DEFAULT_WORLD):
+                           world: WorldConst = DEFAULT_WORLD,
+                           land_color=None, snow_depth=None):
     """LIGHTING_LOCAL: one batch per configured light source."""
     for li, (pos, color) in enumerate(lights):
         k = w3d_rng.key(seed, 0x10CA1, li)
         rays = local_rays(jax.random.fold_in(k, 1), rays_per_light, pos, color,
                           world, ray_weight=float(rays_per_light))
         grid = trace_batch(grid, cobjs, mesh, *rays, jax.random.fold_in(k, 2),
-                           ltype=L.LIGHTING_LOCAL, params=params, world=world)
+                           ltype=L.LIGHTING_LOCAL, params=params, world=world,
+                           land_color=land_color, snow_depth=snow_depth)
+    return grid
+
+
+def scene_light_rays(key, spec, n: int, world: WorldConst):
+    """Rays for one scene-DSL LightSpec ('L'/'V'/'U' commands) —
+    ray_trace_local_light_source equivalent (ray_trace.cpp:889-981):
+    point / line / spot / cube lights.
+
+    ray weight = 1000 * alpha * radius / N (ray_trace.cpp:897);
+    spotlights modulate per-ray weight by get_dir_intensity
+    (light_source.cpp:86-92); line lights space origins along the
+    segment; r_inner offsets the origin along a random direction."""
+    ks = jax.random.split(key, 8)
+    cr, cg, cb = spec.color[0], spec.color[1], spec.color[2]
+    alpha = spec.color[3] if len(spec.color) > 3 else 1.0
+    radius = max(spec.size, 1e-3)
+    ray_wt = 1000.0 * alpha * radius / n
+
+    vx = jax.random.normal(ks[0], (n,))
+    vy = jax.random.normal(ks[1], (n,))
+    vz = jax.random.normal(ks[2], (n,))
+    vl = jnp.sqrt(vx * vx + vy * vy + vz * vz) + 1e-9
+    dx, dy, dz = vx / vl, vy / vl, vz / vl
+
+    if getattr(spec, "is_cube_light", False):
+        # emit outward from the faces of the cube [pos, pos2]
+        lo = jnp.minimum(jnp.asarray(spec.pos), jnp.asarray(spec.pos2))
+        hi = jnp.maximum(jnp.asarray(spec.pos), jnp.asarray(spec.pos2))
+        u = jax.random.uniform(ks[3], (n, 3))
+        p = lo + u * (hi - lo)
+        face = jax.random.randint(ks[4], (n,), 0, 6)
+        axis = face // 2
+        sgn = jnp.where(face % 2 == 1, 1.0, -1.0)
+        fpos = jnp.where(sgn > 0, hi[axis], lo[axis])
+        p = p.at[jnp.arange(n), axis].set(fpos + 1e-5 * radius * sgn)
+        nrm = jnp.zeros((n, 3)).at[jnp.arange(n), axis].set(sgn)
+        flip = (dx * nrm[:, 0] + dy * nrm[:, 1] + dz * nrm[:, 2]) < 0
+        dx = jnp.where(flip, -dx, dx)
+        dy = jnp.where(flip, -dy, dy)
+        dz = jnp.where(flip, -dz, dz)
+        ox_, oy_, oz_ = p[:, 0], p[:, 1], p[:, 2]
+        w = jnp.full((n,), ray_wt)
+    else:
+        p0 = jnp.asarray(spec.pos, jnp.float32)
+        ox_ = jnp.full((n,), p0[0])
+        oy_ = jnp.full((n,), p0[1])
+        oz_ = jnp.full((n,), p0[2])
+        if getattr(spec, "is_line", False):
+            fr = jnp.arange(n, dtype=jnp.float32) / max(n - 1, 1)
+            p1 = jnp.asarray(spec.pos2, jnp.float32)
+            ox_ = p0[0] + fr * (p1[0] - p0[0])
+            oy_ = p0[1] + fr * (p1[1] - p0[1])
+            oz_ = p0[2] + fr * (p1[2] - p0[2])
+        if spec.r_inner > 0.0:
+            mx = jax.random.normal(ks[5], (n,))
+            my = jax.random.normal(ks[6], (n,))
+            mz = jax.random.normal(ks[7], (n,))
+            ml = jnp.sqrt(mx * mx + my * my + mz * mz) + 1e-9
+            inv = (dx * mx + dy * my + dz * mz) < 0
+            s = jnp.where(inv, -spec.r_inner, spec.r_inner)
+            ox_ = ox_ + s * mx / ml
+            oy_ = oy_ + s * my / ml
+            oz_ = oz_ + s * mz / ml
+        w = jnp.full((n,), ray_wt)
+        bw = float(spec.beamwidth)
+        ld = np.asarray(spec.dir, np.float32)
+        if bw < 1.0 and float(np.linalg.norm(ld)) > 1e-6:
+            # get_dir_intensity(-dir): dp in [-1,1] -> dp_norm [0,1]
+            ld = ld / np.linalg.norm(ld)
+            dp = dx * ld[0] + dy * ld[1] + dz * ld[2]
+            dp_norm = 0.5 * (dp + 1.0)
+            inten = jnp.clip(2.0 * (dp_norm + bw + LT_DIR_FALLOFF - 1.0)
+                             / LT_DIR_FALLOFF, 0.0, 1.0)
+            w = w * inten
+    return (ox_, oy_, oz_, dx, dy, dz, w,
+            jnp.full((n,), cr), jnp.full((n,), cg), jnp.full((n,), cb))
+
+
+def compute_scene_lighting(grid, cobjs, mesh, light_specs, rays_per_light: int,
+                           seed: int = 0, params: TraceParams = TraceParams(),
+                           world: WorldConst = DEFAULT_WORLD,
+                           land_color=None, snow_depth=None):
+    """LIGHTING_LOCAL over the scene-DSL light list (SceneParse.lights +
+    .cube_lights): the end-to-end path from 'L'/'V'/'U' commands to the
+    lighting volume."""
+    for li, spec in enumerate(light_specs):
+        if getattr(spec, "kind", "diffuse") == "ambient":
+            continue   # ambient lights tint the base lmap, not ray-traced
+        n = spec.num_dlight_rays or rays_per_light
+        k = w3d_rng.key(seed, 0x5CE7E, li)
+        rays = scene_light_rays(jax.random.fold_in(k, 1), spec, n, world)
+        grid = trace_batch(grid, cobjs, mesh, *rays, jax.random.fold_in(k, 2),
+                           ltype=L.LIGHTING_LOCAL, params=params, world=world,
+                           land_color=land_color, snow_depth=snow_depth)
     return grid

@@ -30,11 +30,15 @@ _EPS = 1e-9
 _BIG = 1e30
 
 
-def ray_cobjs_nearest(ox, oy, oz, dx, dy, dz, tmax, c: CobjSet):
+def ray_cobjs_nearest(ox, oy, oz, dx, dy, dz, tmax, c: CobjSet,
+                      with_exit: bool = False):
     """Nearest intersection of N rays against all cobjs.
 
     Inputs [N] each (directions need not be normalized — t is in direction
-    units).  Returns (hit [N], t [N], nx, ny, nz [N], idx_onehot [N,M]).
+    units).  Returns (hit [N], t [N], nx, ny, nz [N], idx_onehot [N,M]);
+    with `with_exit` a 7th element `t_exit` [N] — the far intersection of
+    the SAME (nearest) cobj along the ray, used by the lighting tracer's
+    straight-through transmission chord (ray_trace.cpp:418-456).
     """
     OX, OY, OZ = ox[:, None], oy[:, None], oz[:, None]       # [N,1]
     DX, DY, DZ = dx[:, None], dy[:, None], dz[:, None]
@@ -182,9 +186,32 @@ def ray_cobjs_nearest(ox, oy, oz, dx, dy, dz, tmax, c: CobjSet):
     oh = (i[:, None] == jnp.arange(c.size, dtype=jnp.int32)[None, :]).astype(ox.dtype)
     t_best = jnp.sum(t_all * oh, -1)
     hit = t_best < _BIG
+    if not with_exit:
+        return (hit, t_best,
+                jnp.sum(nx_all * oh, -1), jnp.sum(ny_all * oh, -1),
+                jnp.sum(nz_all * oh, -1), oh)
+
+    # far intersection of the same shape along the same ray (transmission
+    # chord): cube tf slab exit, sphere far quadratic root, cylinder max
+    # valid side/cap t, polygon entry + thickness/cos
+    tx_cube = jnp.where(cube_hit, tf, t_cube)
+    t_s2 = (-b + sq) / (2.0 * a)
+    tx_sph = jnp.where(sph_hit, t_s2, t_sph)
+    t_side2 = (-b2 + sq2) / jnp.maximum(2.0 * a2, _EPS)
+    z_at2 = OZ + t_side2 * DZ
+    side2_ok = (disc2 > 0.0) & (t_side2 > _EPS) & (z_at2 >= zlo) & (z_at2 <= zhi)
+    tx_cyl = jnp.maximum(jnp.where(side2_ok, t_side2, -_BIG),
+                         jnp.maximum(jnp.where(top_ok, t_top, -_BIG),
+                                     jnp.where(bot_ok, t_bot, -_BIG)))
+    tx_cyl = jnp.where(cyl_hit & (tx_cyl > -_BIG), tx_cyl, t_cyl)
+    tx_poly = t_poly + jnp.maximum(c.r1, 0.0) / jnp.maximum(jnp.abs(denom), 0.1)
+    tx_all = jnp.select([is_cube, is_cyl, is_poly, is_sph_like],
+                        [tx_cube, tx_cyl, tx_poly, tx_sph],
+                        default=jnp.float32(_BIG))
+    t_exit = jnp.sum(jnp.maximum(tx_all, t_all) * oh, -1)
     return (hit, t_best,
             jnp.sum(nx_all * oh, -1), jnp.sum(ny_all * oh, -1),
-            jnp.sum(nz_all * oh, -1), oh)
+            jnp.sum(nz_all * oh, -1), oh, t_exit)
 
 
 def ray_heightfield(ox, oy, oz, dx, dy, dz, tmax, mesh, world: WorldConst,

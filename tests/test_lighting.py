@@ -162,3 +162,153 @@ def test_dda_heightfield_exact():
         assert bool(below[k]) == bool(hit[i]), i
         if below[k]:
             assert abs(ts[k] - float(t[i])) < 2e-3, i
+
+
+# ---------------------------------------------------------------------------
+# tracer parity round 2 (VERDICT task 6): transmission, ice/snow,
+# landscape albedo, scene lights end-to-end
+# ---------------------------------------------------------------------------
+
+def _glass_wall_scene(alpha):
+    """A floor plus a full-height wall at x~1 between the light at the
+    origin and the +x half of the volume."""
+    sp = SC.SceneParse()
+    lay = SC.CobjLayer(color=(0.9, 0.9, 0.9, 1.0))
+    sp.cobjs.append(SC.RawCobj(COLL_CUBE, (-4, -4, -0.6), (4, 4, -0.4), layer=lay))
+    glass = SC.CobjLayer(color=(0.9, 0.9, 0.9, alpha), refract_ix=1.5,
+                         light_atten=0.5)
+    sp.cobjs.append(SC.RawCobj(COLL_CUBE, (0.8, -4, -0.4), (1.2, 4, 4),
+                               layer=glass))
+    return SC.pack_cobjs(sp)
+
+
+def test_transmission_through_glass():
+    """Light passes through an alpha<1 wall into the far half of the
+    volume (ray_trace.cpp:407-458); an opaque wall blocks it."""
+    light = [((0.0, 0.0, 0.5), (1.0, 1.0, 1.0))]
+
+    def run(alpha):
+        grid = L.make_light_grid(W)
+        grid = T.compute_local_lighting(grid, _glass_wall_scene(alpha), MESH,
+                                        light, 16384, params=PARAMS, world=W)
+        lc = np.asarray(grid.lc_r)
+        z = 9   # z=0.5 layer
+        behind = lc[z, 14:19, 22:28].mean()   # +x of the wall
+        front = lc[z, 14:19, 10:15].mean()    # light side
+        return behind, front
+
+    b_glass, f_glass = run(0.3)
+    b_opaque, f_opaque = run(1.0)
+    assert f_glass > 0 and f_opaque > 0
+    # glass: meaningful light behind; opaque: essentially none
+    assert b_glass > 5.0 * max(b_opaque, 1e-9), (b_glass, b_opaque)
+    # transmitted light is attenuated vs the light side
+    assert b_glass < f_glass, (b_glass, f_glass)
+
+
+def test_ice_stops_rays_at_water_plane_when_frozen():
+    """temperature <= W_FREEZE_POINT turns the water plane into an ice
+    surface (ray_trace.cpp:296-303): cells below the plane stay dark."""
+    co = floor_scene()
+    wpz = -1.0
+
+    def run(temp):
+        params = T.TraceParams(max_bounces=4, samples_per_segment=8,
+                               line_length=16.0, water_plane_z=wpz,
+                               temperature=temp)
+        grid = L.make_light_grid(W)
+        grid = T.compute_sky_lighting(grid, co, MESH, 16384, params=params,
+                                      world=W, batch=16384)
+        return np.asarray(grid.sv)
+
+    frozen = run(-5.0)
+    warm = run(20.0)
+    # z index of the layer just below the water plane: z0=-4, dz=0.5
+    zb = int((wpz - (-4.0)) / 0.5) - 1
+    below_frozen = frozen[zb - 2:zb + 1].mean()
+    below_warm = warm[zb - 2:zb + 1].mean()
+    assert below_warm > 2.0 * max(below_frozen, 1e-9), \
+        (below_warm, below_frozen)
+
+
+def test_landscape_albedo_tints_bounce_light():
+    """Mesh hits modulate by the landscape color map (land_color), not a
+    constant: a green-grass map tints the volume greener than a red one
+    (get_landscape_texture_color, ray_trace.cpp:377-381)."""
+    co = SC.pack_cobjs(SC.SceneParse())
+    mesh = jnp.full((32, 32), -1.0, jnp.float32)
+
+    def run(col):
+        lc = jnp.broadcast_to(jnp.asarray(col, jnp.float32), (32, 32, 3))
+        grid = L.make_light_grid(W)
+        grid = T.compute_sky_lighting(grid, co, mesh, 16384, params=PARAMS,
+                                      world=W, batch=16384, land_color=lc)
+        return (np.asarray(grid.sc_r).mean(), np.asarray(grid.sc_g).mean())
+
+    r_red, g_red = run((0.8, 0.1, 0.1))
+    r_grn, g_grn = run((0.1, 0.8, 0.1))
+    # direct sky deposits carry the sky hue; the bounce tint still must
+    # shift the red/green balance measurably between the two maps
+    assert r_red / max(g_red, 1e-9) > 1.15 * r_grn / max(g_grn, 1e-9), \
+        ((r_red, g_red), (r_grn, g_grn))
+
+
+def test_snow_cover_brightens_bounce():
+    """Snow-covered mesh reflects SNOW_ALBEDO white: more bounced light
+    than dark terrain (ray_trace.cpp:366-370).  A ceiling catches the
+    bounced rays (un-hit rays deposit nothing, ray_trace.cpp:341), so the
+    ground-to-ceiling volume shows the albedo difference."""
+    sp = SC.SceneParse()
+    lay = SC.CobjLayer(color=(0.3, 0.3, 0.3, 1.0))
+    sp.cobjs.append(SC.RawCobj(COLL_CUBE, (-8, -8, 3.5), (8, 8, 3.7), layer=lay))
+    co = SC.pack_cobjs(sp)
+    mesh = jnp.full((32, 32), -1.0, jnp.float32)
+    dark = jnp.broadcast_to(jnp.asarray((0.15, 0.1, 0.08), jnp.float32),
+                            (32, 32, 3))
+
+    def run(snow):
+        grid = L.make_light_grid(W)
+        grid = T.compute_sky_lighting(grid, co, mesh, 16384, params=PARAMS,
+                                      world=W, batch=16384, land_color=dark,
+                                      snow_depth=snow)
+        return np.asarray(grid.sv)[10:14].mean()   # mid-air layers
+
+    lit_snow = run(jnp.ones((32, 32), jnp.float32))
+    lit_dark = run(None)
+    assert lit_snow > 1.3 * lit_dark, (lit_snow, lit_dark)
+
+
+def test_scene_lights_drive_local_lighting_end_to_end():
+    """'L' scene-DSL lights reach the lighting volume via
+    compute_scene_lighting (VERDICT missing #2/#6 wiring)."""
+    import io
+    txt = """l 0.5 0.9 0.9 0.9 1.0 -1
+B -4 4 -4 4 -0.6 -0.4
+L 0.0 0.1  0.0 0.0 0.5  1.0 0.9 0.8 1.0
+"""
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "cobjs.txt")
+        with open(p, "w") as f:
+            f.write(txt)
+        sp = SC.parse_coll_obj_file(p)
+    assert len(sp.lights) == 1
+    co = SC.pack_cobjs(sp)
+    grid = L.make_light_grid(W)
+    grid = T.compute_scene_lighting(grid, co, MESH, sp.lights, 8192,
+                                    params=PARAMS, world=W)
+    lc = np.asarray(grid.lc_r)
+    assert lc.max() > 0.0
+    z = 9
+    near = lc[z - 1:z + 2, 14:19, 14:19].mean()
+    far = lc[z - 1:z + 2, 26:31, 26:31].mean()
+    assert near > 2.0 * far, (near, far)
+
+
+def test_landscape_color_map_shape():
+    mesh = jnp.asarray(np.random.default_rng(0).uniform(-2, 1, (32, 32)),
+                       jnp.float32)
+    lc = T.landscape_color_map(mesh, W)
+    assert lc.shape == (32, 32, 3)
+    v = np.asarray(lc)
+    assert (v >= 0).all() and (v <= 1.0).all()
