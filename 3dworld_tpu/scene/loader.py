@@ -52,7 +52,28 @@ def load_scene(config_path: str, num_objects: int = 0,
     tcfg = cfg.terrain_config()
     if cfg.rand_seed and tcfg.mesh_seed == 0:
         tcfg = tcfg._replace(mesh_seed=cfg.rand_seed)
-    terrain = TM.gen_terrain(tcfg, world)
+
+    # image-driven mesh (read_mesh_height_image, mesh_gen.cpp:135-160):
+    # mesh_height_image + read_heightmap 1 replaces procedural generation,
+    # with the brush-journal modmap replayed on load (heightmap.cpp)
+    terrain = None
+    if cfg.read_heightmap and cfg.mh_filename:
+        from ..utils.checkpoint import ModmapJournal
+        for d in (os.path.dirname(os.path.abspath(config_path)),
+                  os.path.dirname(os.path.dirname(os.path.abspath(config_path))),
+                  *search_dirs):
+            p = os.path.join(d, cfg.mh_filename)
+            if os.path.exists(p):
+                modmap = None
+                if cfg.read_hmap_modmap_filename:
+                    mp = os.path.join(d, cfg.read_hmap_modmap_filename)
+                    if os.path.exists(mp):
+                        modmap = ModmapJournal.load(mp)
+                terrain = TM.terrain_from_heightmap(p, tcfg, world,
+                                                    modmap=modmap)
+                break
+    if terrain is None:
+        terrain = TM.gen_terrain(tcfg, world)
 
     # coll objects (resolved against the config dir + search dirs)
     cobjs = None

@@ -286,6 +286,74 @@ def gen_terrain(cfg: TerrainConfig = TerrainConfig(),
     return _gen_terrain_jit(tuple(table) if table is not None else None, cfg, world)
 
 
+def _bilinear_resize_np(img, ny: int, nx: int):
+    """heightmap_t::resize equivalent (host-side, load-time only)."""
+    import numpy as np
+    img = np.asarray(img, np.float32)
+    oy, ox = img.shape
+    if (oy, ox) == (ny, nx):
+        return img
+    ys = np.linspace(0.0, oy - 1.0, ny)
+    xs = np.linspace(0.0, ox - 1.0, nx)
+    y0 = np.clip(np.floor(ys).astype(int), 0, oy - 2)
+    x0 = np.clip(np.floor(xs).astype(int), 0, ox - 2)
+    fy = (ys - y0)[:, None]
+    fx = (xs - x0)[None, :]
+    a = img[y0][:, x0]
+    b = img[y0][:, x0 + 1]
+    c = img[y0 + 1][:, x0]
+    d = img[y0 + 1][:, x0 + 1]
+    return (a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx
+            + c * fy * (1 - fx) + d * fy * fx)
+
+
+def terrain_from_heightmap(path: str, cfg: TerrainConfig = TerrainConfig(),
+                           world: WorldConst = DEFAULT_WORLD,
+                           modmap=None, invert: bool = False) -> TerrainState:
+    """Image-driven mesh: `mesh_height_image` config -> pixels ->
+    scale_mh_texture_val heights -> resize to the mesh dims -> optional
+    brush-journal replay -> zmax_est / water-plane / erosion chain
+    (read_mesh_height_image, mesh_gen.cpp:135-160; brush journal
+    heightmap.cpp:218-307; no glaciation — that belongs to the generated
+    path only, gen_rand_terrain)."""
+    import numpy as np
+    from ..export import heightmap_io as HIO
+    z = HIO.read_heightmap(path, mesh_height_scale=cfg.mesh_height_scale,
+                           invert=invert)
+    z = _bilinear_resize_np(z, world.mesh_y, world.mesh_x)
+    if modmap is not None:
+        z = np.asarray(modmap.apply(z))
+    zg = jnp.asarray(z, jnp.float32)
+    zmin = jnp.min(zg)
+    zmax = jnp.max(zg)
+    # estimate_zminmax (mesh_gen.cpp:447-464)
+    zmax_est = jnp.maximum(jnp.maximum(zmax, -zmin), 1e-6)
+    wpz = water_z_height(zmax_est, cfg)
+    zbottom = zmin
+    ztop = zmax
+    if cfg.erosion_iters > 0:
+        eparams = E.ErosionParams(
+            erode_amount=cfg.erode_amount,
+            water_plane_z=wpz,
+            half_dxy=world.half_dxy,
+            zmin=-zmax_est, zmax=zmax_est,
+            rock_thresh=clip_hd1(cfg),
+            relh_adj_tex=cfg.relh_adj_tex,
+        )
+        zg = E.erode(zg, cfg.erosion_iters, eparams, min_zval=zbottom)
+        zbottom = jnp.min(zg)
+        ztop = jnp.max(zg)
+    # histogram: sorted sample of the image heights (the generated path
+    # samples raw noise; here the image IS the raw height field)
+    samp = zg.reshape(-1)[:: max(1, zg.size // 1024)][:1024]
+    hist = jnp.sort(jnp.pad(samp, (0, 1024 - samp.shape[0]),
+                            mode="edge"))
+    return TerrainState(
+        mesh_height=zg, zmin=-zmax_est, zmax=zmax_est, zmax_est=zmax_est,
+        zbottom=zbottom, ztop=ztop, water_plane_z=wpz, height_histogram=hist,
+    )
+
+
 @functools.lru_cache(maxsize=64)
 def gen_table_for(cfg: TerrainConfig, world: WorldConst) -> N.SineTable:
     scaled_height = world.mesh_height * cfg.mesh_height_scale

@@ -90,6 +90,8 @@ class Config:
     state_file: str = ""
     mesh_file: str = ""
     mh_filename: str = ""                      # "mesh_height_image"
+    read_hmap_modmap_filename: str = ""        # brush journal replayed on load
+    write_hmap_modmap_filename: str = ""
     sphere_materials_fn: str = ""
     ship_def_file: str = ""
     num_threads: int = 0

@@ -355,3 +355,76 @@ def test_mesh_and_state_text_io(tmp_path):
     assert st2.rseed1 == 40014 and st2.rand_gen_index == 7
     assert np.allclose(st2.sine_table, table, atol=1e-5)
     assert st2.camera_origin == (1.0, 2.0, 3.0)
+
+
+def test_heightmap_image_scene_path(tmp_path):
+    """VERDICT task 7 end-to-end: mesh_height_image config ->
+    read_heightmap -> terrain state -> erosion, with the brush modmap
+    replayed on load (read_mesh_height_image mesh_gen.cpp:135-160,
+    heightmap.cpp:130-189)."""
+    import numpy as np
+    from w3d.export import heightmap_io as HIO
+    from w3d.scene.loader import load_scene
+    from w3d.utils.checkpoint import ModmapJournal
+
+    # stepped 64x64 source image (two plateaus)
+    px = np.zeros((64, 64), np.uint16)
+    px[:, 32:] = 200 * 256   # high plateau
+    px[:, :32] = 40 * 256
+    HIO.write_png_gray(str(tmp_path / "hm.png"), px, bit_depth=16)
+
+    (tmp_path / "config.txt").write_text(
+        "mesh_size 32 32 16\n"
+        "read_heightmap 1\n"
+        "mesh_height_image hm.png\n"
+        "num_balls 4\n")
+    sc = load_scene(str(tmp_path / "config.txt"))
+    mh = np.asarray(sc.env.mesh_height)
+    assert mh.shape == (32, 32)
+    lo = mh[:, :14].mean()
+    hi = mh[:, 18:].mean()
+    assert hi > lo + 0.1, (lo, hi)    # stepped world survived the pipeline
+
+    # modmap on load: a crater brush lowers the high plateau center
+    j = ModmapJournal()
+    j.add(24, 16, 5, -0.3, shape=2)
+    j.save(str(tmp_path / "edit.modmap"))
+    (tmp_path / "config2.txt").write_text(
+        "mesh_size 32 32 16\n"
+        "read_heightmap 1\n"
+        "mesh_height_image hm.png\n"
+        "read_hmap_modmap_filename edit.modmap\n"
+        "num_balls 4\n")
+    sc2 = load_scene(str(tmp_path / "config2.txt"))
+    mh2 = np.asarray(sc2.env.mesh_height)
+    assert mh2[16, 24] < mh[16, 24] - 0.2
+
+    # brush undo round-trip: undo removes the crater exactly
+    j2 = ModmapJournal.load(str(tmp_path / "edit.modmap"))
+    applied = np.asarray(j2.apply(mh))
+    assert applied[16, 24] < mh[16, 24] - 0.2
+    j2.undo()
+    reverted = np.asarray(j2.apply(mh))
+    np.testing.assert_allclose(reverted, mh, atol=1e-6)
+
+
+def test_heightmap_image_with_erosion(tmp_path):
+    """erosion_iters applies to image-driven terrain (heightmap ->
+    erosion chain, apply_erosion mesh_gen.cpp:443)."""
+    import numpy as np
+    from w3d.export import heightmap_io as HIO
+    from w3d.scene.loader import load_scene
+
+    rng = np.random.default_rng(5)
+    px = (rng.uniform(30, 220, (32, 32)) * 256).astype(np.uint16)
+    HIO.write_png_gray(str(tmp_path / "hm.png"), px, bit_depth=16)
+    base = ("mesh_size 32 32 16\nread_heightmap 1\n"
+            "mesh_height_image hm.png\nnum_balls 4\n")
+    (tmp_path / "c0.txt").write_text(base)
+    (tmp_path / "c1.txt").write_text(base + "erosion_iters 2000\n")
+    m0 = np.asarray(load_scene(str(tmp_path / "c0.txt")).env.mesh_height)
+    m1 = np.asarray(load_scene(str(tmp_path / "c1.txt")).env.mesh_height)
+    assert not np.allclose(m0, m1)          # erosion ran
+    # erosion smooths: high-frequency energy drops
+    hf = lambda m: np.abs(np.diff(m, axis=1)).mean()
+    assert hf(m1) < hf(m0), (hf(m1), hf(m0))
