@@ -1,19 +1,22 @@
-"""Pallas TPU kernel: Morton-banded pair collisions.
+"""Pallas TPU kernel: sorted-order banded pair collisions.
 
-The XLA path (physics/step.py banded_pair_collisions) runs a 64-step
-`fori_loop`, each step ~25 elementwise ops over [N] rows with
-`jnp.roll` shifts — it re-touches HBM-resident accumulators every
-iteration.  This kernel keeps the whole population in VMEM as an
-[S, 128] tile (row-major flattening of the Morton-sorted order) and
-expresses the sorted-order shift i -> i+d as two composed rolls:
+The XLA block path (physics/step.py block_pair_collisions) evaluates
+dense [B, B] pair matrices — N*B*1.5 pair slots for an exactness bound
+of B ranks.  This kernel instead walks the sorted order by SHIFT
+distance: for each d in 1..window it compares every object with its
+d-th successor, so the pair count is N*window — ~3x less arithmetic
+for the same rank-distance guarantee — and the whole loop stays
+VMEM-resident (the block path's [G,B,B] intermediates live in HBM
+whenever XLA's fusion gives up).
 
-    shifted[r, j] = x[r, j+d]            (lane roll by -d)   if j+d < L
-                  = x[r+1, j+d-L]        (sublane roll -1, lane roll)
+The population is an [S, 128] tile (row-major flattening of the
+x-sorted order); the sorted-order shift i -> i+d decomposes as
+d = q*L + r and becomes two composed native vector rotates:
 
-valid for d < L = 128 >= window.  All shifts are `pltpu.roll` (native
-vector rotates); the entire window loop runs register/VMEM-resident.
+    shifted[row, j] = x[row+q,   j+r]     if j < L-r   (lane roll L-r)
+                    = x[row+q+1, j+r-L]   otherwise    (one more sublane)
 
-Same math as the XLA path; differences are only f32 op ordering.
+Same math as the XLA paths; differences are only f32 op ordering.
 """
 
 from __future__ import annotations
@@ -26,32 +29,52 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-L = 128  # lane width; window must stay < L
+L = 128  # lane width
 
 
 def _shift_neg(x, d):
-    """shifted[k] = x[k+d] over the row-major flat order of [S, L].
-    pltpu.roll requires non-negative shifts: roll by -d == roll by
-    (size - d)."""
+    """shifted[k] = x[k+d] over the row-major flat order of [S, L], any
+    0 < d < S*L.  pltpu.roll requires non-negative shifts: roll by -d ==
+    roll by (size - d)."""
     S = x.shape[0]
-    t1 = pltpu.roll(x, L - d, 1)
-    t2 = pltpu.roll(pltpu.roll(x, S - 1, 0), L - d, 1)
+    q, r = divmod(d, L)
+    if r == 0:
+        return pltpu.roll(x, S - q, 0)
+    t1 = pltpu.roll(pltpu.roll(x, S - q, 0), L - r, 1)
+    t2 = pltpu.roll(pltpu.roll(x, S - q - 1, 0), L - r, 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.where(lane < L - d, t1, t2)
+    return jnp.where(lane < L - r, t1, t2)
 
 
 def _shift_pos(x, d):
     """shifted[k] = x[k-d] (inverse of _shift_neg)."""
-    t1 = pltpu.roll(x, d, 1)
-    t2 = pltpu.roll(pltpu.roll(x, 1, 0), d, 1)
+    S = x.shape[0]
+    q, r = divmod(d, L)
+    if r == 0:
+        return pltpu.roll(x, q, 0)
+    t1 = pltpu.roll(pltpu.roll(x, q, 0), r, 1)
+    t2 = pltpu.roll(pltpu.roll(x, q + 1, 0), r, 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.where(lane >= d, t1, t2)
+    return jnp.where(lane >= r, t1, t2)
 
 
 def _pairs_kernel(px_ref, py_ref, pz_ref, vx_ref, vy_ref, vz_ref,
                   rad_ref, mass_ref, elas_ref, act_ref,
                   opx_ref, opy_ref, opz_ref, ovx_ref, ovy_ref, ovz_ref, *,
                   S: int, n: int, window: int):
+    """fori_loop over shift distance d = window..1 with ONLY unit shifts
+    in the body (a static unroll of `window` distinct roll amounts blows
+    the 16M scoped-VMEM stack at window ~300).
+
+    * i-side: the forward-shifted input copies start pre-rolled by
+      `window` (one static roll) and un-roll by 1 each iteration, so at
+      iteration d they hold x[k+d].
+    * j-side: contributions c_d land at position k+d.  Horner over the
+      unit shift S (S a[k] = a[k-1]):  Q <- S Q + c_d for d descending
+      gives Q = sum_e S^(e-1) c_e, so J = S Q — again only unit shifts.
+
+    Every carry is an f32 vector (Mosaic cannot legalize int/bool vector
+    carries in scf.for — see skills/verify)."""
     px = px_ref[:, :]
     py = py_ref[:, :]
     pz = pz_ref[:, :]
@@ -62,59 +85,74 @@ def _pairs_kernel(px_ref, py_ref, pz_ref, vx_ref, vy_ref, vz_ref,
     mass = mass_ref[:, :]
     elas = elas_ref[:, :]
     act = act_ref[:, :]
-    flat = (jax.lax.broadcasted_iota(jnp.int32, (S, L), 0) * L
-            + jax.lax.broadcasted_iota(jnp.int32, (S, L), 1))
+    # Mosaic's tpu.iota is integer-only; convert to f32 afterward (flat
+    # indices stay exact in f32 below 2^24)
+    flatf = (jax.lax.broadcasted_iota(jnp.int32, (S, L), 0) * L
+             + jax.lax.broadcasted_iota(jnp.int32, (S, L), 1)
+             ).astype(jnp.float32)
 
     z = jnp.zeros((S, L), jnp.float32)
-    dpx = dpy = dpz = dvx = dvy = dvz = z
+    shw = lambda a: _shift_neg(a, window)
+    carry = (shw(px), shw(py), shw(pz), shw(vx), shw(vy), shw(vz),
+             shw(rad), shw(mass), shw(elas), shw(act),
+             z, z, z, z, z, z,      # i-side accumulators
+             z, z, z, z, z, z)      # j-side Horner Q
 
-    for d in range(1, window + 1):   # static unroll: d is a roll amount
-        sh = lambda a: _shift_neg(a, d)
-        ex = px - sh(px)
-        ey = py - sh(py)
-        ez = pz - sh(pz)
+    def body(i, c):
+        (spx, spy, spz, svx, svy, svz, srad, smass, selas, sact,
+         dpx, dpy, dpz, dvx, dvy, dvz, qpx, qpy, qpz, qvx, qvy, qvz) = c
+        d = (window - i).astype(jnp.float32)        # scalar f32
+        ex = px - spx
+        ey = py - spy
+        ez = pz - spz
         d2 = jnp.maximum(ex * ex + ey * ey + ez * ez, 1e-12)
         dist = jnp.sqrt(d2)
-        rsum = rad + sh(rad)
-        valid = (flat < n - d) & (act > 0) & (sh(act) > 0)
+        rsum = rad + srad
+        valid = (flatf < jnp.float32(n) - d) & (act > 0) & (sact > 0)
         hit = valid & (dist < rsum)
         pen = jnp.where(hit, rsum - dist, 0.0)
-        m_i = mass
-        m_j = sh(mass)
-        msum = m_i + m_j
-        mw_i = m_j / msum
-        mw_j = m_i / msum
+        msum = mass + smass
+        mw_i = smass / msum
+        mw_j = mass / msum
         push_i = pen * mw_i / dist
         push_j = pen * mw_j / dist
-        relv = ((vx - sh(vx)) * ex + (vy - sh(vy)) * ey
-                + (vz - sh(vz)) * ez) / d2
-        eij = jnp.minimum(elas, sh(elas))
+        relv = ((vx - svx) * ex + (vy - svy) * ey + (vz - svz) * ez) / d2
+        eij = jnp.minimum(elas, selas)
         a = jnp.where(hit & (relv < 0), -(1.0 + eij) * relv, 0.0)
         ai = a * mw_i
         aj = a * mw_j
-        unsh = lambda v: _shift_pos(v, d)
-        dpx = dpx + push_i * ex - unsh(push_j * ex)
-        dpy = dpy + push_i * ey - unsh(push_j * ey)
-        dpz = dpz + push_i * ez - unsh(push_j * ez)
-        dvx = dvx + ai * ex - unsh(aj * ex)
-        dvy = dvy + ai * ey - unsh(aj * ey)
-        dvz = dvz + ai * ez - unsh(aj * ez)
+        s1 = lambda v: _shift_pos(v, 1)
+        return (s1(spx), s1(spy), s1(spz), s1(svx), s1(svy), s1(svz),
+                s1(srad), s1(smass), s1(selas), s1(sact),
+                dpx + push_i * ex, dpy + push_i * ey, dpz + push_i * ez,
+                dvx + ai * ex, dvy + ai * ey, dvz + ai * ez,
+                s1(qpx) - push_j * ex, s1(qpy) - push_j * ey,
+                s1(qpz) - push_j * ez,
+                s1(qvx) - aj * ex, s1(qvy) - aj * ey, s1(qvz) - aj * ez)
 
-    opx_ref[:, :] = dpx
-    opy_ref[:, :] = dpy
-    opz_ref[:, :] = dpz
-    ovx_ref[:, :] = dvx
-    ovy_ref[:, :] = dvy
-    ovz_ref[:, :] = dvz
+    out = jax.lax.fori_loop(0, window, body, carry)
+    (dpx, dpy, dpz, dvx, dvy, dvz,
+     qpx, qpy, qpz, qvx, qvy, qvz) = out[10:]
+    s1 = lambda v: _shift_pos(v, 1)
+    opx_ref[:, :] = dpx + s1(qpx)
+    opy_ref[:, :] = dpy + s1(qpy)
+    opz_ref[:, :] = dpz + s1(qpz)
+    ovx_ref[:, :] = dvx + s1(qvx)
+    ovy_ref[:, :] = dvy + s1(qvy)
+    ovz_ref[:, :] = dvz + s1(qvz)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "interpret"))
 def banded_pairs_pallas(px, py, pz, vx, vy, vz, radius, mass, elas, active,
                         window: int = 64, interpret: bool = False):
-    """Drop-in Pallas version of banded_pair_collisions (same outputs)."""
-    assert window < L
+    """Drop-in Pallas version of banded/block_pair_collisions (same
+    outputs).  Exact for every pair within `window` ranks of the sorted
+    order — with the x-sort key that means exact while no rsum-wide x
+    slab holds more than `window` objects (audited in
+    tests/test_physics_oracle.py)."""
     n = px.shape[0]
     S = -(-n // L)
+    assert window < S * L
     npad = S * L
     padf = lambda a: jnp.pad(a.astype(jnp.float32), (0, npad - n)).reshape(S, L)
     args = [padf(a) for a in (px, py, pz, vx, vy, vz, radius)]

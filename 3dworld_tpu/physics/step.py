@@ -465,28 +465,35 @@ PAIR_CELL = 0.12
 # banded window over the x-sorted order: must exceed the max occupancy of
 # an rsum-wide x slab (247 measured at 10K pile density; audited in
 # tests/test_physics_oracle.py)
-PAIR_WINDOW = 384
+PAIR_WINDOW = 288
+# the XLA block path tiles in 128-multiples; 384 >= PAIR_WINDOW keeps its
+# guarantee at least as wide as the banded kernel's
+PAIR_BLOCK = 384
 
 
 def _pair_deltas(px, py, pz, vx, vy, vz, radius, mass, elas, active,
                  window: int = PAIR_WINDOW, world: WorldConst = DEFAULT_WORLD,
-                 method: str = "block"):
-    """Pair-collision dispatch.  Default: the block pass over the x-SORTED
-    order (spatial_sort key='x') — exact while no rsum-wide x slab holds
-    more than PAIR_WINDOW objects (audited), gather-free, TPU-fast.
-    'grid' is the spatial-hash exact path: density-independent but
-    gather-bound (~200 ms/substep at 10K on v5e — TPU XLA random gathers),
-    kept as the audit reference.  'banded' is the legacy small-window
-    roll-shift path (Pallas kernel on TPU)."""
+                 method: str = "auto"):
+    """Pair-collision dispatch over the x-SORTED order (spatial_sort
+    key='x') — exact while no rsum-wide x slab holds more than `window`
+    objects (audited in tests/test_physics_oracle.py).
+
+    'auto': the Pallas roll-shift kernel on TPU (N*window pair slots, all
+    VMEM-resident — ~3x less arithmetic than the block pass for the same
+    rank-distance guarantee), the XLA block pass elsewhere.  'block' is
+    the dense [B,B] XLA path (any backend); 'banded' the XLA roll-shift
+    fori_loop; 'grid' the spatial-hash exact path: density-independent
+    but gather-bound (~200 ms/substep at 10K on v5e — TPU XLA random
+    gathers), kept as the audit reference."""
     if method == "grid":
         return grid_pair_collisions(px, py, pz, vx, vy, vz, radius, mass,
                                     elas, active, cell=PAIR_CELL,
                                     half_extent=2.0 * world.x_scene)
-    if method == "block":
+    if method == "block" or (method == "auto" and not _on_tpu()):
         return block_pair_collisions(px, py, pz, vx, vy, vz, radius, mass,
-                                     elas, active, block=window)
-    window = min(window, 64)
-    if _on_tpu():
+                                     elas, active,
+                                     block=max(window, PAIR_BLOCK))
+    if method == "auto" or _on_tpu():
         from ..ops.pallas.pairs_kernel import banded_pairs_pallas
         return banded_pairs_pallas(px, py, pz, vx, vy, vz, radius, mass,
                                    elas, active, window=window)

@@ -136,3 +136,12 @@ def test_pallas_pairs_matches_xla():
                               interpret=True)
     for a, b in zip(ref, out):
         assert float(jnp.abs(a - b).max()) < 1e-6
+    # window > 128 exercises the generalized multi-sublane shift
+    # (d = q*L + r decomposition) used by the production PAIR_WINDOW
+    ref2 = banded_pair_collisions(st.px, st.py, st.pz, st.vx, st.vy, st.vz,
+                                  rad, mass, elas, act, window=160)
+    out2 = banded_pairs_pallas(st.px, st.py, st.pz, st.vx, st.vy, st.vz,
+                               rad, mass, elas, act, window=160,
+                               interpret=True)
+    for a, b in zip(ref2, out2):
+        assert float(jnp.abs(a - b).max()) < 1e-6
