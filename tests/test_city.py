@@ -374,3 +374,140 @@ def test_flooded_basements():
     for _ in range(20):
         bw.step()
     assert bw.level == 0.0 and not bw.is_underwater(-1.5)
+
+
+# ---------------------------------------------------------------------------
+# buildings depth pass (VERDICT task 5): every part floorplanned, wall
+# segments with door cutouts, stacked stairwells, routed people that
+# never phase through walls
+# ---------------------------------------------------------------------------
+
+def _mk_multipart_building():
+    from w3d.city import buildings as CB, floorplan as CF
+
+    class B:
+        pass
+    b = B()
+    fh = 0.1
+    # 3 stacked parts with setbacks: 2 + 2 + 2 floors
+    b.parts = [(0.0, 0.0, 0.0, 1.2, 1.0, 0.2),
+               (0.1, 0.08, 0.2, 1.1, 0.92, 0.4),
+               (0.2, 0.16, 0.4, 1.0, 0.84, 0.6)]
+    b.roof_type = 0
+    params = CB.BuildingParams(floor_height=fh)
+    CF.gen_building_interiors([b], params, seed=7)
+    return b
+
+
+def test_every_part_gets_an_interior():
+    b = _mk_multipart_building()
+    i = b.interior
+    parts_with_rooms = {r.part for r in i.rooms if r.floor >= 0}
+    assert parts_with_rooms == {0, 1, 2}, parts_with_rooms
+    assert i.num_floors == 6
+    floors = {r.floor for r in i.rooms if r.floor >= 0}
+    assert floors >= set(range(6)), floors
+    # per-room ceiling lights exist for the indirect pass
+    assert len(i.lights) >= len([r for r in i.rooms if r.floor >= 0])
+
+
+def test_walls_are_segments_with_door_cutouts():
+    b = _mk_multipart_building()
+    i = b.interior
+    # every door must sit in a gap: no wall segment on the door's floor
+    # may contain the door point
+    fh = i.floor_height
+    for (dx, dy, dz, dim) in i.doors:
+        for (wx1, wy1, wz1, wx2, wy2, wz2) in i.walls:
+            if not (wz1 <= dz + 0.5 * fh <= wz2):
+                continue
+            inside = (wx1 + 1e-9 < dx < wx2 - 1e-9
+                      and wy1 + 1e-9 < dy < wy2 - 1e-9)
+            assert not inside, ((dx, dy, dz), (wx1, wy1, wx2, wy2))
+
+
+def test_stairs_land_in_stairwell_rooms():
+    b = _mk_multipart_building()
+    i = b.interior
+    stair_rooms = [r for r in i.rooms if r.is_stairs]
+    assert len(stair_rooms) >= 6        # one per floor, stacked
+    for (sx1, sy1, sx2, sy2, fl) in i.stairs:
+        if fl < 0:
+            continue
+        cx, cy = 0.5 * (sx1 + sx2), 0.5 * (sy1 + sy2)
+        room = [r for r in stair_rooms if r.floor == fl
+                and r.x1 - 1e-6 <= cx <= r.x2 + 1e-6
+                and r.y1 - 1e-6 <= cy <= r.y2 + 1e-6]
+        assert room, (fl, cx, cy)
+
+
+def test_people_route_across_parts_without_wall_phasing():
+    """VERDICT task 5 'done' gate: N people route between floors of a
+    multi-part building; no sampled position is ever inside a wall
+    segment (door-waypoint expansion + separation avoidance)."""
+    import numpy as np
+    from w3d.city import people as CPE
+    from w3d.utils.rng import RandGen
+
+    b = _mk_multipart_building()
+    i = b.interior
+    g = CPE.build_nav_graph(i)
+    # ground-floor rooms -> a top-part room must be reachable
+    ground = [k for k, r in enumerate(i.rooms) if r.floor == 0]
+    top = [k for k, r in enumerate(i.rooms) if r.floor == 5]
+    assert ground and top
+    route = g.route(ground[0], top[0])
+    assert route[-1] == top[0], "top part unreachable from ground"
+
+    n = 8
+    import jax.numpy as jnp
+    st = CPE.make_people(g, n, seed=3)
+    rg = RandGen(9, 4)
+    starts = [ground[j % len(ground)] for j in range(n)]
+    # place everyone at their claimed start-room centers (make_people
+    # seeds random rooms; the route below must start where they stand)
+    st = st._replace(x=jnp.asarray(g.centers[starts, 0]),
+                     y=jnp.asarray(g.centers[starts, 1]),
+                     floor=jnp.asarray(g.centers[starts, 2]))
+    st = CPE.assign_goals(st, g, starts, rg, forced_dest=top[0])
+    walls = [(w, i.rooms[0]) for w in i.walls]
+    fh = i.floor_height
+
+    def in_any_wall(x, y, fl):
+        z = i.z1 + (fl + 0.5) * fh
+        for (wx1, wy1, wz1, wx2, wy2, wz2), _ in walls:
+            if wz1 <= z <= wz2 and wx1 + 1e-4 < x < wx2 - 1e-4 \
+                    and wy1 + 1e-4 < y < wy2 - 1e-4:
+                return True
+        return False
+
+    for frame in range(4000):
+        st = CPE.step_people(st)
+        if frame % 50 == 0:
+            xs = np.asarray(st.x)
+            ys = np.asarray(st.y)
+            fls = np.asarray(st.floor)
+            for j in range(n):
+                assert not in_any_wall(xs[j], ys[j], int(round(fls[j]))), \
+                    (frame, j, xs[j], ys[j], fls[j])
+        if bool(np.all(np.asarray(CPE.people_need_goals(st)))):
+            break
+    # everyone reached the top-part destination room
+    dest = i.rooms[top[0]]
+    xs = np.asarray(st.x)
+    ys = np.asarray(st.y)
+    fls = np.asarray(st.floor)
+    for j in range(n):
+        assert int(round(fls[j])) == 5, (j, fls[j])
+        assert dest.x1 - 0.05 <= xs[j] <= dest.x2 + 0.05
+        assert dest.y1 - 0.05 <= ys[j] <= dest.y2 + 0.05
+
+
+def test_room_lights_feed_building_indir():
+    from w3d.lighting import building_indir as BI
+    b = _mk_multipart_building()
+    i = b.interior
+    mgr = BI.BuildingIndirManager()
+    for li, (lx, ly, lz, fl) in enumerate(i.lights):
+        mgr.register_light(li, (lx, ly, lz), (1.0, 0.9, 0.8))
+    assert mgr.pending == len(i.lights)
