@@ -26,7 +26,128 @@ from ..utils import rng as w3d_rng
 from ..utils.rng import RandGen
 from .roads import RoadNetwork
 
-STOPLIGHT_PERIOD = 120.0  # frames per light phase
+STOPLIGHT_PERIOD = 120.0  # frames per light phase (legacy global clock)
+
+# stoplight_t 6-state machine (city.h:365-370):
+# {EGL, EGWG, WGL, NGL, NGSG, SGL}; E/W/N/S = travel direction,
+# G = straight|right green, L = left-arrow green
+ST_TIMES = (5.0, 6.0, 5.0, 5.0, 6.0, 5.0)       # seconds (city.h:368)
+ST_R_MASKS = (2, 3, 1, 8, 12, 4)                # straight/right (city.h:369)
+LEFT_MASKS = (2, 0, 1, 8, 0, 4)                 # left turns (city.h:370)
+TICKS_PER_SECOND = 40.0                          # frame clock
+YELLOW_SECS = 2.0                                # roads.cpp:292
+TURN_NONE, TURN_LEFT, TURN_RIGHT = 0, 1, 2
+# 3-way intersections skip states involving the missing direction
+# (advance_state, roads.cpp:205-224); conn bitmask {-x=1,+x=2,-y=4,+y=8}
+_ALLOW_BY_CONN = {7: (0, 1, 1, 1, 0, 0),    # no +y
+                  11: (1, 1, 0, 0, 0, 1),   # no -y
+                  13: (1, 0, 0, 1, 1, 0),   # no +x
+                  14: (0, 0, 1, 0, 1, 1),   # no -x
+                  15: (1, 1, 1, 1, 1, 1)}   # 4-way: all valid
+
+
+class StoplightSet(NamedTuple):
+    """Batched per-intersection stoplight machines (stoplight_ns)."""
+
+    state: jax.Array       # [I] int32 current state (0..5)
+    ticks: jax.Array       # [I] f32 frames in state
+    next_state: jax.Array  # [I, 6] int32 precomputed valid-successor table
+    state_time: jax.Array  # [I, 6] f32 per-state duration in frames
+    num_conn: jax.Array    # [I] int32
+
+
+def build_stoplights(net: RoadNetwork, seed: int = 0) -> StoplightSet:
+    """Per-isec machines; 3-way isecs get successor tables that skip the
+    missing direction's states; durations follow state_times with 2x at
+    connector roads (get_cur_state_time_secs, city.h:397)."""
+    isecs = net.isecs
+    I = max(len(isecs), 1)
+    nxt = np.zeros((I, 6), np.int32)
+    times = np.zeros((I, 6), np.float32)
+    nconn = np.full(I, 4, np.int32)
+    rg = RandGen(seed + 17, 3 * seed + 5)
+    state0 = np.zeros(I, np.int32)
+    ticks0 = np.zeros(I, np.float32)
+    eps = 1e-4
+    for i, it in enumerate(isecs):
+        conn = 0
+        for si in it.roads:
+            s = net.segs[si]
+            if s.dim == 0:
+                if s.x1 < it.x - eps:
+                    conn |= 1    # road extends -x
+                if s.x2 > it.x + eps:
+                    conn |= 2
+            else:
+                if s.y1 < it.y - eps:
+                    conn |= 4
+                if s.y2 > it.y + eps:
+                    conn |= 8
+        allow = _ALLOW_BY_CONN.get(conn, _ALLOW_BY_CONN[15])
+        nconn[i] = bin(conn).count("1")
+        for st in range(6):
+            n = (st + 1) % 6
+            for _ in range(6):
+                if allow[n]:
+                    break
+                n = (n + 1) % 6
+            nxt[i, st] = n
+        times[i] = np.asarray(ST_TIMES, np.float32) * TICKS_PER_SECOND
+        state0[i] = nxt[i, rg.rand() % 6]
+        ticks0[i] = (rg.randd()) * times[i, state0[i]]
+    return StoplightSet(state=jnp.asarray(state0), ticks=jnp.asarray(ticks0),
+                        next_state=jnp.asarray(nxt),
+                        state_time=jnp.asarray(times),
+                        num_conn=jnp.asarray(nconn))
+
+
+@jax.jit
+def step_stoplights(sl: StoplightSet) -> StoplightSet:
+    """stoplight_t::next_frame + run_update_logic: advance when the
+    state's time elapses (the waiting-car skip heuristic is omitted —
+    it's a latency optimization, not a semantic)."""
+    ticks = sl.ticks + 1.0
+    oh = jax.nn.one_hot(sl.state, 6, dtype=jnp.float32)
+    cur_time = jnp.sum(sl.state_time * oh, -1)
+    adv = ticks > cur_time
+    nxt = jnp.sum(sl.next_state.astype(jnp.float32) * oh, -1).astype(jnp.int32)
+    return sl._replace(state=jnp.where(adv, nxt, sl.state),
+                       ticks=jnp.where(adv, 0.0, ticks))
+
+
+def light_masks(sl: StoplightSet):
+    """[I] straight/right + left green orient masks for each isec's
+    current state (red_light, roads.cpp:277-284)."""
+    oh = jax.nn.one_hot(sl.state, 6, dtype=jnp.float32)
+    sr = jnp.sum(oh * jnp.asarray(ST_R_MASKS, jnp.float32), -1)
+    lf = jnp.sum(oh * jnp.asarray(LEFT_MASKS, jnp.float32), -1)
+    return sr.astype(jnp.int32), lf.astype(jnp.int32)
+
+
+def red_for(sl: StoplightSet, isec: jax.Array, orient: jax.Array,
+            turn_left: jax.Array):
+    """Per-car red-light test: orient = 2*dim + dir ({W,E,S,N} bit);
+    2-way isecs never stop traffic (roads.cpp:279)."""
+    I = sl.state.shape[0]
+    ioh = jax.nn.one_hot(jnp.maximum(isec, 0), I, dtype=jnp.float32)
+    sr, lf = light_masks(sl)
+    mask = jnp.where(turn_left, ioh @ lf.astype(jnp.float32),
+                     ioh @ sr.astype(jnp.float32)).astype(jnp.int32)
+    nconn = (ioh @ sl.num_conn.astype(jnp.float32)).astype(jnp.int32)
+    bit = jnp.left_shift(1, orient)
+    red = (mask & bit) == 0
+    return jnp.where((isec < 0) | (nconn <= 2), False, red)
+
+
+def can_cross(sl: StoplightSet, isec: jax.Array, road_dim: jax.Array):
+    """Crosswalk gate (stoplight_t::can_walk): crossing a dim-d road is
+    allowed while that road's straight traffic has red both ways."""
+    I = sl.state.shape[0]
+    ioh = jax.nn.one_hot(jnp.maximum(isec, 0), I, dtype=jnp.float32)
+    sr, _ = light_masks(sl)
+    mask = (ioh @ sr.astype(jnp.float32)).astype(jnp.int32)
+    dim_bits = jnp.where(road_dim == 0, 1 | 2, 4 | 8)
+    return jnp.where(isec < 0, True, (mask & dim_bits) == 0)
 
 
 class RoadGraph(NamedTuple):
@@ -92,11 +213,35 @@ class CarState(NamedTuple):
     t: jax.Array         # [C] param in [0,1] measured toward `end`
     speed: jax.Array     # [C]
     frame: jax.Array     # scalar
+    # parked-car pool (car_manager_t parked cars, cars.cpp): each car owns
+    # a parking spot; parked cars sit in it until their timer unparks them
+    parked: jax.Array    # [C] bool
+    spot_x: jax.Array    # [C] owned spot position
+    spot_y: jax.Array
+    timer: jax.Array     # [C] frames until state flip (park <-> drive)
 
 
-def make_cars(n: int, graph: RoadGraph, seed: int = 0) -> CarState:
+def gen_parking_spots(blocks, per_block: int = 4, inset: float = 0.6):
+    """Parking spots in rows along each block's -y edge
+    (parking_lot_t/driveways; cars.cpp parked-car placement)."""
+    spots = []
+    for (x1, y1, x2, y2, *_c) in blocks:
+        w = max(x2 - x1 - 2 * inset, 0.0)
+        for i in range(per_block):
+            spots.append((x1 + inset + (i + 0.5) * w / per_block,
+                          y1 + inset))
+    return np.asarray(spots, np.float32).reshape(-1, 2)
+
+
+def make_cars(n: int, graph: RoadGraph, seed: int = 0,
+              spots: np.ndarray | None = None,
+              parked_frac: float = 0.0) -> CarState:
     h = w3d_rng.xxhash_u32(jnp.arange(n, dtype=jnp.uint32), seed=seed)
     S = graph.x1.shape[0]
+    if spots is None or len(spots) == 0:
+        spots = np.zeros((1, 2), np.float32)
+    sp = jnp.asarray(spots)[jnp.arange(n) % len(spots)]
+    parked = ((h >> 12).astype(jnp.float32) % 256) / 256.0 < parked_frac
     return CarState(
         seg=(h % S).astype(jnp.int32),
         end=((h >> 8) % 2).astype(jnp.int32),
@@ -104,6 +249,9 @@ def make_cars(n: int, graph: RoadGraph, seed: int = 0) -> CarState:
         # cells/frame (road coords are heightmap cells)
         speed=0.06 + 0.06 * ((h >> 4).astype(jnp.float32) % 256) / 256.0,
         frame=jnp.int32(0),
+        parked=parked,
+        spot_x=sp[:, 0], spot_y=sp[:, 1],
+        timer=((h >> 20) % 600).astype(jnp.int32) + 120,
     )
 
 
@@ -118,58 +266,168 @@ def car_positions(cars: CarState, graph: RoadGraph):
     ay = jnp.where(toward1, sy2, sy1)
     bx = jnp.where(toward1, sx1, sx2)
     by = jnp.where(toward1, sy1, sy2)
-    return ax + cars.t * (bx - ax), ay + cars.t * (by - ay)
+    rx = ax + cars.t * (bx - ax)
+    ry = ay + cars.t * (by - ay)
+    # parked cars sit in their owned spot
+    return (jnp.where(cars.parked, cars.spot_x, rx),
+            jnp.where(cars.parked, cars.spot_y, ry))
+
+
+def _seg_dir_vec(dim, end):
+    """Unit travel direction of (segment dim, toward-end)."""
+    dx = jnp.where(dim == 0, jnp.where(end == 1, 1.0, -1.0), 0.0)
+    dy = jnp.where(dim == 1, jnp.where(end == 1, 1.0, -1.0), 0.0)
+    return dx, dy
 
 
 @functools.partial(jax.jit, static_argnames=())
-def step_cars(cars: CarState, graph: RoadGraph, key) -> CarState:
-    """One traffic frame: advance along segments, stop at red lights,
-    keep headway, turn at intersections (car_manager_t::next_frame)."""
+def step_cars(cars: CarState, graph: RoadGraph, key,
+              stoplights: StoplightSet | None = None) -> CarState:
+    """One traffic frame: advance along segments, stop at red lights (the
+    full per-intersection 6-state machine with left-arrow masks when
+    `stoplights` is given; the legacy global 2-phase clock otherwise),
+    keep headway, classify and take turns at intersections, park/unpark
+    on timers (car_manager_t::next_frame, cars.cpp:1855)."""
     S = graph.x1.shape[0]
     oh = jax.nn.one_hot(cars.seg, S, dtype=jnp.float32)
     length = oh @ graph.length
     dim = (oh @ graph.dim.astype(jnp.float32)).astype(jnp.int32)
-    end_light = (oh @ graph.has_light[:, 0].astype(jnp.float32)) * (cars.end == 0) + \
-                (oh @ graph.has_light[:, 1].astype(jnp.float32)) * (cars.end == 1)
-    # stoplight: x-roads (dim 0) green on phase 0, y-roads on phase 1
-    phase = (cars.frame // STOPLIGHT_PERIOD).astype(jnp.int32) % 2
-    red = (end_light > 0.5) & (dim != phase)
+    end_oh = jax.nn.one_hot(cars.end, 2, dtype=jnp.float32)
+    end_light = jnp.einsum("cs,se,ce->c", oh,
+                           graph.has_light.astype(jnp.float32), end_oh)
+    isec = jnp.einsum("cs,se,ce->c", oh, graph.isec_id.astype(jnp.float32),
+                      end_oh).astype(jnp.int32)
+
+    # choose the next segment first so the turn type gates the light
+    hsel = jax.random.randint(key, cars.t.shape, 0, 1 << 30)
+    nn = jnp.einsum("cs,se,ce->c", oh, graph.num_next.astype(jnp.float32),
+                    end_oh)
+    nn_i = jnp.maximum(nn.astype(jnp.int32), 1)
+    choice = hsel % nn_i
+    ns_e = jnp.einsum("cs,sek,ce->ck", oh, graph.next_seg.astype(jnp.float32),
+                      end_oh)
+    ne_e = jnp.einsum("cs,sek,ce->ck", oh, graph.next_end.astype(jnp.float32),
+                      end_oh)
+    ch_oh = jax.nn.one_hot(choice, ns_e.shape[1], dtype=jnp.float32)
+    new_seg = jnp.sum(ns_e * ch_oh, -1).astype(jnp.int32)
+    new_from_end = jnp.sum(ne_e * ch_oh, -1).astype(jnp.int32)
+    new_end = 1 - new_from_end
+    ndim_all = graph.dim.astype(jnp.float32)
+    ndim = (jax.nn.one_hot(jnp.maximum(new_seg, 0), S,
+                           dtype=jnp.float32) @ ndim_all).astype(jnp.int32)
+
+    # turn classification from travel-direction cross product
+    d1x, d1y = _seg_dir_vec(dim, cars.end)
+    d2x, d2y = _seg_dir_vec(ndim, new_end)
+    cross = d1x * d2y - d1y * d2x
+    turn = jnp.where(cross > 0.5, TURN_LEFT,
+                     jnp.where(cross < -0.5, TURN_RIGHT, TURN_NONE))
+
+    if stoplights is not None:
+        orient = 2 * dim + cars.end        # {W,E,S,N} (roads.cpp:272)
+        red = (end_light > 0.5) & red_for(stoplights, isec, orient,
+                                          turn == TURN_LEFT)
+    else:
+        # legacy global clock: x-roads green on phase 0, y on phase 1
+        phase = (cars.frame // STOPLIGHT_PERIOD).astype(jnp.int32) % 2
+        red = (end_light > 0.5) & (dim != phase)
     near_end = cars.t > 0.92
 
     # headway: same segment+direction, ahead within gap -> brake
     same = (cars.seg[:, None] == cars.seg[None, :]) & \
-           (cars.end[:, None] == cars.end[None, :])
+           (cars.end[:, None] == cars.end[None, :]) & \
+           ~cars.parked[:, None] & ~cars.parked[None, :]
     ahead = (cars.t[None, :] > cars.t[:, None]) & \
             ((cars.t[None, :] - cars.t[:, None]) * length[:, None] < 0.35)
     blocked = jnp.any(same & ahead & (jnp.arange(cars.t.shape[0])[:, None]
                                       != jnp.arange(cars.t.shape[0])[None, :]), axis=1)
 
-    v = jnp.where(blocked | (red & near_end), 0.0, cars.speed)
+    driving = ~cars.parked
+    v = jnp.where(driving & ~blocked & ~(red & near_end), cars.speed, 0.0)
     t = cars.t + v / jnp.maximum(length, 1e-6)
 
-    # segment end: pick a next segment by hash (turn choice)
-    done = (t >= 1.0) & ~red
-    hsel = jax.random.randint(key, cars.t.shape, 0, 1 << 30)
-    nn = (oh @ graph.num_next[:, 0].astype(jnp.float32)) * (cars.end == 0) + \
-         (oh @ graph.num_next[:, 1].astype(jnp.float32)) * (cars.end == 1)
-    nn_i = jnp.maximum(nn.astype(jnp.int32), 1)
-    choice = hsel % nn_i
-    end_oh = jax.nn.one_hot(cars.end, 2, dtype=jnp.float32)
-    ns_all = jnp.einsum("cs,sek->cek", oh, graph.next_seg.astype(jnp.float32))
-    ne_all = jnp.einsum("cs,sek->cek", oh, graph.next_end.astype(jnp.float32))
-    ns_e = jnp.einsum("cek,ce->ck", ns_all, end_oh)
-    ne_e = jnp.einsum("cek,ce->ck", ne_all, end_oh)
-    ch_oh = jax.nn.one_hot(choice, ns_e.shape[1], dtype=jnp.float32)
-    new_seg = jnp.sum(ns_e * ch_oh, -1).astype(jnp.int32)
-    new_from_end = jnp.sum(ne_e * ch_oh, -1).astype(jnp.int32)
+    done = (t >= 1.0) & ~red & driving
     has_next = (nn > 0.5) & (new_seg >= 0)
-    # entering at end e means traveling toward the opposite end
     seg = jnp.where(done & has_next, new_seg, cars.seg)
-    end = jnp.where(done & has_next, 1 - new_from_end, cars.end)
+    end = jnp.where(done & has_next, new_end, cars.end)
     t = jnp.where(done & has_next, 0.0,
                   jnp.where(done, 0.999, jnp.minimum(t, 0.999)))
+
+    # park/unpark on timers: a driving car parks when its timer expires at
+    # a segment end; a parked car re-enters at its segment start
+    timer = jnp.maximum(cars.timer - 1, 0)
+    do_park = driving & (timer == 0) & done
+    do_unpark = cars.parked & (timer == 0)
+    parked = jnp.where(do_park, True, jnp.where(do_unpark, False, cars.parked))
+    t = jnp.where(do_unpark, 0.0, t)
+    new_timer = 120 + (hsel >> 8) % 900
+    timer = jnp.where(do_park | do_unpark, new_timer, timer)
     return CarState(seg=seg, end=end, t=t, speed=cars.speed,
-                    frame=cars.frame + 1)
+                    frame=cars.frame + 1, parked=parked,
+                    spot_x=cars.spot_x, spot_y=cars.spot_y, timer=timer)
+
+
+class PedNav(NamedTuple):
+    """Block-level ped navigation tables (host-built once).
+
+    Blocks are nodes; edges cross one road to a grid-adjacent block via a
+    crosswalk waypoint gated by the nearest intersection's light
+    (ped_manager_t plot navigation, pedestrians.cpp:2550)."""
+
+    blk: jax.Array        # [B, 4] x1 y1 x2 y2
+    adj: jax.Array        # [B, 4] neighbor block (-1 none): -x +x -y +y
+    cross_x: jax.Array    # [B, 4] crossing waypoint (road centerline)
+    cross_y: jax.Array
+    cross_isec: jax.Array  # [B, 4] gating intersection (-1 ungated)
+    cross_dim: jax.Array   # [B, 4] dim of the road being crossed
+
+
+def build_ped_nav(net: RoadNetwork, max_gap: float = 3.0) -> PedNav:
+    blocks = [b for b in net.blocks]
+    B = max(len(blocks), 1)
+    blk = np.zeros((B, 4), np.float32)
+    adj = -np.ones((B, 4), np.int32)
+    cx = np.zeros((B, 4), np.float32)
+    cy = np.zeros((B, 4), np.float32)
+    cisec = -np.ones((B, 4), np.int32)
+    cdim = np.zeros((B, 4), np.int32)
+    for i, (x1, y1, x2, y2, *c) in enumerate(blocks):
+        blk[i] = (x1, y1, x2, y2)
+    ipos = np.asarray([(it.x, it.y) for it in net.isecs], np.float32) \
+        if net.isecs else np.zeros((0, 2), np.float32)
+    for i in range(len(blocks)):
+        x1, y1, x2, y2, *ci = blocks[i]
+        for j in range(len(blocks)):
+            if i == j or blocks[j][4:] != blocks[i][4:]:
+                continue
+            u1, v1, u2, v2, *cj = blocks[j]
+            ovy = min(y2, v2) - max(y1, v1)
+            ovx = min(x2, u2) - max(x1, u1)
+            mid_y = 0.5 * (max(y1, v1) + min(y2, v2))
+            mid_x = 0.5 * (max(x1, u1) + min(x2, u2))
+            side = None
+            if 0 < x1 - u2 <= max_gap and ovy > 0:     # j is -x neighbor
+                side, px, py, dm = 0, 0.5 * (x1 + u2), mid_y, 1
+            elif 0 < u1 - x2 <= max_gap and ovy > 0:   # +x
+                side, px, py, dm = 1, 0.5 * (u1 + x2), mid_y, 1
+            elif 0 < y1 - v2 <= max_gap and ovx > 0:   # -y
+                side, px, py, dm = 2, mid_x, 0.5 * (y1 + v2), 0
+            elif 0 < v1 - y2 <= max_gap and ovx > 0:   # +y
+                side, px, py, dm = 3, mid_x, 0.5 * (v1 + y2), 0
+            if side is None or adj[i, side] >= 0:
+                continue
+            adj[i, side] = j
+            cx[i, side] = px
+            cy[i, side] = py
+            cdim[i, side] = dm
+            if len(ipos):
+                d2 = (ipos[:, 0] - px) ** 2 + (ipos[:, 1] - py) ** 2
+                k = int(np.argmin(d2))
+                if net.isecs[k].has_stoplight:
+                    cisec[i, side] = k
+    J = jnp.asarray
+    return PedNav(blk=J(blk), adj=J(adj), cross_x=J(cx), cross_y=J(cy),
+                  cross_isec=J(cisec), cross_dim=J(cdim))
 
 
 class PedState(NamedTuple):
@@ -178,6 +436,9 @@ class PedState(NamedTuple):
     gx: jax.Array    # goal
     gy: jax.Array
     speed: jax.Array
+    blk: jax.Array = None      # [N] int32 current block
+    stage: jax.Array = None    # 0 to-crosswalk, 1 crossing, 2 to-goal
+    side: jax.Array = None     # [N] chosen crossing side
 
 
 def make_peds(n: int, blocks, seed: int = 0) -> PedState:
@@ -192,40 +453,150 @@ def make_peds(n: int, blocks, seed: int = 0) -> PedState:
     gy = blk[bi, 1] + u4 * (blk[bi, 3] - blk[bi, 1])
     return PedState(x=jnp.asarray(x), y=jnp.asarray(y),
                     gx=jnp.asarray(gx), gy=jnp.asarray(gy),
-                    speed=jnp.asarray(0.002 + 0.002 * rg.random(n).astype(np.float32)))
+                    speed=jnp.asarray(0.002 + 0.002 * rg.random(n).astype(np.float32)),
+                    blk=jnp.asarray(bi.astype(np.int32)),
+                    stage=jnp.full((n,), 2, jnp.int32),
+                    side=jnp.zeros((n,), jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=())
-def step_peds(p: PedState, key, sep_radius: float = 0.15) -> PedState:
-    """Goal steering + neighbor separation (ped_manager_t crowd update)."""
-    dx = p.gx - p.x
-    dy = p.gy - p.y
-    d = jnp.sqrt(dx * dx + dy * dy) + 1e-9
-    sx = dx / d
-    sy = dy / d
-    # separation: repulsion from nearby peds (dense masked pair pass)
-    ex = p.x[:, None] - p.x[None, :]
-    ey = p.y[:, None] - p.y[None, :]
+def _separation(x, y, sep_radius):
+    ex = x[:, None] - x[None, :]
+    ey = y[:, None] - y[None, :]
     d2 = ex * ex + ey * ey
-    n = p.x.shape[0]
-    near = (d2 < sep_radius ** 2) & (jnp.arange(n)[:, None] != jnp.arange(n)[None, :])
+    n = x.shape[0]
+    near = (d2 < sep_radius ** 2) & \
+        (jnp.arange(n)[:, None] != jnp.arange(n)[None, :])
     w = jnp.where(near, 1.0 / jnp.maximum(d2, 1e-4), 0.0)
     rx = jnp.sum(w * ex, 1)
     ry = jnp.sum(w * ey, 1)
     rl = jnp.sqrt(rx * rx + ry * ry) + 1e-9
-    mx = sx + 0.5 * rx / rl
-    my = sy + 0.5 * ry / rl
+    return rx / rl, ry / rl
+
+
+@functools.partial(jax.jit, static_argnames=())
+def step_peds(p: PedState, key, sep_radius: float = 0.15,
+              nav: PedNav | None = None,
+              stoplights: StoplightSet | None = None) -> PedState:
+    """Goal steering + neighbor separation (ped_manager_t crowd update).
+    With `nav`, pedestrians do plot navigation: wander inside their
+    block, pick an adjacent block, walk to the crosswalk, wait for the
+    light (can_walk via `stoplights`), cross, continue — never roaming
+    open road except at crosswalks (pedestrians.cpp:2550)."""
+    n = p.x.shape[0]
+    k1, k2, k3 = jax.random.split(key, 3)
+    rx, ry = _separation(p.x, p.y, sep_radius)
+
+    if nav is None or p.blk is None:
+        dx = p.gx - p.x
+        dy = p.gy - p.y
+        d = jnp.sqrt(dx * dx + dy * dy) + 1e-9
+        mx = dx / d + 0.5 * rx
+        my = dy / d + 0.5 * ry
+        ml = jnp.sqrt(mx * mx + my * my) + 1e-9
+        x = p.x + p.speed * mx / ml
+        y = p.y + p.speed * my / ml
+        reached = d < 0.05
+        ngx = p.gx + jax.random.uniform(k1, p.x.shape, minval=-2.0, maxval=2.0)
+        ngy = p.gy + jax.random.uniform(k2, p.x.shape, minval=-2.0, maxval=2.0)
+        return p._replace(x=x, y=y,
+                          gx=jnp.where(reached, ngx, p.gx),
+                          gy=jnp.where(reached, ngy, p.gy))
+
+    B = nav.blk.shape[0]
+    boh = jax.nn.one_hot(p.blk, B, dtype=jnp.float32)
+    soh = jax.nn.one_hot(p.side, 4, dtype=jnp.float32)
+    wx = jnp.einsum("nb,bs,ns->n", boh, nav.cross_x, soh)
+    wy = jnp.einsum("nb,bs,ns->n", boh, nav.cross_y, soh)
+    isec = jnp.einsum("nb,bs,ns->n", boh, nav.cross_isec.astype(jnp.float32),
+                      soh).astype(jnp.int32)
+    rdim = jnp.einsum("nb,bs,ns->n", boh, nav.cross_dim.astype(jnp.float32),
+                      soh).astype(jnp.int32)
+    nblk = jnp.einsum("nb,bs,ns->n", boh, nav.adj.astype(jnp.float32),
+                      soh).astype(jnp.int32)
+
+    # stage targets: 0 -> curb point (crosswalk waypoint clipped into the
+    # ped's own block, so the light wait happens on the sidewalk), 1 ->
+    # across the road, 2 -> in-block goal
+    bx1 = boh @ nav.blk[:, 0]
+    by1 = boh @ nav.blk[:, 1]
+    bx2 = boh @ nav.blk[:, 2]
+    by2 = boh @ nav.blk[:, 3]
+    curb_x = jnp.clip(wx, bx1, bx2)
+    curb_y = jnp.clip(wy, by1, by2)
+    crossing = p.stage < 2
+    tx = jnp.where(crossing, curb_x, p.gx)
+    ty = jnp.where(crossing, curb_y, p.gy)
+    dx = tx - p.x
+    dy = ty - p.y
+    d = jnp.sqrt(dx * dx + dy * dy) + 1e-9
+
+    # light gate at the crosswalk entry (stage 0 arrival)
+    if stoplights is not None:
+        walk_ok = can_cross(stoplights, isec, rdim)
+    else:
+        walk_ok = jnp.ones((n,), bool)
+    at_entry = (p.stage == 0) & (d < 0.06)
+    hold = at_entry & ~walk_ok
+    stage = jnp.where(at_entry & walk_ok, 1, p.stage)
+    # crossing complete: inside the destination block
+    nboh = jax.nn.one_hot(jnp.maximum(nblk, 0), B, dtype=jnp.float32)
+    nx1 = nboh @ nav.blk[:, 0]
+    ny1 = nboh @ nav.blk[:, 1]
+    nx2 = nboh @ nav.blk[:, 2]
+    ny2 = nboh @ nav.blk[:, 3]
+    in_dest = (p.x >= nx1) & (p.x <= nx2) & (p.y >= ny1) & (p.y <= ny2)
+    done_cross = (p.stage == 1) & in_dest
+    stage = jnp.where(done_cross, 2, stage)
+    blk = jnp.where(done_cross, nblk, p.blk)
+    # crossing target past the entry: aim at the dest-block center while
+    # on the road
+    cxd = 0.5 * (nx1 + nx2)
+    cyd = 0.5 * (ny1 + ny2)
+    tx = jnp.where(stage == 1, cxd, tx)
+    ty = jnp.where(stage == 1, cyd, ty)
+    dx = tx - p.x
+    dy = ty - p.y
+    d = jnp.sqrt(dx * dx + dy * dy) + 1e-9
+
+    mx = dx / d + 0.4 * rx
+    my = dy / d + 0.4 * ry
     ml = jnp.sqrt(mx * mx + my * my) + 1e-9
-    x = p.x + p.speed * mx / ml
-    y = p.y + p.speed * my / ml
-    # reached goal -> new goal nearby (hash walk)
-    reached = d < 0.05
-    k1, k2 = jax.random.split(key)
-    ngx = p.gx + jax.random.uniform(k1, p.x.shape, minval=-2.0, maxval=2.0)
-    ngy = p.gy + jax.random.uniform(k2, p.x.shape, minval=-2.0, maxval=2.0)
-    return PedState(x=x, y=y,
-                    gx=jnp.where(reached, ngx, p.gx),
-                    gy=jnp.where(reached, ngy, p.gy), speed=p.speed)
+    v = jnp.where(hold, 0.0, p.speed)
+    x = p.x + v * mx / ml
+    y = p.y + v * my / ml
+    # plot containment: off-road stages stay inside their (updated)
+    # block — separation pushes never shove a ped into the road
+    boh2 = jax.nn.one_hot(blk, B, dtype=jnp.float32)
+    cx1 = boh2 @ nav.blk[:, 0]
+    cy1 = boh2 @ nav.blk[:, 1]
+    cx2 = boh2 @ nav.blk[:, 2]
+    cy2 = boh2 @ nav.blk[:, 3]
+    contained = stage == 2
+    x = jnp.where(contained, jnp.clip(x, cx1, cx2), x)
+    y = jnp.where(contained, jnp.clip(y, cy1, cy2), y)
+
+    # in-block goal reached -> either wander in-block or head for a
+    # random valid crossing side
+    reached = (p.stage == 2) & (d < 0.05)
+    u = jax.random.uniform(k1, (n,))
+    pick_cross = reached & (u < 0.4)
+    new_side = jax.random.randint(k2, (n,), 0, 4)
+    side_ok = jnp.einsum("nb,bs,ns->n", boh, (nav.adj >= 0).astype(jnp.float32),
+                         jax.nn.one_hot(new_side, 4, dtype=jnp.float32)) > 0.5
+    stage = jnp.where(pick_cross & side_ok, 0, stage)
+    side = jnp.where(pick_cross & side_ok, new_side, p.side)
+    # new in-block goal for wanderers
+    u3 = jax.random.uniform(k3, (n,))
+    u4 = jax.random.uniform(jax.random.fold_in(k3, 1), (n,))
+    ngx = bx1 + u3 * (bx2 - bx1)
+    ngy = by1 + u4 * (by2 - by1)
+    # after crossing, the goal must live in the NEW block
+    gx = jnp.where(done_cross, nx1 + u3 * (nx2 - nx1),
+                   jnp.where(reached, ngx, p.gx))
+    gy = jnp.where(done_cross, ny1 + u4 * (ny2 - ny1),
+                   jnp.where(reached, ngy, p.gy))
+    return PedState(x=x, y=y, gx=gx, gy=gy, speed=p.speed,
+                    blk=blk, stage=stage, side=side)
 
 
 # ---------------------------------------------------------------------------

@@ -77,21 +77,29 @@ class TiledWorld:
     road_graph: object = None
     cars: object = None
     peds: object = None
+    stoplights: object = None
+    ped_nav: object = None
     frame: int = 0
     key: object = field(default_factory=lambda: jax.random.key(0))
 
     def step(self, cam_x: float, cam_y: float):
-        """display_inf_terrain: tile streaming + car/ped updates (the
-        3-thread OMP split becomes sequential jitted dispatches)."""
+        """display_inf_terrain: tile streaming + stoplight/car/ped
+        updates (the 3-thread OMP split becomes sequential jitted
+        dispatches; next_city_frame, city_gen.cpp:3801)."""
         from ..city import traffic as CT
 
         created, deleted = self.tile_mgr.update(cam_x, cam_y)
+        if self.stoplights is not None:
+            self.stoplights = CT.step_stoplights(self.stoplights)
         if self.cars is not None:
             self.cars = CT.step_cars(self.cars, self.road_graph,
-                                     jax.random.fold_in(self.key, self.frame))
+                                     jax.random.fold_in(self.key, self.frame),
+                                     stoplights=self.stoplights)
         if self.peds is not None:
             self.peds = CT.step_peds(self.peds,
-                                     jax.random.fold_in(self.key, 1 << 20 | self.frame))
+                                     jax.random.fold_in(self.key, 1 << 20 | self.frame),
+                                     nav=self.ped_nav,
+                                     stoplights=self.stoplights)
         self.frame += 1
         return created, deleted
 

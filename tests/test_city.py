@@ -511,3 +511,161 @@ def test_room_lights_feed_building_indir():
     for li, (lx, ly, lz, fl) in enumerate(i.lights):
         mgr.register_light(li, (lx, ly, lz), (1.0, 0.9, 0.8))
     assert mgr.pending == len(i.lights)
+
+
+# ---------------------------------------------------------------------------
+# city sim depth (VERDICT task 8): per-intersection stoplight machines,
+# parked cars, pedestrian plot navigation with crosswalk gating
+# ---------------------------------------------------------------------------
+
+def _small_city():
+    from w3d.city import plots as CP, roads as CR, traffic as CT
+    plots = [CP.CityPlot(0, 0, 24, 24, 0.0)]
+    net = CR.gen_city_roads(plots, block_size=8)
+    return net, CT
+
+
+def test_stoplight_machine_cycles_all_states():
+    """4-way interior intersections cycle through all 6 states
+    (stoplight_t, city.h:366); conflicting greens never overlap."""
+    import numpy as np
+    net, CT = _small_city()
+    sl = CT.build_stoplights(net, seed=4)
+    nconn = np.asarray(sl.num_conn)
+    four_way = np.where(nconn == 4)[0]
+    assert len(four_way) > 0
+    seen = set()
+    for _ in range(2000):
+        sl = CT.step_stoplights(sl)
+        st = np.asarray(sl.state)
+        seen.update(int(s) for s in st[four_way])
+        # x-straight (E|W bits 2|1) and y-straight (N|S bits 8|4) greens
+        # must be mutually exclusive at every intersection
+        sr, _lf = CT.light_masks(sl)
+        sr = np.asarray(sr)
+        assert not np.any((sr & 3) & ((sr & 12) >> 2) > 0)
+    assert seen == set(range(6)), seen
+
+
+def test_stoplight_red_semantics():
+    """red_for follows the orient masks: in state EGWG (1) straight E/W
+    flows and N/S + all left turns stop (city.h:369-370)."""
+    import numpy as np
+    import jax.numpy as jnp
+    net, CT = _small_city()
+    sl = CT.build_stoplights(net, seed=4)
+    four_way = int(np.where(np.asarray(sl.num_conn) == 4)[0][0])
+    sl = sl._replace(state=sl.state.at[four_way].set(1))   # EGWG
+    i = jnp.asarray([four_way] * 4)
+    # orients {W=0,E=1,S=2,N=3}
+    straight = CT.red_for(sl, i, jnp.asarray([0, 1, 2, 3]),
+                          jnp.zeros(4, bool))
+    assert list(np.asarray(straight)) == [False, False, True, True]
+    lefts = CT.red_for(sl, i, jnp.asarray([0, 1, 2, 3]), jnp.ones(4, bool))
+    assert list(np.asarray(lefts)) == [True, True, True, True]
+    # crosswalk: crossing the x-road (dim 0) is forbidden while E/W flow
+    cw = CT.can_cross(sl, jnp.asarray([four_way, four_way]),
+                      jnp.asarray([0, 1]))
+    assert list(np.asarray(cw)) == [False, True]
+
+
+def test_three_way_lights_skip_missing_direction():
+    import numpy as np
+    net, CT = _small_city()
+    sl = CT.build_stoplights(net, seed=4)
+    nconn = np.asarray(sl.num_conn)
+    three_way = np.where(nconn == 3)[0]
+    assert len(three_way) > 0
+    nxt = np.asarray(sl.next_state)
+    # successor tables for 3-way isecs only contain allowed states
+    for i in three_way:
+        allowed = set(nxt[i])
+        assert len(allowed) < 6
+
+
+def test_parked_cars_pool():
+    """A parked_frac pool sits in spots; timers move cars between parked
+    and driving over time (cars.cpp parked cars)."""
+    import numpy as np
+    import jax
+    net, CT = _small_city()
+    graph = CT.build_road_graph(net)
+    sl = CT.build_stoplights(net, seed=1)
+    spots = CT.gen_parking_spots(net.blocks)
+    assert len(spots) == 4 * len(net.blocks)
+    cars = CT.make_cars(64, graph, seed=1, spots=spots, parked_frac=0.4)
+    p0 = np.asarray(cars.parked).copy()
+    assert 10 <= p0.sum() <= 40
+    x0, y0 = CT.car_positions(cars, graph)
+    # parked cars sit exactly in their spots
+    np.testing.assert_allclose(np.asarray(x0)[p0],
+                               np.asarray(cars.spot_x)[p0], atol=1e-6)
+    k = jax.random.PRNGKey(3)
+    flips = 0
+    prev = p0
+    for i in range(900):
+        cars = CT.step_cars(cars, graph, jax.random.fold_in(k, i),
+                            stoplights=sl)
+        sl = CT.step_stoplights(sl)
+        cur = np.asarray(cars.parked)
+        flips += int((cur != prev).sum())
+        prev = cur
+    assert flips > 0, "no park/unpark transitions in 900 frames"
+
+
+def test_cars_wait_at_red_then_go():
+    import numpy as np
+    import jax
+    net, CT = _small_city()
+    graph = CT.build_road_graph(net)
+    sl = CT.build_stoplights(net, seed=2)
+    cars = CT.make_cars(40, graph, seed=5)
+    k = jax.random.PRNGKey(0)
+    xs = []
+    for i in range(1200):
+        cars = CT.step_cars(cars, graph, jax.random.fold_in(k, i),
+                            stoplights=sl)
+        sl = CT.step_stoplights(sl)
+        if i % 40 == 0:
+            x, y = CT.car_positions(cars, graph)
+            xs.append(np.stack([np.asarray(x), np.asarray(y)], 1))
+    xs = np.stack(xs)
+    # every car eventually moves (no deadlock at lights)
+    total_move = np.abs(np.diff(xs, axis=0)).sum((0, 2))
+    assert (total_move > 0.5).mean() > 0.9, total_move
+
+
+def test_peds_cross_only_at_crosswalks_on_walk_signal():
+    """Plot navigation: pedestrians leave their block only while in the
+    crossing stage, through the crosswalk waypoint, and only when the
+    crossed road's traffic has red (pedestrians.cpp plot nav)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    net, CT = _small_city()
+    sl = CT.build_stoplights(net, seed=3)
+    nav = CT.build_ped_nav(net)
+    peds = CT.make_peds(48, net.blocks, seed=2)
+    peds = peds._replace(speed=peds.speed * 20.0)    # compress test time
+    blk = np.asarray(nav.blk)
+    k = jax.random.PRNGKey(7)
+    crossings = 0
+    for i in range(1500):
+        prev_blk = np.asarray(peds.blk).copy()
+        peds = CT.step_peds(peds, jax.random.fold_in(k, i), nav=nav,
+                            stoplights=sl)
+        sl = CT.step_stoplights(sl)
+        cur_blk = np.asarray(peds.blk)
+        crossings += int((cur_blk != prev_blk).sum())
+        if i % 25 == 0:
+            x = np.asarray(peds.x)
+            y = np.asarray(peds.y)
+            st = np.asarray(peds.stage)
+            b = blk[cur_blk]
+            inside = (x >= b[:, 0] - 1e-3) & (x <= b[:, 2] + 1e-3) & \
+                     (y >= b[:, 1] - 1e-3) & (y <= b[:, 3] + 1e-3)
+            # anyone outside their block must be mid-crossing (stage 0/1
+            # at the block edge or on the road)
+            outside = ~inside
+            assert np.all(st[outside] <= 1), (i, st[outside])
+    assert crossings > 5, crossings
