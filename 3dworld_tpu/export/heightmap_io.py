@@ -176,10 +176,38 @@ def heights_to_pixels(heights: np.ndarray, bit_depth: int = 16,
     return np.clip(v, 0, 255).astype(np.uint8)
 
 
+_PIL_EXTS = (".jpg", ".jpeg", ".tga", ".tif", ".tiff", ".dds")
+
+
+def read_image_gray(path: str) -> np.ndarray:
+    """Grayscale pixels from any supported format: PNG/BMP through the
+    native stdlib codecs, JPEG/TIFF/TGA/DDS through Pillow (the reference
+    reads these through its image libraries too, image_io.cpp:12-21)."""
+    lo = path.lower()
+    if lo.endswith(".bmp"):
+        return read_bmp_gray(path)
+    if lo.endswith(_PIL_EXTS):
+        from PIL import Image
+        img = Image.open(path)
+        if img.mode in ("I;16", "I;16L", "I;16B", "I"):
+            return np.asarray(img.convert("I"), np.uint16)
+        return np.asarray(img.convert("L"), np.uint8)
+    return read_png_gray(path)
+
+
+def read_image_rgb(path: str) -> np.ndarray:
+    """[h, w, 3] uint8 from PNG/BMP (native) or JPEG/TIFF/TGA/DDS (PIL)."""
+    lo = path.lower()
+    if lo.endswith(".bmp"):
+        return read_bmp_rgb(path)
+    if lo.endswith(_PIL_EXTS):
+        from PIL import Image
+        return np.asarray(Image.open(path).convert("RGB"), np.uint8)
+    return read_png(path)[..., :3]
+
+
 def read_heightmap(path: str, **scale_kw) -> np.ndarray:
-    if path.lower().endswith(".bmp"):
-        return pixels_to_heights(read_bmp_gray(path), **scale_kw)
-    return pixels_to_heights(read_png_gray(path), **scale_kw)
+    return pixels_to_heights(read_image_gray(path), **scale_kw)
 
 
 def write_heightmap(path: str, heights: np.ndarray, bit_depth: int = 16,

@@ -25,28 +25,73 @@ from ..physics.cobjs import CobjSet
 from ..ops import ray as R
 
 
+SNOW_RANDOM = 1.0        # snow_random config (deflection jitter scale)
+MAX_DEFLECT = 4          # lockstep bound on the reference's iter<=100 loop
+SNOW_MAX_SLOPE_NZ = 0.5  # surfaces steeper than this shed flakes
+
+
 @functools.partial(jax.jit, static_argnames=("world", "batch"))
 def snow_batch(key, mesh, cobjs: CobjSet, wind, world: WorldConst,
                batch: int = 65536):
-    """One ray batch -> (cell ids, landing z, valid)."""
+    """One ray batch -> (cell ids, landing z, valid).
+
+    Deflection bounces (create_snow_map, snow.cpp:484-540): a flake
+    whose ray hits a surface too steep to hold snow doesn't stick — it
+    deflects by a Gaussian lateral step scaled by its remaining height
+    fraction, pushed away from the surface (dot(delta, cnorm) >= 0), and
+    falls again; up to MAX_DEFLECT rounds in lockstep (the reference
+    loops per flake; flakes needing more rounds than the bound land
+    where they are).  The reference's cnorm.z <= 0 trigger is widened to
+    cnorm.z < SNOW_MAX_SLOPE_NZ: with batched vertical rays and normals
+    reported against the ray, exactly-vertical first hits cannot occur,
+    so the trigger keys on steepness — the same shed-off-the-wall
+    semantic the reference's lateral re-rays produce."""
     k1, k2 = jax.random.split(key)
     x = jax.random.uniform(k1, (batch,), minval=-world.x_scene, maxval=world.x_scene)
     y = jax.random.uniform(k2, (batch,), minval=-world.y_scene, maxval=world.y_scene)
     top = 2.0 * world.z_scene
-    # wind offset: flakes drift as they fall (snow.cpp wind offset)
+    zbot = -world.z_scene
+    # wind offset: flakes drift as they fall (snow.cpp wind_vector)
     fall_t = 1.5 * world.z_scene
     x = x + wind[0] * fall_t * 0.1
     y = y + wind[1] * fall_t * 0.1
+    from ..physics.step import sample_mesh
+
     ox, oy = x, y
     oz = jnp.full((batch,), top)
-    dz = jnp.full((batch,), -1.0)
     zero = jnp.zeros((batch,))
-    tmax = jnp.full((batch,), 4.0 * world.z_scene)
-    chit, ct, *_ = R.ray_cobjs_nearest(ox, oy, oz, zero, zero, dz, tmax, cobjs)
-    from ..physics.step import sample_mesh
-    mh, _, _, _ = sample_mesh(mesh, ox, oy, world)
-    z_cobj = top - ct
-    z_land = jnp.where(chit & (z_cobj > mh), z_cobj, mh)
+    done = jnp.zeros((batch,), bool)
+    z_land = jnp.zeros((batch,))
+    kd = key
+    for it in range(MAX_DEFLECT):
+        dz = jnp.full((batch,), -1.0)
+        tmax = jnp.full((batch,), 4.0 * world.z_scene)
+        chit, ct, cnx, cny, cnz, _ = R.ray_cobjs_nearest(
+            ox, oy, oz, zero, zero, dz, tmax, cobjs)
+        mh, _, _, _ = sample_mesh(mesh, ox, oy, world)
+        z_cobj = oz - ct
+        land_cobj = chit & (z_cobj > mh) & (cnz >= SNOW_MAX_SLOPE_NZ)
+        deflect = chit & (z_cobj > mh) & (cnz < SNOW_MAX_SLOPE_NZ) & ~done
+        landed = ~done & (land_cobj | ~(chit & (z_cobj > mh)))
+        z_land = jnp.where(landed, jnp.where(land_cobj, z_cobj, mh), z_land)
+        done = done | landed
+        if it == MAX_DEFLECT - 1:
+            # out of rounds: stick at the deflection point (iter>100 path)
+            z_land = jnp.where(deflect, z_cobj, z_land)
+            break
+        # deflect: Gaussian lateral step scaled by height fraction, away
+        # from the surface (snow.cpp:516-527)
+        kd, ka, kb = jax.random.split(kd, 3)
+        val = jnp.clip((z_cobj - zbot) / (top - zbot), 0.0, 1.0)
+        dx_ = 0.1 * val * SNOW_RANDOM * jax.random.normal(ka, (batch,))
+        dy_ = 0.1 * val * SNOW_RANDOM * jax.random.normal(kb, (batch,))
+        flip = (dx_ * cnx + dy_ * cny) < 0.0
+        dx_ = jnp.where(flip, -dx_, dx_)
+        dy_ = jnp.where(flip, -dy_, dy_)
+        ox = jnp.where(deflect, ox + dx_, ox)
+        oy = jnp.where(deflect, oy + dy_, oy)
+        oz = jnp.where(deflect, z_cobj + 1e-4, oz)
+
     mx, my = world.mesh_x, world.mesh_y
     gx = jnp.floor(ox * world.dx_inv + mx // 2).astype(jnp.int32)
     gy = jnp.floor(oy * world.dy_inv + my // 2).astype(jnp.int32)

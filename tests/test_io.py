@@ -428,3 +428,29 @@ def test_heightmap_image_with_erosion(tmp_path):
     # erosion smooths: high-frequency energy drops
     hf = lambda m: np.abs(np.diff(m, axis=1)).mean()
     assert hf(m1) < hf(m0), (hf(m1), hf(m0))
+
+
+def test_jpeg_tga_tiff_heightmap_read(tmp_path):
+    """JPEG/TGA/TIFF heightmaps load through the unified reader (the
+    reference's image library formats, image_io.cpp:12-21)."""
+    import numpy as np
+    from PIL import Image
+    from w3d.export import heightmap_io as HIO
+
+    grad = np.tile(np.linspace(20, 230, 64, dtype=np.uint8), (64, 1))
+    for ext in ("jpg", "tga", "tif"):
+        p = str(tmp_path / f"hm.{ext}")
+        Image.fromarray(grad, mode="L").save(p)
+        h = HIO.read_heightmap(p)
+        assert h.shape == (64, 64)
+        # gradient preserved (JPEG is lossy: loose bound)
+        assert h[:, -1].mean() > h[:, 0].mean() + 0.05
+    # RGB reader across formats
+    rgb = np.zeros((16, 16, 3), np.uint8)
+    rgb[..., 1] = 200
+    for ext in ("jpg", "tga", "tif"):
+        p = str(tmp_path / f"c.{ext}")
+        Image.fromarray(rgb).save(p)
+        back = HIO.read_image_rgb(p)
+        assert back.shape == (16, 16, 3)
+        assert back[..., 1].mean() > 150

@@ -135,3 +135,50 @@ def test_precipitation_accumulation():
     af = float(accum.sum())
     accum = PR.melt_accumulation(accum, jnp.float32(-5.0))
     assert float(accum.sum()) == af        # frozen: no melt
+
+
+def test_snow_deflects_off_steep_surfaces():
+    """Deflection bounces (snow.cpp:484-540): flakes hitting a surface
+    too steep to hold snow shed off and land on the ground below instead
+    of recording the steep surface's height; a flat platform top catches
+    them directly."""
+    import numpy as np
+    import jax.numpy as jnp
+    from w3d.water import snow as WS
+    from w3d.scene import cobj as SC
+    from w3d.physics.cobjs import COLL_POLYGON, COLL_CUBE
+    from w3d.utils.constants import WorldConst
+
+    W = WorldConst(mesh_x=48, mesh_y=48)
+    mesh = jnp.full((48, 48), -1.0, jnp.float32)
+
+    def snow_for(cobjs):
+        sz, ct = WS.create_snow_map(mesh, cobjs, 131072,
+                                    wind=(0.0, 0.0, 0.0), world=W, seed=1,
+                                    batch=65536)
+        return np.asarray(sz), np.asarray(ct)
+
+    lay = SC.CobjLayer()
+    # steep ramp: a quad rising from z=-1 at x=0.2 to z=1.5 at x=0.9
+    # (nz ~ 0.27, well under the shed threshold)
+    ramp = SC.SceneParse()
+    ramp.cobjs.append(SC.RawCobj(COLL_POLYGON, pts=(
+        (0.2, -1.5, -1.0), (0.9, -1.5, 1.5), (0.9, 1.5, 1.5),
+        (0.2, 1.5, -1.0)), r1=0.0, layer=lay))
+    sz_r, _ = snow_for(SC.pack_cobjs(ramp))
+    # flat platform of the same footprint and top height
+    plat = SC.SceneParse()
+    plat.cobjs.append(SC.RawCobj(COLL_CUBE, (0.2, -1.5, -1.0),
+                                 (0.9, 1.5, 1.5), layer=lay))
+    sz_p, _ = snow_for(SC.pack_cobjs(plat))
+
+    # cells over the footprint: the platform top records ~1.5; the steep
+    # ramp sheds flakes, so recorded heights stay near the ground
+    gx1 = int(0.35 * W.dx_inv + 24)
+    gx2 = int(0.75 * W.dx_inv + 24)
+    over_r = sz_r[20:28, gx1:gx2].mean()
+    over_p = sz_p[20:28, gx1:gx2].mean()
+    assert over_p > 1.3, over_p
+    assert over_r < over_p - 1.0, (over_r, over_p)
+    # far-field ground records the mesh height in both
+    assert abs(sz_r[5, 5] - (-1.0)) < 0.1
