@@ -29,8 +29,31 @@ SHIP_CLASSES = np.array([
     (0.001, 0.012, 400.0, 200.0, 0.8, 15.0, 40.0, 0.03, 0.5),  # cruiser
     (0.0005, 0.008, 1200.0, 600.0, 1.2, 40.0, 80.0, 0.08, 1.0),  # dreadnought
     (0.0015, 0.015, 200.0, 100.0, 0.6, 8.0, 30.0, 0.02, 0.3),  # corvette
+    (0.0004, 0.006, 2000.0, 800.0, 1.0, 60.0, 60.0, 0.10, 0.8),  # abomination
+    (0.0006, 0.009, 1500.0, 500.0, 1.1, 50.0, 70.0, 0.09, 0.6),  # reaper
+    (0.0008, 0.010, 600.0, 300.0, 0.0, 0.0, 1.0, 0.05, 0.5),   # colony ship
 ], np.float32)
 NUM_SHIP_CLASSES = len(SHIP_CLASSES)
+CLS_FIGHTER, CLS_CRUISER, CLS_DREADNOUGHT, CLS_CORVETTE, \
+    CLS_ABOMINATION, CLS_REAPER, CLS_COLONY = range(NUM_SHIP_CLASSES)
+
+# multipart collision geometry (multipart_ship, u_ship.cpp:2880-2931):
+# per-class body-frame part offsets (along +dir) + radii, in class-radius
+# units; single-part classes use one part at the origin.  The
+# abomination is a head + tail-sphere chain; the reaper is a main sphere
+# + the blocking shield lobe aimed at the threat (USC_REAPER cobjs).
+MAX_PARTS = 4
+PART_OFFSETS = np.zeros((NUM_SHIP_CLASSES, MAX_PARTS, 4), np.float32)
+PART_OFFSETS[:, 0] = (0.0, 0.0, 0.0, 1.0)          # main body everywhere
+PART_OFFSETS[CLS_ABOMINATION] = [(0.0, 0.0, 0.0, 1.0),     # head/eye
+                                 (-1.4, 0.0, 0.0, 0.6),    # tail spheres
+                                 (-2.4, 0.0, 0.0, 0.45),
+                                 (-3.2, 0.0, 0.0, 0.3)]
+PART_OFFSETS[CLS_REAPER, 0] = (0.0, 0.0, 0.0, 1.0)
+PART_OFFSETS[CLS_REAPER, 1] = (0.8, 0.0, 0.0, 0.45)        # shield lobe
+NUM_PARTS = np.array([1, 1, 1, 1, 4, 2, 1], np.int32)
+REAPER_BLOCK = 0.8         # damage fraction blocked by the shield lobe
+ABOMIN_EYE_RATE = 0.01     # eye open/close speed (state_val units/frame)
 
 
 class FleetState(NamedTuple):
@@ -48,11 +71,22 @@ class FleetState(NamedTuple):
     shields: jax.Array
     cooldown: jax.Array
     alive: jax.Array
+    # multipart state: facing dir (part placement + reaper shield aim)
+    # and the per-class animation value (abomination eye open fraction,
+    # multipart_ship state_val)
+    dx: jax.Array = None
+    dy: jax.Array = None
+    dz: jax.Array = None
+    state_val: jax.Array = None
 
 
-def make_fleet(key, n: int, num_teams: int = 2, spread: float = 2.0) -> FleetState:
-    ks = jax.random.split(key, 5)
-    cls = jax.random.randint(ks[0], (n,), 0, NUM_SHIP_CLASSES)
+def make_fleet(key, n: int, num_teams: int = 2, spread: float = 2.0,
+               classes=None) -> FleetState:
+    ks = jax.random.split(key, 6)
+    if classes is None:
+        cls = jax.random.randint(ks[0], (n,), 0, 4)   # combat classes
+    else:
+        cls = jnp.asarray(classes, jnp.int32)
     oh = jax.nn.one_hot(cls, NUM_SHIP_CLASSES, dtype=jnp.float32)
     tbl = jnp.asarray(SHIP_CLASSES)
     return FleetState(
@@ -66,7 +100,29 @@ def make_fleet(key, n: int, num_teams: int = 2, spread: float = 2.0) -> FleetSta
         shields=oh @ tbl[:, 3],
         cooldown=jnp.zeros(n),
         alive=jnp.ones(n, bool),
+        dx=jnp.ones(n), dy=jnp.zeros(n), dz=jnp.zeros(n),
+        state_val=jax.random.uniform(ks[5], (n,)),
     )
+
+
+def ship_parts(f: FleetState):
+    """[N, K] part positions + radii in world space (multipart_ship
+    collision geometry): parts lie along the facing direction, scaled by
+    the class radius; the abomination's tail spheres shrink with
+    state_val (eye/tail animation)."""
+    oh = jax.nn.one_hot(f.cls, NUM_SHIP_CLASSES, dtype=jnp.float32)
+    tbl = jnp.asarray(SHIP_CLASSES)
+    po = jnp.asarray(PART_OFFSETS)                 # [C, K, 4]
+    rad = oh @ tbl[:, 7]
+    off = jnp.einsum("nc,ckj->nkj", oh, po)        # [N, K, 4]
+    npart = (oh @ jnp.asarray(NUM_PARTS, jnp.float32)).astype(jnp.int32)
+    kidx = jnp.arange(MAX_PARTS)[None, :]
+    valid = kidx < npart[:, None]
+    pxk = f.px[:, None] + off[:, :, 0] * rad[:, None] * f.dx[:, None]
+    pyk = f.py[:, None] + off[:, :, 0] * rad[:, None] * f.dy[:, None]
+    pzk = f.pz[:, None] + off[:, :, 0] * rad[:, None] * f.dz[:, None]
+    prk = jnp.where(valid, off[:, :, 3] * rad[:, None], 0.0)
+    return pxk, pyk, pzk, prk, valid
 
 
 @jax.jit
@@ -110,11 +166,35 @@ def step_fleet(f: FleetState, key) -> FleetState:
     py = f.py + vy
     pz = f.pz + vz
 
+    # facing tracks the target direction (part placement + shield aim);
+    # ships without a target keep their heading
+    ndx = jnp.where(has_tgt, dx / d, f.dx)
+    ndy = jnp.where(has_tgt, dy / d, f.dy)
+    ndz = jnp.where(has_tgt, dz / d, f.dz)
+
+    # abomination eye animation (multipart_ship USC_ABOMIN state_val,
+    # u_ship.cpp:2880-2899): opens toward 1 in combat, drifts shut
+    # otherwise; a mostly-closed eye cannot fire (ai_action :2905)
+    is_abomin = f.cls == CLS_ABOMINATION
+    sv = jnp.clip(f.state_val
+                  + jnp.where(has_tgt, ABOMIN_EYE_RATE, -ABOMIN_EYE_RATE),
+                  0.0, 1.0)
+    eye_ok = ~is_abomin | (sv > 0.1)
+
     # fire: in range + cooldown ready; damage applies shields-then-armor
-    in_range = has_tgt & (d < w_range) & (f.cooldown <= 0) & f.alive
+    in_range = has_tgt & (d < w_range) & (f.cooldown <= 0) & f.alive & eye_ok
     dmg_dealt = jnp.where(in_range, w_dam, 0.0)
-    # scatter damage to targets: dmg_in[j] = sum_i dealt[i] * onehot_tgt[i,j]
-    dmg_in = dmg_dealt @ toh
+    # reaper shield lobe blocks most damage arriving from its aim
+    # direction (USC_REAPER blocking shield, u_ship.cpp:2931-2960)
+    ex = f.px[:, None] - f.px[None, :]
+    ey = f.py[:, None] - f.py[None, :]
+    ez = f.pz[:, None] - f.pz[None, :]
+    el = jnp.sqrt(ex * ex + ey * ey + ez * ez) + 1e-9
+    aligned = (ex * ndx[None, :] + ey * ndy[None, :] + ez * ndz[None, :]) \
+        / el > 0.5
+    is_reaper_j = (f.cls == CLS_REAPER)[None, :]
+    block = jnp.where(aligned & is_reaper_j, 1.0 - REAPER_BLOCK, 1.0)
+    dmg_in = jnp.sum(dmg_dealt[:, None] * toh * block, axis=0)
     sh = jnp.maximum(f.shields - dmg_in, 0.0)
     overflow = jnp.maximum(dmg_in - f.shields, 0.0)
     armor = f.armor - overflow
@@ -126,7 +206,8 @@ def step_fleet(f: FleetState, key) -> FleetState:
     sh_re = oh @ tbl[:, 8]
     sh = jnp.minimum(sh + sh_re * alive.astype(jnp.float32), sh_max)
     return f._replace(px=px, py=py, pz=pz, vx=vx, vy=vy, vz=vz,
-                      armor=armor, shields=sh, cooldown=cooldown, alive=alive)
+                      armor=armor, shields=sh, cooldown=cooldown, alive=alive,
+                      dx=ndx, dy=ndy, dz=ndz, state_val=sv)
 
 
 def gen_asteroid_belt(key, system_radius: float, n: int = 256):
@@ -174,3 +255,90 @@ def orbit_step(f: FleetState, center, orbit_r, orbit_speed: float = 0.01,
     vz = f.vz * (1 - blend) + vdz * blend
     return f._replace(px=f.px + vx, py=f.py + vy, pz=f.pz + vz,
                       vx=vx, vy=vy, vz=vz)
+
+
+# ---------------------------------------------------------------------------
+# colonization + orbital docks (u_ship::claim_world u_ship.cpp:808-830,
+# orbiting_ship::ai_action :2974, try_orbital_regen :860)
+# ---------------------------------------------------------------------------
+
+class PlanetClaims(NamedTuple):
+    """Ownership of a system's colonizable planets."""
+
+    owner: jax.Array        # [P] int32 team (-1 unclaimed)
+    homeworld_of: jax.Array  # [P] int32 claiming ship index (-1)
+
+
+def make_claims(num_planets: int) -> PlanetClaims:
+    return PlanetClaims(owner=jnp.full((num_planets,), -1, jnp.int32),
+                        homeworld_of=jnp.full((num_planets,), -1, jnp.int32))
+
+
+@jax.jit
+def colonize_step(f: FleetState, planet_pos, claims: PlanetClaims,
+                  claim_radius: float = 0.08):
+    """One colonization frame: colony ships head for the nearest
+    unclaimed planet and claim it on arrival (claim_world semantics: a
+    claimed planet becomes the claimer's homeworld; first arrival wins
+    a contested claim).  Returns (fleet', claims')."""
+    P = planet_pos.shape[0]
+    colonizer = (f.cls == CLS_COLONY) & f.alive
+    unclaimed = claims.owner < 0
+    # nearest unclaimed planet per ship
+    ex = f.px[:, None] - planet_pos[None, :, 0]
+    ey = f.py[:, None] - planet_pos[None, :, 1]
+    ez = f.pz[:, None] - planet_pos[None, :, 2]
+    d2 = ex * ex + ey * ey + ez * ez
+    d2m = jnp.where(unclaimed[None, :], d2, jnp.inf)
+    tgt = jnp.argmin(d2m, axis=1)
+    has = jnp.isfinite(jnp.min(d2m, axis=1)) & colonizer
+    toh = jax.nn.one_hot(tgt, P, dtype=jnp.float32)
+    tx = toh @ planet_pos[:, 0]
+    ty = toh @ planet_pos[:, 1]
+    tz = toh @ planet_pos[:, 2]
+    dx = tx - f.px
+    dy = ty - f.py
+    dz = tz - f.pz
+    d = jnp.sqrt(dx * dx + dy * dy + dz * dz) + 1e-9
+    oh = jax.nn.one_hot(f.cls, NUM_SHIP_CLASSES, dtype=jnp.float32)
+    tbl = jnp.asarray(SHIP_CLASSES)
+    accel = oh @ tbl[:, 0]
+    vmax = oh @ tbl[:, 1]
+    a = jnp.where(has, accel, 0.0)
+    vx = f.vx + a * dx / d
+    vy = f.vy + a * dy / d
+    vz = f.vz + a * dz / d
+    sp = jnp.sqrt(vx * vx + vy * vy + vz * vz) + 1e-9
+    s = jnp.minimum(1.0, vmax / sp)
+    vx, vy, vz = vx * s, vy * s, vz * s
+
+    # claims: for each planet, the nearest in-radius colonizer wins
+    close = has[:, None] & (toh > 0.5) & (d[:, None] < claim_radius)
+    d2c = jnp.where(close, d2, jnp.inf)
+    winner = jnp.argmin(d2c, axis=0).astype(jnp.int32)
+    any_claim = jnp.isfinite(jnp.min(d2c, axis=0)) & unclaimed
+    woh = jax.nn.one_hot(winner, f.px.shape[0], dtype=jnp.float32)
+    wteam = (woh @ f.align.astype(jnp.float32)).astype(jnp.int32)
+    owner = jnp.where(any_claim, wteam, claims.owner)
+    home = jnp.where(any_claim, winner, claims.homeworld_of)
+    return (f._replace(px=f.px + vx, py=f.py + vy, pz=f.pz + vz,
+                       vx=vx, vy=vy, vz=vz),
+            PlanetClaims(owner=owner, homeworld_of=home))
+
+
+@jax.jit
+def orbital_regen(f: FleetState, dock_pos, dock_align, rate: float = 2.0,
+                  dock_range: float = 0.3) -> FleetState:
+    """Friendly ships near an orbiting dock regenerate armor
+    (try_orbital_regen / orbiting docks, u_ship.cpp:860-900)."""
+    ex = f.px[:, None] - dock_pos[None, :, 0]
+    ey = f.py[:, None] - dock_pos[None, :, 1]
+    ez = f.pz[:, None] - dock_pos[None, :, 2]
+    d2 = ex * ex + ey * ey + ez * ez
+    friendly = f.align[:, None] == dock_align[None, :]
+    near = jnp.any(friendly & (d2 < dock_range * dock_range), axis=1)
+    oh = jax.nn.one_hot(f.cls, NUM_SHIP_CLASSES, dtype=jnp.float32)
+    amax = oh @ jnp.asarray(SHIP_CLASSES)[:, 2]
+    armor = jnp.where(near & f.alive,
+                      jnp.minimum(f.armor + rate, amax), f.armor)
+    return f._replace(armor=armor)

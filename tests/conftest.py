@@ -16,3 +16,10 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running test (>10s); `pytest -m 'not slow'` is the "
+        "quick pass, the full suite runs everything")

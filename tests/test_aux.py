@@ -1,5 +1,6 @@
 """Aux systems tests: snow, clouds/lightning, textures, map view, events,
 sphere materials, scene loader, world modes."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -223,6 +224,7 @@ def test_trains_helis_and_prings():
     assert gen_prings(p)[:2] == (ri, ro)  # deterministic
 
 
+@pytest.mark.slow
 def test_app_entry_modes(capsys):
     """3DWorld.cpp main() analog: config -> mode -> frame loop with
     JSON metrics, for all three world modes."""

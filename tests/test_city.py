@@ -1,4 +1,5 @@
 """City subsystem tests: plots, roads, buildings, floorplans, traffic, AI."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -260,6 +261,7 @@ def test_bridges_tunnels_and_shaped_buildings():
     assert bool(hit[0])                # narrow phase sees the cylinder
 
 
+@pytest.mark.slow
 def test_expanded_room_catalog_and_asteroid_field():
     """Wider room-content catalog (17 room types / 30 furniture kinds,
     all with gameplay props) + uasteroid_field drift/containment."""

@@ -1,4 +1,5 @@
 """Erosion tests: batched TPU kernel vs sequential oracle, invariants."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -87,6 +88,7 @@ def test_zero_iters_noop_shapewise():
     assert out.shape == hm.shape
 
 
+@pytest.mark.slow
 def test_erosion_high_iteration_stability():
     """Regression: 20K droplets on a 128^2 map must stay near the
     original relief (the sequential reference self-stabilizes; the

@@ -1,5 +1,6 @@
 """Tests for platforms/triggers, destruction, CSG, flocking, city objects,
 teleporters, surface damage."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -575,6 +576,7 @@ def test_player_physics_and_craters():
     assert (np.asarray(add_craters(jnp.zeros((64, 128)), seed=3)) == h2).all()
 
 
+@pytest.mark.slow
 def test_full_gameplay_frame_integration():
     """The complete FPS loop across subsystems: fire a rocket, fly it
     into the scene through physics, explode on contact
@@ -636,6 +638,7 @@ def test_full_gameplay_frame_integration():
     assert int(clouds.status.sum()) == 1
 
 
+@pytest.mark.slow
 def test_spray_paint():
     """spray_paint.cpp: view-ray painting — mesh hits stamp the paint
     grid + a decal, cobj hits decal the surface, misses do nothing."""

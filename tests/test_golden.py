@@ -9,6 +9,7 @@ anchors.)
 """
 import hashlib
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -133,6 +134,7 @@ def test_physics_oracle_trajectory_pinned():
         pinned[-1], atol=5e-4)
 
 
+@pytest.mark.slow
 def test_terrain_jit_bitwise_stable():
     cfg = TerrainConfig(mesh_seed=42, erosion_iters=100)
     w = WorldConst(mesh_x=64, mesh_y=64)

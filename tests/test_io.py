@@ -1,5 +1,6 @@
 """I/O tests: heightmap PNG/BMP codecs, modmap journal, checkpoint,
 profiler, config parser, OBJ model loading (native + fallback)."""
+import pytest
 import os
 
 import numpy as np
@@ -192,6 +193,7 @@ def test_color_image_roundtrip(tmp_path):
     assert (HIO.read_bmp_rgb(p3) == rgb).all()
 
 
+@pytest.mark.slow
 def test_lighting_platform_accum_and_dlight_groups():
     """ray_trace.cpp cobj-accum delta updates + lightmap.cpp dlight-group
     volumes with enabled-ratio scaling."""

@@ -1,4 +1,5 @@
 """Lighting precompute tests: tracer physicality, shadows, determinism."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -206,6 +207,7 @@ def test_transmission_through_glass():
     assert b_glass < f_glass, (b_glass, f_glass)
 
 
+@pytest.mark.slow
 def test_ice_stops_rays_at_water_plane_when_frozen():
     """temperature <= W_FREEZE_POINT turns the water plane into an ice
     surface (ray_trace.cpp:296-303): cells below the plane stay dark."""

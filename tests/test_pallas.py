@@ -1,4 +1,5 @@
 """Pallas kernel tests (interpret mode on CPU; native on TPU)."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -81,6 +82,7 @@ def test_pallas_erosion_rejects_bad_batch():
                            max_steps=4, interpret=True)
 
 
+@pytest.mark.slow
 def test_pallas_fused_substep_matches_xla():
     """Fused physics substep kernel (interpret) vs step_objects over a
     bumpy mesh + water so every branch (integrate, water, cobj, mesh

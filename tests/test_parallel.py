@@ -1,4 +1,5 @@
 """Multi-device tests (8 virtual CPU devices from conftest)."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -15,6 +16,7 @@ def _mesh8():
     return PM.make_mesh(8, axis="tiles")
 
 
+@pytest.mark.slow
 def test_sharded_shadow_chain_matches_single_device():
     m = _mesh8()
     T, n = 16, 32
@@ -50,11 +52,13 @@ def test_halo_context_assembly():
     np.testing.assert_array_equal(ctx[2, :, :halo], z[1, :, -halo:])
 
 
+@pytest.mark.slow
 def test_sharded_tile_batch_and_physics():
     from __graft_entry__ import dryrun_multichip
     dryrun_multichip(min(8, len(jax.devices())))
 
 
+@pytest.mark.slow
 def test_flagship_entry_step_over_8cpu_mesh():
     """The FULL flagship entry() step (production shapes: 8x128^2 tiles with
     erosion + 2048-object physics frame with pair collisions) jitted over

@@ -1,4 +1,5 @@
 """Physics tests: integrator behavior, collisions, invariants, determinism."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -176,6 +177,7 @@ def test_lifetime_kill():
     assert (np.asarray(st.status) == 0).all()
 
 
+@pytest.mark.slow
 def test_spheres_world_end_to_end():
     sw = PM.build_spheres_world(num_objects=512, world=W)
     for _ in range(20):
@@ -262,6 +264,7 @@ def test_particle_pools():
     assert int(b2.status.sum()) == 2
 
 
+@pytest.mark.slow
 def test_grouped_cobjs_match_branchless():
     """Shape-grouped narrow phase (cobjs.GroupedCobjs) is bit-identical
     to the branchless all-formula path on a mixed scene."""
@@ -290,6 +293,7 @@ def test_grouped_cobjs_match_branchless():
     assert int((ref.status != out.status).sum()) == 0
 
 
+@pytest.mark.slow
 def test_water_surface_ricochet():
     """check_water_collision skip path (Physics.cpp:24,1154-1163): fast
     shallow-angle surface hits bounce off the water; the fused kernel

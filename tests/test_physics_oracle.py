@@ -2,6 +2,7 @@
 (tests/oracle_physics.py, transcribed from Physics.cpp:716-1409), plus the
 banded broad-phase miss-rate audit (BASELINE.md fidelity clause: "object
 trajectories comparable to the C++ reference within tolerance")."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -167,6 +168,7 @@ def test_settling_statistics_on_wavy_mesh():
     assert abs(done_o.mean() - done_b.mean()) <= 0.25
 
 
+@pytest.mark.slow
 def test_block_pair_pass_is_exact_at_10k():
     """Broad-phase audit (VERDICT task 3): the PRODUCTION pair pass (block
     all-pairs over the x-sorted order) must match the exact all-pairs

@@ -156,3 +156,110 @@ def test_fleet_regen_explosions_orbit():
                             jnp.float32(1.0))
     r = np.sqrt(np.asarray(orb.px) ** 2 + np.asarray(orb.py) ** 2)
     assert (np.abs(r - 1.0) < 0.25).all()      # settled on the orbit
+
+
+# ---------------------------------------------------------------------------
+# multipart / orbiting / colonization (VERDICT task 10; u_ship.cpp:954,
+# 2880-3039)
+# ---------------------------------------------------------------------------
+
+def test_multipart_ship_parts_and_eye_gate():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from w3d.universe import ships as US
+
+    n = 6
+    cls = jnp.asarray([US.CLS_ABOMINATION, US.CLS_REAPER, US.CLS_FIGHTER,
+                       US.CLS_ABOMINATION, US.CLS_CRUISER, US.CLS_COLONY])
+    f = US.make_fleet(jax.random.PRNGKey(0), n, classes=cls)
+    px, py, pz, pr, valid = US.ship_parts(f)
+    v = np.asarray(valid)
+    assert list(v.sum(1)) == [4, 2, 1, 4, 1, 1]
+    # abomination tail spheres trail behind the facing direction
+    tail_dx = np.asarray(px)[0, 1:] - np.asarray(f.px)[0]
+    assert np.all(tail_dx * np.asarray(f.dx)[0] < 0)
+    # a closed eye can't fire: two abominations face to face, eye shut
+    f2 = US.make_fleet(jax.random.PRNGKey(1), 2,
+                       classes=jnp.asarray([US.CLS_ABOMINATION] * 2))
+    f2 = f2._replace(px=jnp.asarray([0.0, 0.2]), py=jnp.zeros(2),
+                     pz=jnp.zeros(2), align=jnp.asarray([0, 1]),
+                     state_val=jnp.zeros(2), cooldown=jnp.zeros(2))
+    f3 = US.step_fleet(f2, jax.random.PRNGKey(2))
+    assert float(jnp.asarray(f3.shields).min()) == float(
+        np.asarray(US.SHIP_CLASSES)[US.CLS_ABOMINATION, 3])  # no damage
+    # eye open -> fires
+    f4 = US.step_fleet(f2._replace(state_val=jnp.ones(2)),
+                       jax.random.PRNGKey(2))
+    assert float(jnp.asarray(f4.shields).min()) < float(
+        np.asarray(US.SHIP_CLASSES)[US.CLS_ABOMINATION, 3])
+
+
+def test_reaper_shield_blocks_frontal_damage():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from w3d.universe import ships as US
+
+    # attacker at +x fires at two reapers: one facing the attacker
+    # (shield aligned), one facing away
+    cls = jnp.asarray([US.CLS_DREADNOUGHT, US.CLS_REAPER, US.CLS_REAPER])
+    f = US.make_fleet(jax.random.PRNGKey(3), 3, classes=cls)
+    f = f._replace(px=jnp.asarray([0.0, 0.5, -0.5]), py=jnp.zeros(3),
+                   pz=jnp.zeros(3), align=jnp.asarray([0, 1, 1]),
+                   cooldown=jnp.zeros(3), state_val=jnp.ones(3))
+    # the step sets facing toward each ship's own target; the attacker
+    # targets the nearer reaper (index 1): reaper 1 faces the attacker
+    # (-x), reaper 2 also faces the attacker (+x)
+    f2 = US.step_fleet(f, jax.random.PRNGKey(4))
+    sh = np.asarray(f2.shields)
+    sh_max = float(np.asarray(US.SHIP_CLASSES)[US.CLS_REAPER, 3])
+    # only reaper 1 is attacked, and its facing shield blocks most damage
+    w_dam = float(np.asarray(US.SHIP_CLASSES)[US.CLS_DREADNOUGHT, 5])
+    sh_re = float(np.asarray(US.SHIP_CLASSES)[US.CLS_REAPER, 8])
+    taken = sh_max + sh_re - sh[1]
+    assert 0 < taken < 0.5 * w_dam, taken     # blocked to (1-REAPER_BLOCK)
+
+
+def test_colonization_claims_planets():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from w3d.universe import ships as US
+
+    cls = jnp.asarray([US.CLS_COLONY, US.CLS_COLONY, US.CLS_FIGHTER])
+    f = US.make_fleet(jax.random.PRNGKey(5), 3, classes=cls)
+    f = f._replace(px=jnp.asarray([-1.0, 1.0, 0.0]), py=jnp.zeros(3),
+                   pz=jnp.zeros(3), align=jnp.asarray([0, 1, 0]),
+                   vx=jnp.zeros(3), vy=jnp.zeros(3), vz=jnp.zeros(3))
+    planets = jnp.asarray([[-2.0, 0.0, 0.0], [2.0, 0.0, 0.0]])
+    claims = US.make_claims(2)
+    for _ in range(400):
+        f, claims = US.colonize_step(f, planets, claims)
+    owner = np.asarray(claims.owner)
+    assert owner[0] == 0 and owner[1] == 1, owner     # each team claimed one
+    home = np.asarray(claims.homeworld_of)
+    assert home[0] == 0 and home[1] == 1
+    # claims are permanent: more steps don't flip them
+    for _ in range(50):
+        f, claims = US.colonize_step(f, planets, claims)
+    assert list(np.asarray(claims.owner)) == [0, 1]
+
+
+def test_orbital_regen_heals_friendlies_near_dock():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from w3d.universe import ships as US
+
+    f = US.make_fleet(jax.random.PRNGKey(6), 3,
+                      classes=jnp.asarray([US.CLS_FIGHTER] * 3))
+    f = f._replace(px=jnp.asarray([0.0, 0.1, 5.0]), py=jnp.zeros(3),
+                   pz=jnp.zeros(3), align=jnp.asarray([0, 1, 0]),
+                   armor=jnp.asarray([10.0, 10.0, 10.0]))
+    dock = jnp.asarray([[0.0, 0.0, 0.0]])
+    f2 = US.orbital_regen(f, dock, jnp.asarray([0]))
+    a = np.asarray(f2.armor)
+    assert a[0] > 10.0          # friendly in range heals
+    assert a[1] == 10.0         # enemy in range doesn't
+    assert a[2] == 10.0         # friendly out of range doesn't

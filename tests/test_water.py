@@ -1,4 +1,5 @@
 """Water & weather tests: ripples, smoke diffusion, valley flooding."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -98,6 +99,7 @@ def test_rain_accumulation():
     assert abs(total - expect) < 1e-4
 
 
+@pytest.mark.slow
 def test_precipitation_accumulation():
     """precipitation.cpp + accumulation_matrix (mesh.h:113): spawned
     snow lands and piles up per cell, rain routes to water volume,
