@@ -23,38 +23,157 @@ import jax.numpy as jnp
 from ..physics import types as PT
 from ..physics.step import ObjectState
 
-# weapon table subset (Gameplay.cpp weapons -> spawned object type + params)
-# (name, obj_type, velocity, fire_delay, damage_mult)
+# full weapon table transcription (weapons[NUM_TOT_WEAPONS],
+# Gameplay.cpp:71-93): obj_type None = hitscan/melee (UNDEF obj_id).
+# (name, obj_type, v_mult, v_add, fire_delay, nshots, nfragments,
+#  blast_damage, blast_radius, firing_error, range, recoil,
+#  def_ammo, max_ammo, self_damage, use_underwater, need_ammo)
+CBFD = 60
+CBLADE_EXT = 0.5 * 0.04 * CBFD
 WEAPONS = (
-    ("rocket", "ROCKET", 2.0, 20, 1.0),
-    ("seek_d", "SEEK_D", 1.8, 40, 1.0),
-    ("ball", "BALL", 1.5, 10, 1.0),
-    ("grenade", "GRENADE", 1.2, 30, 1.0),
-    ("plasma", "PLASMA", 1.6, 15, 1.0),
-    ("star5", "STAR5", 2.5, 8, 1.0),
+    ("unarmed",        None,        0.0, 0.0, 0,    0,  0,   0.0,    0.0,  0.0,   0.0,  0.00, 0,   0,   0, 1, 0),
+    ("bbbat",          None,        0.0, 0.0, 23,   1,  1,   500.0,  0.25, 0.0,   0.25, 0.00, 0,   0,   0, 1, 0),
+    ("ball",           "BALL",      1.5, 3.0, 25,   1,  1,   0.0,    0.0,  0.0,   3.0,  0.08, 1,   3,   0, 0, 1),
+    ("sball",          "S_BALL",    1.3, 3.3, 18,   1,  1,   0.0,    0.0,  0.0,   1.5,  0.02, 30,  500, 0, 0, 1),
+    ("rocket",         "ROCKET",    0.7, 3.1, 32,   1,  1,   1000.0, 0.42, 0.003, 0.0,  0.05, 10,  100, 3, 0, 1),
+    ("landmine",       "LANDMINE",  0.0, 2.0, 30,   1,  1,   4000.0, 0.39, 0.0,   6.0,  0.00, 5,   50,  0, 0, 1),
+    ("seek_d",         "SEEK_D",    0.5, 2.5, 60,   1,  1,   2300.0, 0.50, 0.0,   0.0,  0.10, 5,   50,  3, 0, 1),
+    ("star5",          "STAR5",     1.1, 3.0, 10,   1,  1,   0.0,    0.0,  0.015, 2.0,  0.00, 25,  500, 0, 1, 1),
+    ("m16",            None,        0.0, 0.0, 2,    1,  1,   70.0,   0.0,  0.020, 2.8,  0.01, 100, 600, 0, 1, 1),
+    ("shotgun",        None,        0.0, 0.0, 27,   24, 1,   50.0,   0.0,  0.080, 2.5,  0.03, 12,  100, 0, 1, 1),
+    ("grenade",        "GRENADE",   1.0, 1.2, 22,   1,  140, 700.0,  0.44, 0.010, 1.6,  0.02, 12,  60,  3, 0, 1),
+    ("laser",          None,        0.0, 0.0, 1,    1,  1,   16.0,   0.0,  0.0,   0.0,  0.00, 200, 800, 0, 1, 1),
+    ("plasma",         "PLASMA",    1.4, 3.5, 13,   1,  1,   200.0,  0.43, 0.0,   4.5,  0.00, 20,  200, 3, 0, 1),
+    ("cblade",         None,        1.5, 4.0, CBFD, 1,  1,   40.0,   0.2,  0.0,   CBLADE_EXT, 0.00, 1, 10, 0, 1, 0),
+    ("gasser",         "GASSED",    1.2, 2.8, 4,    1,  1,   100.0,  0.07, 0.1,   2.8,  0.00, 60,  250, 0, 0, 1),
+    ("raptor",         "RAPT_PROJ", 1.2, 3.2, 14,   1,  1,   220.0,  0.35, 0.025, 6.0,  0.05, 25,  400, 1, 0, 1),
+    ("translocator",   "XLOCATOR",  2.0, 4.0, 20,   1,  1,   0.0,    0.0,  0.0,   0.0,  0.03, 1,   1,   0, 1, 1),
+    ("cgrenade",       "CGRENADE",  0.9, 1.1, 80,   1,  8,   800.0,  0.45, 0.02,  1.6,  0.04, 3,   20,  1, 0, 1),
+    ("sawblade",       "SAWBLADE",  2.0, 4.0, CBFD, 1,  1,   0.0,    0.0,  0.01,  0.0,  0.03, 1,   10,  0, 1, 1),
+    ("teleporter",     "TELEPORTER", 0.7, 1.5, 50,  1,  1,   0.0,    0.0,  0.0,   0.0,  0.00, 1,   10,  1, 0, 1),
 )
+WEAPON_INDEX = {w[0]: i for i, w in enumerate(WEAPONS)}
+
+
+class WeaponState(NamedTuple):
+    """Per-player weapon bookkeeping (player_state wweapon/ammo/cooldown,
+    gameplay.h): selection, per-weapon ammo, fire cooldown."""
+
+    sel: jax.Array        # [P] int32 selected weapon
+    ammo: jax.Array       # [P, W] int32
+    cooldown: jax.Array   # [P] int32 frames until can fire
+
+
+def make_weapon_states(num_players: int) -> WeaponState:
+    W = len(WEAPONS)
+    ammo = np.tile(np.asarray([w[12] for w in WEAPONS], np.int32),
+                   (num_players, 1))
+    return WeaponState(sel=jnp.full((num_players,), WEAPON_INDEX["ball"],
+                                    jnp.int32),
+                       ammo=jnp.asarray(ammo),
+                       cooldown=jnp.zeros((num_players,), jnp.int32))
+
+
+def can_fire(ws: WeaponState, player: int) -> bool:
+    w = WEAPONS[int(ws.sel[player])]
+    if int(ws.cooldown[player]) > 0:
+        return False
+    if w[16] and int(ws.ammo[player, int(ws.sel[player])]) <= 0:
+        return False
+    return True
 
 
 def fire_weapon(state: ObjectState, free_slots, weapon_idx: int,
-                origin, direction, table) -> ObjectState:
-    """Spawn a projectile into free object slots (object group spawn)."""
-    name, otype, vel, _, _ = WEAPONS[weapon_idx]
+                origin, direction, table, key=None,
+                shooter_vel=(0.0, 0.0, 0.0)) -> ObjectState:
+    """Spawn the weapon's projectile(s) into free object slots
+    (fire_projectile/create_shell_casing spawn path): nshots pellets with
+    firing_error direction jitter, launch speed v_add + v_mult * shooter
+    speed (weapon_t::get_fire_vel)."""
+    w = WEAPONS[weapon_idx]
+    (_name, otype, v_mult, v_add, _fd, nshots, _nf, _bd, _br, f_err,
+     *_rest) = w
+    if otype is None:
+        return state     # hitscan weapons use fire_hitscan
     tid = PT.type_id(otype)
-    slot = free_slots[0]
     d = np.asarray(direction, np.float32)
     d = d / max(np.linalg.norm(d), 1e-9)
-    return state._replace(
-        px=state.px.at[slot].set(origin[0]),
-        py=state.py.at[slot].set(origin[1]),
-        pz=state.pz.at[slot].set(origin[2]),
-        vx=state.vx.at[slot].set(vel * d[0]),
-        vy=state.vy.at[slot].set(vel * d[1]),
-        vz=state.vz.at[slot].set(vel * d[2]),
-        otype=state.otype.at[slot].set(tid),
-        status=state.status.at[slot].set(1),
-        time=state.time.at[slot].set(0),
-        health=state.health.at[slot].set(float(table.health[tid])),
-    )
+    sv = np.asarray(shooter_vel, np.float32)
+    vel = v_add + v_mult * float(np.linalg.norm(sv))
+    rng = np.random.default_rng(0 if key is None else int(key))
+    for k in range(min(nshots, len(free_slots))):
+        slot = free_slots[k]
+        dk = d + f_err * rng.standard_normal(3).astype(np.float32)
+        dk = dk / max(np.linalg.norm(dk), 1e-9)
+        state = state._replace(
+            px=state.px.at[slot].set(origin[0]),
+            py=state.py.at[slot].set(origin[1]),
+            pz=state.pz.at[slot].set(origin[2]),
+            vx=state.vx.at[slot].set(vel * dk[0]),
+            vy=state.vy.at[slot].set(vel * dk[1]),
+            vz=state.vz.at[slot].set(vel * dk[2]),
+            otype=state.otype.at[slot].set(tid),
+            status=state.status.at[slot].set(1),
+            time=state.time.at[slot].set(0),
+            health=state.health.at[slot].set(float(table.health[tid])),
+        )
+    return state
+
+
+def fire_hitscan(state: ObjectState, cobjs, origin, direction, weapon_idx: int,
+                 table, key=None):
+    """Instant-hit weapons (M16/shotgun/laser: obj_id UNDEF in the
+    table; fire_projectile's projectile_test ray path): per-pellet jittered
+    rays, nearest object sphere hit unless a cobj blocks first, damage
+    applied at the hit.  Returns (state', hit_mask [N], n_wall_hits)."""
+    from ..ops import ray as R
+    w = WEAPONS[weapon_idx]
+    nshots, dam, f_err, rng_lim = w[5], w[7], w[9], w[10]
+    rng = np.random.default_rng(1 if key is None else int(key))
+    d = np.asarray(direction, np.float32)
+    d = d / max(np.linalg.norm(d), 1e-9)
+    dirs = d[None, :] + f_err * rng.standard_normal((nshots, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    ox = jnp.full((nshots,), float(origin[0]))
+    oy = jnp.full((nshots,), float(origin[1]))
+    oz = jnp.full((nshots,), float(origin[2]))
+    reach = rng_lim if rng_lim > 0 else 100.0
+    tmax = jnp.full((nshots,), reach)
+    chit, ct, *_ = R.ray_cobjs_nearest(ox, oy, oz,
+                                       jnp.asarray(dirs[:, 0]),
+                                       jnp.asarray(dirs[:, 1]),
+                                       jnp.asarray(dirs[:, 2]), tmax, cobjs)
+    # ray-vs-object-sphere: nearest alive object per pellet
+    rad = table.radius[state.otype]
+    exo = state.px[None, :] - ox[:, None]
+    eyo = state.py[None, :] - oy[:, None]
+    ezo = state.pz[None, :] - oz[:, None]
+    tproj = (exo * dirs[:, 0:1] + eyo * dirs[:, 1:2] + ezo * dirs[:, 2:3])
+    perp2 = exo ** 2 + eyo ** 2 + ezo ** 2 - tproj ** 2
+    okhit = (state.status[None, :] > 0) & (tproj > 0.0) & \
+        (perp2 < (rad ** 2)[None, :]) & (tproj < tmax[:, None]) & \
+        (tproj < jnp.where(chit, ct, jnp.inf)[:, None])
+    t_obj = jnp.where(okhit, tproj, jnp.inf)
+    best = jnp.argmin(t_obj, axis=1)
+    has = jnp.isfinite(jnp.min(t_obj, axis=1))
+    hit_counts = jnp.zeros((state.px.shape[0],)).at[best].add(
+        has.astype(jnp.float32))
+    hp = state.health - dam * hit_counts
+    killed = (state.status > 0) & (hp <= 0) & (hit_counts > 0)
+    state = state._replace(
+        health=jnp.where(hit_counts > 0, hp, state.health),
+        status=jnp.where(killed, 0, state.status))
+    n_wall = jnp.sum(chit & ~has)
+    return state, hit_counts > 0, n_wall
+
+
+def blast_params(otype_name: str):
+    """Blast damage/radius for a projectile's detonation, from the weapon
+    that fires that object type (blast_radius/blast_damage columns)."""
+    for w in WEAPONS:
+        if w[1] == otype_name:
+            return w[7], w[8]
+    return 0.0, 0.0
 
 
 @jax.jit

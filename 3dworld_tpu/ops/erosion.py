@@ -74,13 +74,13 @@ class ErosionParams(NamedTuple):
     relh_adj_tex: float = 0.0
 
 
-def droplet_starts(num_iters: int, xsize: int, ysize: int):
+def droplet_starts(num_iters: int, xsize: int, ysize: int, pad: int = PAD):
     """Vectorized reference seeding (erosion.cpp:68-71) -> padded (xi, zi)."""
     it = jnp.arange(num_iters, dtype=jnp.int32)
     state = w3d_rng.lcg_init(it + 11, 79 * it + 121, xp=jnp)
     state, r1 = w3d_rng.lcg_next(state, xp=jnp)
     state, r2 = w3d_rng.lcg_next(state, xp=jnp)
-    return PAD + r1 % xsize, PAD + r2 % ysize
+    return pad + r1 % xsize, pad + r2 % ysize
 
 
 def _gather4(hm_flat: jax.Array, nx: int, ny: int, xi: jax.Array, zi: jax.Array):
@@ -299,7 +299,7 @@ def _walk_batch(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_iters", "batch_size", "max_steps", "seed"),
+    static_argnames=("num_iters", "batch_size", "max_steps", "seed", "pad"),
 )
 def erode(
     heightmap: jax.Array,
@@ -309,17 +309,22 @@ def erode(
     batch_size: int = 1024,
     max_steps: int = 256,
     seed: int = 0,
+    pad: int = PAD,
 ) -> jax.Array:
     """apply_erosion equivalent (erosion.cpp:14-165).
 
     heightmap: [ys, xs] float32.  Returns the eroded [ys, xs] map, clamped
-    below by `min_zval` (erosion.cpp:158-162).
+    below by `min_zval` (erosion.cpp:158-162).  `pad` is the roam ring
+    beyond the map border (the reference's mh_padded); pad=0 kills
+    droplets at the border instead — used by the MXU-aligned Pallas tile
+    path, where 128 + 2*PAD maps would pad to 256-wide matmuls.
     """
     ys, xs = heightmap.shape
-    nx, ny = xs + 2 * PAD, ys + 2 * PAD
-    hm = jnp.pad(heightmap.astype(jnp.float32), PAD, mode="edge")
+    nx, ny = xs + 2 * pad, ys + 2 * pad
+    hm = jnp.pad(heightmap.astype(jnp.float32), pad, mode="edge") \
+        if pad else heightmap.astype(jnp.float32)
 
-    xi_all, zi_all = droplet_starts(num_iters, xs, ys)
+    xi_all, zi_all = droplet_starts(num_iters, xs, ys, pad=pad)
     num_batches = -(-num_iters // batch_size)
     pad_n = num_batches * batch_size - num_iters
     if pad_n:  # dead padding droplets: start outside -> immediate die
@@ -350,7 +355,7 @@ def erode(
         return h + jnp.clip(d, -dmax, dmax), None
 
     hm, _ = jax.lax.scan(batch_step, hm, (xi_all, zi_all, keys))
-    out = hm[PAD:PAD + ys, PAD:PAD + xs]
+    out = hm[pad:pad + ys, pad:pad + xs]
     return jnp.maximum(out, min_zval)
 
 

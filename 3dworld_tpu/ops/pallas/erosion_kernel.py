@@ -138,7 +138,9 @@ def _erosion_kernel(par_ref, hm_ref, xi_ref, zi_ref, ang_ref, out_ref, *,
 
         # one-hot rows built ONCE per step and shared between the
         # deposit and the 4x4 stencil (was 24 builds/step, now 8 —
-        # the one-hot construction dominates the VPU cost)
+        # the one-hot construction dominates the VPU cost).  CLAMPED like
+        # the reference's HMAP_INDEX: border taps land on the edge cells
+        # (with pad=0 that edge is the real map border)
         ohx = [onehot_x(jnp.clip(xi + float(k), 0.0, nx - 1.0))
                for k in (-1, 0, 1, 2)]
         ohy = [onehot_y(jnp.clip(zi + float(k), 0.0, ny - 1.0))
@@ -249,16 +251,20 @@ def erode_tiles_pallas(heightmaps, num_iters: int, params,
     measured divergence at production shapes is ~100 cells of 4.7M
     (droplets whose branch flips on ~1e-7 rounding).
     """
-    from ..erosion import PAD, droplet_starts
+    from ..erosion import droplet_starts
     from ...utils import rng as w3d_rng
 
     if batch_size % 128:
         raise ValueError("batch_size must be a multiple of 128")
     T, ys, xs = heightmaps.shape
-    hm = jnp.pad(heightmaps.astype(jnp.float32),
-                 ((0, 0), (PAD, PAD), (PAD, PAD)), mode="edge")
+    # NO pad ring: 128-tile maps stay exactly MXU-aligned (a 136-wide
+    # map pads every gather/scatter matmul contraction to 256 lanes —
+    # measured ~1.9x the MACs).  Border droplets die at the map edge
+    # instead of roaming a cropped ring; in tiled mode tiles already
+    # erode independently, so the ring never carried cross-tile truth.
+    hm = heightmaps.astype(jnp.float32)
 
-    xi_all, zi_all = droplet_starts(num_iters, xs, ys)
+    xi_all, zi_all = droplet_starts(num_iters, xs, ys, pad=0)
     num_batches = -(-num_iters // batch_size)
     pad_n = num_batches * batch_size - num_iters
     if pad_n:  # dead droplets: start outside -> die step 1, deposit 0
@@ -296,5 +302,4 @@ def erode_tiles_pallas(heightmaps, num_iters: int, params,
         return h + jnp.clip(d, -dmax, dmax), None
 
     hm, _ = jax.lax.scan(batch_step, hm, (xi_all, zi_all, keys))
-    out = hm[:, PAD:PAD + ys, PAD:PAD + xs]
-    return jnp.maximum(out, min_zval)
+    return jnp.maximum(hm, min_zval)

@@ -214,3 +214,136 @@ def gen_small_trees(key, x, y, z, kind=None) -> SmallTreeSet:
     if kind is None:
         kind = (jax.random.uniform(k3, (n,)) < 0.8).astype(jnp.int32)  # mostly pine
     return SmallTreeSet(x=x, y=y, z=z, height=height, width=width, kind=kind)
+
+
+# ---------------------------------------------------------------------------
+# leaf dynamics (Tree.cpp:588-830): per-leaf color/health, temperature
+# leaf fall, burning, blast damage, spraypaint
+# ---------------------------------------------------------------------------
+
+LEAF_GEN_RAND1 = 16      # every Nth leaf considered (Tree.cpp:21)
+LEAF_GEN_RAND2 = 200000  # larger is fewer leaves falling (Tree.cpp:22)
+LEAF_DAM_SCALE = 0.0001  # blast -> leaf damage (Gameplay LEAF_DAM_SCALE)
+
+# per-type base leaf colors (tree_type color entries; birch lighter)
+LEAF_BASE_COLORS = np.array([
+    (0.20, 0.55, 0.15), (0.16, 0.50, 0.13), (0.22, 0.60, 0.20),
+    (0.35, 0.60, 0.22), (0.25, 0.58, 0.18)], np.float32)
+
+
+class LeafState(NamedTuple):
+    """Batched per-leaf dynamics ([T, MAX_LEAVES]): lcolor is the
+    reference's 0..1000 health/greenness (<= 0 black, -1000 destroyed);
+    damage [T] is the tree's accumulated damage fraction."""
+
+    lcolor: jax.Array    # [T, L]
+    r: jax.Array         # [T, L] display colors (lcolor-blended)
+    g: jax.Array
+    b: jax.Array
+    damage: jax.Array    # [T]
+
+
+def init_leaves(key, type_id, deadness: float = 0.0,
+                coherence: float = 0.5) -> LeafState:
+    """gen_leaf_color / create_init_color (Tree.cpp:87-150): per-leaf
+    color jitter around the type base, reduced by `coherence`; global
+    `deadness` browns and lowers initial lcolor."""
+    T = type_id.shape[0]
+    oh = jax.nn.one_hot(type_id, NUM_TREE_TYPES, dtype=jnp.float32)
+    base = oh @ jnp.asarray(LEAF_BASE_COLORS)          # [T, 3]
+    k1, k2 = jax.random.split(key)
+    jit_amt = 0.12 * (1.0 - coherence)
+    jr = jit_amt * jax.random.normal(k1, (T, MAX_LEAVES, 3))
+    lcolor = jnp.full((T, MAX_LEAVES), 1000.0 * (1.0 - 0.7 * deadness))
+    col = jnp.clip(base[:, None, :] + jr, 0.0, 1.0)
+    dead_mix = deadness * 0.6
+    brown = jnp.asarray([0.35, 0.22, 0.08])
+    col = (1 - dead_mix) * col + dead_mix * brown
+    return LeafState(lcolor=lcolor, r=col[..., 0], g=col[..., 1],
+                     b=col[..., 2], damage=jnp.zeros((T,)))
+
+
+@jax.jit
+def drop_leaves(ls: LeafState, key, temperature=20.0, fticks=1.0):
+    """tree::drop_leaves (Tree.cpp:807-829): every LEAF_GEN_RAND1-th
+    leaf falls with probability 1/rmod.  Quirk preserved: the reference's
+    temp0 = max(1.0, min(0.3, (20-T)/30)) collapses to 1.0 for every
+    temperature (swapped max/min), so temperature does not actually
+    modulate leaf fall.  Returns (ls, fell [T, L]) — the caller spawns
+    LEAF physics objects at the fallen leaves' positions."""
+    T, L = ls.lcolor.shape
+    temp0 = 1.0    # reference quirk (see docstring)
+    rmod = jnp.clip(temp0 * LEAF_GEN_RAND2 / jnp.maximum(fticks, 1e-3),
+                    1.0, LEAF_GEN_RAND2 / 10.0)
+    k1, k2 = jax.random.split(key)
+    stride_ok = (jnp.arange(L)[None, :]
+                 + jax.random.randint(k1, (T, 1), 0, LEAF_GEN_RAND1)) \
+        % LEAF_GEN_RAND1 == 0
+    u = jax.random.uniform(k2, (T, L))
+    fell = stride_ok & (u < 1.0 / rmod) & (ls.lcolor > 0) \
+        & (ls.damage[:, None] < 1.0)
+    return ls, fell
+
+
+@jax.jit
+def burn_leaves(ls: LeafState, key, temperature, max_t: float = 60.0):
+    """tree::burn_leaves (Tree.cpp:666-685): above the leaf max
+    temperature, up to 5 random leaves per tree char per frame (lcolor
+    drops; destroyed at 0), accumulating tree damage."""
+    T, L = ls.lcolor.shape
+    over = jnp.maximum(temperature - max_t, 0.0)
+    num_burn = jnp.clip(5.0 * over / max_t, 0.0, 5.0)
+    p_burn = num_burn / L
+    u = jax.random.uniform(key, (T, L))
+    burn = (u < p_burn) & (ls.lcolor > -1000)
+    lcolor = jnp.where(burn, jnp.maximum(ls.lcolor - 250.0, 0.0), ls.lcolor)
+    charred = burn & (lcolor <= 0.0)
+    dmg = ls.damage + (1.0 - ls.damage) * jnp.sum(burn, 1) / L
+    fade = jnp.clip(lcolor / 1000.0, 0.0, 1.0)
+    return ls._replace(
+        lcolor=jnp.where(charred, -1000.0, lcolor),
+        r=jnp.where(burn, ls.r * fade, ls.r),
+        g=jnp.where(burn, ls.g * fade, ls.g),
+        b=jnp.where(burn, ls.b * fade, ls.b),
+        damage=jnp.clip(dmg, 0.0, 1.0)), charred
+
+
+@jax.jit
+def blast_damage_leaves(ls: LeafState, trees: TreeSet, key,
+                        bx, by, bz, bradius, bdamage):
+    """tree::blast_damage + damage_leaf (Tree.cpp:707-760): leaves
+    within the blast radius take distance-scaled damage; heavy damage
+    destroys the leaf outright, and destroyed leaves have a 25% chance
+    of falling as physics objects.  Returns (ls, fell)."""
+    d2 = ((trees.leaf_x - bx) ** 2 + (trees.leaf_y - by) ** 2
+          + (trees.leaf_z - bz) ** 2)
+    in_r = d2 < bradius * bradius
+    dist_scale = 1.0 - jnp.sqrt(d2) / jnp.maximum(bradius, 1e-6)
+    done = jnp.where(in_r, LEAF_DAM_SCALE * bdamage * dist_scale * 1e4, 0.0)
+    heavy = done > 4.0
+    lcolor = jnp.where(in_r, jnp.maximum(ls.lcolor - 300.0 * done, 0.0),
+                       ls.lcolor)
+    destroyed = (heavy | (in_r & (lcolor <= 0.0))) & (ls.lcolor > -1000)
+    u = jax.random.uniform(key, ls.lcolor.shape)
+    fell = destroyed & (u < 0.25)
+    dmg = ls.damage + jnp.sum(destroyed, 1) / ls.lcolor.shape[1]
+    fade = jnp.clip(lcolor / 1000.0, 0.2, 1.0)
+    return ls._replace(
+        lcolor=jnp.where(destroyed, -1000.0, lcolor),
+        r=jnp.where(in_r, ls.r * fade, ls.r),
+        g=jnp.where(in_r, ls.g * fade, ls.g),
+        b=jnp.where(in_r, ls.b * fade, ls.b),
+        damage=jnp.clip(dmg, 0.0, 1.0)), fell
+
+
+@jax.jit
+def spraypaint_leaves(ls: LeafState, trees: TreeSet, px, py, pz, radius,
+                      color):
+    """tree::spraypaint_leaves (Tree.cpp:631-663): recolor live leaves
+    within the spray radius."""
+    d2 = ((trees.leaf_x - px) ** 2 + (trees.leaf_y - py) ** 2
+          + (trees.leaf_z - pz) ** 2)
+    hit = (d2 < radius * radius) & (ls.lcolor > -1000)
+    return ls._replace(r=jnp.where(hit, color[0], ls.r),
+                       g=jnp.where(hit, color[1], ls.g),
+                       b=jnp.where(hit, color[2], ls.b))

@@ -670,3 +670,60 @@ def test_spray_paint():
                                   (0.0, 0.0, 1.0), (0.0, 0.0, 1.0),
                                   world=world)
     assert not hit3                                # sky: no paint
+
+
+def test_full_weapon_table_and_hitscan():
+    """The 20-weapon table transcription (Gameplay.cpp:71-93): ammo /
+    cooldown bookkeeping, shotgun multi-pellet spawn with firing error,
+    hitscan rays that respect cobj occlusion, blast params per
+    projectile type."""
+    import numpy as np
+    import jax.numpy as jnp
+    from w3d.gameplay import game as GG
+    from w3d.physics import types as PT, step as PS
+    from w3d.scene import cobj as SC
+    from w3d.physics.cobjs import COLL_CUBE
+
+    assert len(GG.WEAPONS) == 20
+    assert GG.WEAPONS[GG.WEAPON_INDEX["shotgun"]][5] == 24   # pellets
+    bd, br = GG.blast_params("ROCKET")
+    assert bd == 1000.0 and abs(br - 0.42) < 1e-6
+
+    ws = GG.make_weapon_states(2)
+    assert int(ws.ammo[0, GG.WEAPON_INDEX["m16"]]) == 100
+    assert GG.can_fire(ws, 0)
+
+    table = PT.make_type_table()
+    n = 64
+    st = PS.make_state(np.zeros((n, 3), np.float32),
+                       np.zeros((n, 3), np.float32),
+                       np.full(n, PT.type_id("BALL")), table)
+    st = st._replace(status=st.status.at[:].set(0))
+    # grenade burst: nshots=1; shotgun hitscan instead
+    free = list(range(8))
+    st2 = GG.fire_weapon(st, free, GG.WEAPON_INDEX["grenade"],
+                         (0, 0, 1.0), (1, 0, 0), table)
+    assert int(np.asarray(st2.status)[free[0]]) == 1
+
+    # hitscan: a target sphere at +x; an occluding wall blocks when added
+    tgt = PS.make_state(np.array([[1.0, 0.0, 1.0]], np.float32),
+                        np.zeros((1, 3), np.float32),
+                        np.array([PT.type_id("SMILEY")]), table)
+    no_wall = SC.pack_cobjs(SC.SceneParse())
+    st3, hits, nw = GG.fire_hitscan(tgt, no_wall, (0, 0, 1.0), (1, 0, 0),
+                                    GG.WEAPON_INDEX["m16"], table)
+    assert bool(np.asarray(hits)[0])
+    assert float(np.asarray(st3.health)[0]) < float(np.asarray(tgt.health)[0])
+
+    spw = SC.SceneParse()
+    spw.cobjs.append(SC.RawCobj(COLL_CUBE, (0.4, -1, 0), (0.5, 1, 2)))
+    wall = SC.pack_cobjs(spw)
+    st4, hits4, nw4 = GG.fire_hitscan(tgt, wall, (0, 0, 1.0), (1, 0, 0),
+                                      GG.WEAPON_INDEX["m16"], table)
+    assert not bool(np.asarray(hits4)[0])       # wall blocks
+    assert int(nw4) == 1
+
+    # shotgun spread: 24 pellets at a big close target -> several hit
+    st5, hits5, _ = GG.fire_hitscan(tgt, no_wall, (0, 0, 1.0), (1, 0, 0),
+                                    GG.WEAPON_INDEX["shotgun"], table)
+    assert float(np.asarray(st5.health)[0]) < float(np.asarray(st3.health)[0])

@@ -169,3 +169,89 @@ def test_flies_and_tank_fish():
     for arr, lo, hi in ((fish.px, 0, 1), (fish.py, 0, 1), (fish.pz, 0, 0.5)):
         a = np.asarray(arr)
         assert (a >= lo - 1e-6).all() and (a <= hi + 1e-6).all()
+
+
+# ---------------------------------------------------------------------------
+# leaf dynamics (Tree.cpp:588-830)
+# ---------------------------------------------------------------------------
+
+def _tree_fixture():
+    import jax
+    import jax.numpy as jnp
+    from w3d.veg import trees as VT
+    T = 4
+    key = jax.random.PRNGKey(0)
+    ts = VT.gen_trees(key, jnp.zeros(T), jnp.zeros(T), jnp.full(T, -1.0),
+                      jnp.zeros(T, jnp.int32))
+    ls = VT.init_leaves(jax.random.PRNGKey(1), jnp.zeros(T, jnp.int32))
+    return VT, ts, ls
+
+
+def test_leaves_fall_over_time():
+    """drop_leaves sheds an occasional leaf (reference temp0 quirk
+    preserved: temperature does not modulate the rate); fully damaged
+    trees stop dropping."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    VT, ts, ls = _tree_fixture()
+    k = jax.random.PRNGKey(2)
+    fell = 0
+    for i in range(40):
+        _, f = VT.drop_leaves(ls, jax.random.fold_in(k, i), fticks=2000.0)
+        fell += int(np.asarray(f).sum())
+    assert fell > 0
+    dead = ls._replace(damage=jnp.ones_like(ls.damage))
+    _, f = VT.drop_leaves(dead, k, fticks=2000.0)
+    assert int(np.asarray(f).sum()) == 0
+
+
+def test_burning_chars_and_damages():
+    import numpy as np
+    import jax
+    VT, ts, ls = _tree_fixture()
+    k = jax.random.PRNGKey(3)
+    for i in range(200):
+        ls, charred = VT.burn_leaves(ls, jax.random.fold_in(k, i),
+                                     temperature=150.0)
+    assert float(np.asarray(ls.damage).max()) > 0.05
+    assert int((np.asarray(ls.lcolor) <= 0).sum()) > 0
+    # cool temperature: nothing burns
+    ls2 = _tree_fixture()[2]
+    ls3, ch = VT.burn_leaves(ls2, k, temperature=20.0)
+    assert int(np.asarray(ch).sum()) == 0
+    np.testing.assert_array_equal(np.asarray(ls3.lcolor),
+                                  np.asarray(ls2.lcolor))
+
+
+def test_blast_destroys_nearby_leaves_some_fall():
+    import numpy as np
+    import jax
+    VT, ts, ls = _tree_fixture()
+    # blast at the first tree's canopy center
+    bx = float(np.asarray(ts.leaf_x)[0].mean())
+    by = float(np.asarray(ts.leaf_y)[0].mean())
+    bz = float(np.asarray(ts.leaf_z)[0].mean())
+    ls2, fell = VT.blast_damage_leaves(ls, ts, jax.random.PRNGKey(4),
+                                       bx, by, bz, 0.3, 500.0)
+    destroyed = (np.asarray(ls2.lcolor)[0] == -1000.0).sum()
+    assert destroyed > 0
+    assert float(np.asarray(ls2.damage)[0]) > 0
+    # fallen leaves are a subset of destroyed ones (~25%)
+    f = np.asarray(fell)[0]
+    assert 0 <= f.sum() <= destroyed
+
+
+def test_spraypaint_recolors_in_radius():
+    import numpy as np
+    import jax.numpy as jnp
+    VT, ts, ls = _tree_fixture()
+    px = float(np.asarray(ts.leaf_x)[0, 0])
+    py = float(np.asarray(ts.leaf_y)[0, 0])
+    pz = float(np.asarray(ts.leaf_z)[0, 0])
+    ls2 = VT.spraypaint_leaves(ls, ts, px, py, pz, 0.05,
+                               jnp.asarray([1.0, 0.1, 0.8]))
+    r = np.asarray(ls2.r)
+    assert abs(r[0, 0] - 1.0) < 1e-6
+    # far leaves untouched
+    assert abs(r[3].mean() - np.asarray(ls.r)[3].mean()) < 1e-6
