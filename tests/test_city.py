@@ -671,3 +671,27 @@ def test_peds_cross_only_at_crosswalks_on_walk_signal():
             outside = ~inside
             assert np.all(st[outside] <= 1), (i, st[outside])
     assert crossings > 5, crossings
+
+
+def test_city_object_catalog_breadth_and_blockers():
+    """~32-kind object catalog with blocker-rejected placement
+    (city_obj_placer.cpp:525-537; city_objects.h kinds)."""
+    import numpy as np
+    from w3d.city import objects as CO, plots as CP, roads as CR
+
+    assert CO.NUM_KINDS >= 30
+    plots = [CP.CityPlot(0, 0, 24, 24, 0.0)]
+    net = CR.gen_city_roads(plots, block_size=8)
+    objs = CO.place_city_objects(net, [], seed=3)
+    assert len(objs.x) > 40
+    kinds_used = set(int(k) for k in objs.kind)
+    assert len(kinds_used) >= 10          # broad catalog actually used
+    # blocker rejection: no two objects overlap their footprints
+    r = objs.radius
+    for i in range(len(objs.x)):
+        d2 = (objs.x - objs.x[i]) ** 2 + (objs.y - objs.y[i]) ** 2
+        d2[i] = np.inf
+        assert np.all(d2 >= (r + r[i]) ** 2 - 1e-4), i
+    # collision export
+    co = CO.objects_to_cobjs(objs)
+    assert int(np.asarray((co.shape >= 0).sum())) >= len(objs.x)
