@@ -31,6 +31,13 @@ from ..utils.rng import RandGen
  F_WHITEBOARD, F_CONF_TABLE, F_VENDING, F_JAIL_BARS, F_HOSPITAL_BED,
  F_MACHINE, F_SERVER_RACK_ROW, F_BOOTH, F_PARK_SPACE) = range(36)
 
+# secondary / surface / wall kinds (building_room_obj_expand.cpp: items
+# placed ON parent surfaces; building_room_geom wall decorations)
+(F_PILLOW, F_MONITOR, F_KEYBOARD, F_COMPUTER, F_BOOK, F_BOTTLE, F_PLATE,
+ F_PICTURE, F_MIRROR, F_TOWEL_RACK, F_CUBICLE, F_RAILING, F_CABINET,
+ F_PAPER, F_PAN) = range(36, 51)
+NUM_FURNITURE_KINDS = 51
+
 # per-room-type furniture recipes: (kind, count, against_wall, w, d, h)
 _RECIPES = {
     R_BEDROOM: [(F_BED, 1, True, 0.45, 0.3, 0.12), (F_DESK, 1, True, 0.25, 0.15, 0.15),
@@ -92,6 +99,18 @@ class RoomObjects:
     kinds: list = field(default_factory=list)
     rooms: list = field(default_factory=list)   # room index per object
     room_types: list = field(default_factory=list)
+    parent: list = field(default_factory=list)  # -1, or index of the
+    # surface object this one sits on (books on shelves, monitors on
+    # desks — building_room_obj_expand semantics)
+    rot: list = field(default_factory=list)     # facing dir 0..3 (+x,+y,-x,-y)
+
+    def add(self, ri, kind, x1, y1, z1, x2, y2, z2, parent=-1, rot=0):
+        self.cubes.append((x1, y1, z1, x2, y2, z2))
+        self.kinds.append(kind)
+        self.rooms.append(ri)
+        self.parent.append(parent)
+        self.rot.append(rot)
+        return len(self.cubes) - 1
 
 
 def assign_room_types(interior, rg: RandGen, is_office_bldg: bool = False):
@@ -126,59 +145,380 @@ def assign_room_types(interior, rg: RandGen, is_office_bldg: bool = False):
     return types
 
 
+class _Placer:
+    """Shared placement engine: wall alignment, overlap rejection, and
+    DOOR CLEARANCE — nothing may block a doorway (the reference's
+    is_valid_placement_for_room + door blocking checks,
+    building_room_obj_place.cpp)."""
+
+    def __init__(self, rg, room, doors, door_clear):
+        self.rg = rg
+        self.room = room
+        self.placed = []
+        self.doors = doors          # [(x, y)] on this room's floor
+        self.clear = door_clear
+
+    def blocks_door(self, x1, y1, x2, y2):
+        c = self.clear
+        return any(x1 - c < dx < x2 + c and y1 - c < dy < y2 + c
+                   for (dx, dy) in self.doors)
+
+    def overlaps(self, x1, y1, x2, y2):
+        return any(x1 < px2 and x2 > px1 and y1 < py2 and y2 > py1
+                   for (px1, py1, px2, py2) in self.placed)
+
+    def commit(self, x1, y1, x2, y2):
+        self.placed.append((x1, y1, x2, y2))
+
+    def try_place(self, w, d, against_wall, tries=8, commit=True):
+        """Returns (x, y, rot) or None.  rot faces INTO the room
+        (0 +x, 1 +y, 2 -x, 3 -y)."""
+        r = self.room
+        if w > (r.x2 - r.x1) - 0.02 or d > (r.y2 - r.y1) - 0.02:
+            return None
+        for _ in range(tries):
+            rot = 0
+            if against_wall:
+                wall = self.rg.rand() % 4
+                if wall == 0:
+                    x = r.x1 + 0.01
+                    y = r.y1 + self.rg.randd() * max(r.y2 - r.y1 - d, 0.01)
+                    rot = 0
+                elif wall == 1:
+                    x = r.x2 - w - 0.01
+                    y = r.y1 + self.rg.randd() * max(r.y2 - r.y1 - d, 0.01)
+                    rot = 2
+                elif wall == 2:
+                    x = r.x1 + self.rg.randd() * max(r.x2 - r.x1 - w, 0.01)
+                    y = r.y1 + 0.01
+                    rot = 1
+                else:
+                    x = r.x1 + self.rg.randd() * max(r.x2 - r.x1 - w, 0.01)
+                    y = r.y2 - d - 0.01
+                    rot = 3
+            else:
+                x = r.x1 + self.rg.randd() * max(r.x2 - r.x1 - w, 0.01)
+                y = r.y1 + self.rg.randd() * max(r.y2 - r.y1 - d, 0.01)
+                rot = self.rg.rand() % 4
+            if x < r.x1 or y < r.y1 or x + w > r.x2 or y + d > r.y2:
+                continue
+            if self.overlaps(x, y, x + w, y + d):
+                continue
+            if self.blocks_door(x, y, x + w, y + d):
+                continue
+            if commit:
+                self.commit(x, y, x + w, y + d)
+            return (x, y, rot)
+        return None
+
+
+def _surface_items(out, pl, rg, ri, kind, idx, x, y, z_top, w, d, scale):
+    """Small objects ON a surface (building_room_obj_expand.cpp): books
+    on shelves/bookcases, monitor+keyboard on desks, bottles/plates on
+    tables and counters, pans on stoves."""
+    def on_top(k, fw, fd, fh, fx, fy):
+        out.add(ri, k, fx, fy, z_top, fx + fw * scale, fy + fd * scale,
+                z_top + fh * scale, parent=idx)
+
+    if kind in (F_BOOKCASE, F_SHELF):
+        n = 2 + rg.rand() % 4
+        for i in range(n):
+            bx = x + (0.05 + 0.8 * i / n) * w
+            on_top(F_BOOK, 0.02, 0.04, 0.05, bx, y + 0.2 * d)
+    elif kind == F_DESK:
+        on_top(F_MONITOR, 0.08, 0.02, 0.08, x + 0.3 * w, y + 0.2 * d)
+        on_top(F_KEYBOARD, 0.08, 0.03, 0.01, x + 0.3 * w, y + 0.6 * d)
+        if rg.rand_bool():
+            on_top(F_PAPER, 0.04, 0.05, 0.002, x + 0.7 * w, y + 0.3 * d)
+    elif kind in (F_TABLE, F_CONF_TABLE, F_COUNTER):
+        n = 1 + rg.rand() % 3
+        for i in range(n):
+            k = (F_BOTTLE, F_PLATE, F_BOOK)[rg.rand() % 3]
+            on_top(k, 0.03, 0.03, 0.04 if k == F_BOTTLE else 0.01,
+                   x + (0.1 + 0.7 * rg.randd()) * w,
+                   y + (0.1 + 0.7 * rg.randd()) * d)
+    elif kind == F_STOVE:
+        on_top(F_PAN, 0.05, 0.05, 0.02, x + 0.25 * w, y + 0.25 * d)
+    elif kind == F_NIGHTSTAND:
+        on_top(F_LAMP, 0.04, 0.04, 0.08, x + 0.2 * w, y + 0.2 * d)
+
+
+def _gen_bedroom(out, pl, rg, ri, room, z0, fh, scale):
+    """Bedroom generator (add_bedroom_objs): bed against a wall with
+    pillow, nightstands FLANKING the bed with lamps, dresser/wardrobe on
+    other walls, rug under the middle."""
+    bw, bd = 0.45 * scale, 0.3 * scale
+    p = pl.try_place(bw, bd, True)
+    if p:
+        x, y, rot = p
+        bi = out.add(ri, F_BED, x, y, z0, x + bw, y + bd, z0 + 0.12 * scale,
+                     rot=rot)
+        out.add(ri, F_PILLOW, x + 0.05 * scale, y + 0.02 * scale,
+                z0 + 0.12 * scale, x + 0.2 * scale, y + 0.1 * scale,
+                z0 + 0.15 * scale, parent=bi)
+        nw = 0.08 * scale
+        for side in (-1, 1):
+            nx_ = x + (bw if side > 0 else -nw)
+            if room.x1 <= nx_ and nx_ + nw <= room.x2 \
+                    and not pl.overlaps(nx_, y, nx_ + nw, y + nw) \
+                    and not pl.blocks_door(nx_, y, nx_ + nw, y + nw):
+                pl.commit(nx_, y, nx_ + nw, y + nw)
+                ni = out.add(ri, F_NIGHTSTAND, nx_, y, z0, nx_ + nw,
+                             y + nw, z0 + 0.1 * scale)
+                _surface_items(out, pl, rg, ri, F_NIGHTSTAND, ni, nx_, y,
+                               z0 + 0.1 * scale, nw, nw, scale)
+    for kind, w, d, h in ((F_DRESSER, 0.18, 0.1, 0.14),
+                          (F_WARDROBE, 0.2, 0.1, 0.3),
+                          (F_DESK, 0.25, 0.15, 0.15)):
+        p = pl.try_place(w * scale, d * scale, True)
+        if p:
+            x, y, rot = p
+            i = out.add(ri, kind, x, y, z0, x + w * scale, y + d * scale,
+                        z0 + h * scale, rot=rot)
+            _surface_items(out, pl, rg, ri, kind, i, x, y, z0 + h * scale,
+                           w * scale, d * scale, scale)
+    # rug under the room center (doesn't block anything)
+    cx, cy = 0.5 * (room.x1 + room.x2), 0.5 * (room.y1 + room.y2)
+    rw, rd = 0.2 * scale, 0.15 * scale
+    out.add(ri, F_RUG, cx - rw, cy - rd, z0, cx + rw, cy + rd, z0 + 0.004)
+    _wall_picture(out, rg, ri, room, z0, fh)
+
+
+def _gen_bathroom(out, pl, rg, ri, room, z0, fh, scale):
+    """add_bathroom_objs: toilet/sink/tub on walls, MIRROR above the
+    sink, towel rack near the tub."""
+    for kind, w, d, h in ((F_TOILET, 0.12, 0.16, 0.12),
+                          (F_TUB, 0.35, 0.16, 0.1)):
+        p = pl.try_place(w * scale, d * scale, True)
+        if p:
+            x, y, rot = p
+            out.add(ri, kind, x, y, z0, x + w * scale, y + d * scale,
+                    z0 + h * scale, rot=rot)
+            if kind == F_TUB:
+                out.add(ri, F_TOWEL_RACK, x, y - 0.01, z0 + 0.5 * fh,
+                        x + 0.15 * scale, y, z0 + 0.55 * fh)
+    p = pl.try_place(0.14 * scale, 0.1 * scale, True)
+    if p:
+        x, y, rot = p
+        si = out.add(ri, F_SINK, x, y, z0, x + 0.14 * scale,
+                     y + 0.1 * scale, z0 + 0.18 * scale, rot=rot)
+        out.add(ri, F_MIRROR, x, y, z0 + 0.5 * fh, x + 0.14 * scale,
+                y + 0.01, z0 + 0.8 * fh, parent=si)
+
+
+def _gen_kitchen(out, pl, rg, ri, room, z0, fh, scale):
+    """add_kitchen_objs: an L-run of counters along two adjacent walls
+    with embedded sink + stove and upper cabinets, fridge at the run's
+    end, table with chairs AROUND it."""
+    ch = 0.18 * scale
+    cd = 0.12 * scale
+    # counter run along the -y wall
+    run_w = min(0.8 * (room.x2 - room.x1), 1.0 * scale)
+    x0 = room.x1 + 0.01
+    y0 = room.y1 + 0.01
+    segs = max(int(run_w / (0.3 * scale)), 1)
+    for i in range(segs):
+        sx = x0 + i * run_w / segs
+        ex = x0 + (i + 1) * run_w / segs
+        if pl.overlaps(sx, y0, ex, y0 + cd) or pl.blocks_door(sx, y0, ex, y0 + cd):
+            continue
+        pl.commit(sx, y0, ex, y0 + cd)
+        kind = F_COUNTER if i not in (0, segs - 1) else (F_SINK if i == 0 else F_STOVE)
+        ci = out.add(ri, kind, sx, y0, z0, ex, y0 + cd, z0 + ch, rot=1)
+        out.add(ri, F_CABINET, sx, y0, z0 + 0.6 * fh, ex, y0 + 0.7 * cd,
+                z0 + 0.95 * fh, parent=ci)
+        _surface_items(out, pl, rg, ri,
+                       F_STOVE if kind == F_STOVE else F_COUNTER,
+                       ci, sx, y0, z0 + ch, ex - sx, cd, scale)
+    p = pl.try_place(0.14 * scale, 0.14 * scale, True)
+    if p:
+        x, y, rot = p
+        out.add(ri, F_FRIDGE, x, y, z0, x + 0.14 * scale, y + 0.14 * scale,
+                z0 + 0.35 * scale, rot=rot)
+    _gen_table_and_chairs(out, pl, rg, ri, room, z0, scale, 0.2, 2)
+
+
+def _gen_table_and_chairs(out, pl, rg, ri, room, z0, scale, tsize, nchairs):
+    """Dining set: chairs placed AROUND the table, facing it
+    (add_table_and_chairs, building_room_obj_place.cpp)."""
+    tw = tsize * scale
+    p = pl.try_place(tw, tw, False)
+    if p is None:
+        return
+    x, y, _ = p
+    ti = out.add(ri, F_TABLE, x, y, z0, x + tw, y + tw, z0 + 0.14 * scale)
+    _surface_items(out, pl, rg, ri, F_TABLE, ti, x, y, z0 + 0.14 * scale,
+                   tw, tw, scale)
+    cw = 0.08 * scale
+    spots = [(x + 0.5 * tw - 0.5 * cw, y - cw, 1),
+             (x + 0.5 * tw - 0.5 * cw, y + tw, 3),
+             (x - cw, y + 0.5 * tw - 0.5 * cw, 0),
+             (x + tw, y + 0.5 * tw - 0.5 * cw, 2)]
+    for k in range(min(nchairs, 4)):
+        cx, cy, rot = spots[k]
+        if cx < room.x1 or cy < room.y1 or cx + cw > room.x2 \
+                or cy + cw > room.y2:
+            continue
+        if pl.overlaps(cx, cy, cx + cw, cy + cw) \
+                or pl.blocks_door(cx, cy, cx + cw, cy + cw):
+            continue
+        pl.commit(cx, cy, cx + cw, cy + cw)
+        out.add(ri, F_CHAIR, cx, cy, z0, cx + cw, cy + cw,
+                z0 + 0.15 * scale, rot=rot)
+
+
+def _gen_office(out, pl, rg, ri, room, z0, fh, scale):
+    """add_office_objs: desks with chair FACING the desk and
+    monitor/keyboard on top; large offices get cubicle partitions."""
+    n_desks = 2 if room.area < 0.08 else 4
+    for _ in range(n_desks):
+        p = pl.try_place(0.25 * scale, 0.15 * scale, True)
+        if p is None:
+            continue
+        x, y, rot = p
+        di = out.add(ri, F_DESK, x, y, z0, x + 0.25 * scale,
+                     y + 0.15 * scale, z0 + 0.15 * scale, rot=rot)
+        _surface_items(out, pl, rg, ri, F_DESK, di, x, y, z0 + 0.15 * scale,
+                       0.25 * scale, 0.15 * scale, scale)
+        # chair in front of the desk, facing it
+        cw = 0.1 * scale
+        off = {0: (0.25 * scale, 0.02), 2: (-cw, 0.02),
+               1: (0.02, 0.15 * scale), 3: (0.02, -cw)}[rot]
+        cx, cy = x + off[0], y + off[1]
+        if room.x1 <= cx and cx + cw <= room.x2 and room.y1 <= cy \
+                and cy + cw <= room.y2 \
+                and not pl.overlaps(cx, cy, cx + cw, cy + cw):
+            pl.commit(cx, cy, cx + cw, cy + cw)
+            out.add(ri, F_CHAIR, cx, cy, z0, cx + cw, cy + cw,
+                    z0 + 0.15 * scale, rot=(rot + 2) % 4)
+        if n_desks >= 4:
+            out.add(ri, F_CUBICLE, x - 0.02, y - 0.02, z0,
+                    x + 0.27 * scale, y + 0.17 * scale, z0 + 0.45 * fh,
+                    parent=di)
+    p = pl.try_place(0.2 * scale, 0.08 * scale, True)
+    if p:
+        x, y, rot = p
+        bi = out.add(ri, F_BOOKCASE, x, y, z0, x + 0.2 * scale,
+                     y + 0.08 * scale, z0 + 0.3 * scale, rot=rot)
+        _surface_items(out, pl, rg, ri, F_BOOKCASE, bi, x, y,
+                       z0 + 0.3 * scale, 0.2 * scale, 0.08 * scale, scale)
+
+
+def _gen_living(out, pl, rg, ri, room, z0, fh, scale):
+    """add_livingroom_objs: couch FACING the TV across the room, coffee
+    table between them on a rug, plants in corners."""
+    p = pl.try_place(0.4 * scale, 0.16 * scale, True)
+    if p:
+        x, y, rot = p
+        out.add(ri, F_COUCH, x, y, z0, x + 0.4 * scale, y + 0.16 * scale,
+                z0 + 0.14 * scale, rot=rot)
+        # TV on the opposite wall, facing back
+        tv_rot = (rot + 2) % 4
+        p2 = pl.try_place(0.3 * scale, 0.06 * scale, True)
+        if p2:
+            tx, ty, _ = p2
+            out.add(ri, F_TV, tx, ty, z0 + 0.1 * scale, tx + 0.3 * scale,
+                    ty + 0.06 * scale, z0 + 0.3 * scale, rot=tv_rot)
+    cx, cy = 0.5 * (room.x1 + room.x2), 0.5 * (room.y1 + room.y2)
+    rw, rd = 0.22 * scale, 0.16 * scale
+    out.add(ri, F_RUG, cx - rw, cy - rd, z0, cx + rw, cy + rd, z0 + 0.004)
+    tw = 0.12 * scale
+    if not pl.overlaps(cx - tw, cy - tw, cx + tw, cy + tw) \
+            and not pl.blocks_door(cx - tw, cy - tw, cx + tw, cy + tw):
+        pl.commit(cx - tw, cy - tw, cx + tw, cy + tw)
+        ti = out.add(ri, F_TABLE, cx - tw, cy - tw, z0, cx + tw, cy + tw,
+                     z0 + 0.08 * scale)
+        _surface_items(out, pl, rg, ri, F_TABLE, ti, cx - tw, cy - tw,
+                       z0 + 0.08 * scale, 2 * tw, 2 * tw, scale)
+    p = pl.try_place(0.08 * scale, 0.08 * scale, True)
+    if p:
+        x, y, _ = p
+        out.add(ri, F_PLANT, x, y, z0, x + 0.08 * scale, y + 0.08 * scale,
+                z0 + 0.2 * scale)
+    _wall_picture(out, rg, ri, room, z0, fh)
+
+
+def _wall_picture(out, rg, ri, room, z0, fh):
+    """Pictures hung on a random wall (add_picture)."""
+    if rg.rand() % 3 == 0:
+        return
+    w = 0.12
+    if rg.rand_bool():
+        x = room.x1 + rg.randd() * max(room.x2 - room.x1 - w, 0.01)
+        y = room.y1 + 0.005
+        out.add(ri, F_PICTURE, x, y, z0 + 0.45 * fh, x + w, y + 0.005,
+                z0 + 0.75 * fh)
+    else:
+        x = room.x1 + 0.005
+        y = room.y1 + rg.randd() * max(room.y2 - room.y1 - w, 0.01)
+        out.add(ri, F_PICTURE, x, y, z0 + 0.45 * fh, x + 0.005, y + w,
+                z0 + 0.75 * fh)
+
+
+def _gen_dining(out, pl, rg, ri, room, z0, fh, scale):
+    _gen_table_and_chairs(out, pl, rg, ri, room, z0, scale, 0.3, 4)
+    _wall_picture(out, rg, ri, room, z0, fh)
+
+
+_COMPOSITE_GENS = {}
+
+
+def _init_gens():
+    _COMPOSITE_GENS.update({
+        R_BEDROOM: _gen_bedroom, R_BATHROOM: _gen_bathroom,
+        R_KITCHEN: _gen_kitchen, R_LIVING: _gen_living,
+        R_OFFICE: _gen_office, R_DINING: _gen_dining,
+    })
+
+
+_init_gens()
+
+
 def furnish_rooms(interior, floor_height: float, seed: int,
                   is_office_bldg: bool = False) -> RoomObjects:
-    """Place furniture in every room per its type recipe."""
+    """Place furniture in every room: composite per-type generators for
+    the rich room types (bedroom/bathroom/kitchen/living/office/dining —
+    oriented furniture groups, surface items, wall decorations, doorway
+    clearance), recipe tables for the rest."""
     rg = RandGen(seed + 31, seed * 5 + 17)
     out = RoomObjects()
     out.room_types = assign_room_types(interior, rg, is_office_bldg)
     # recipe dims are in units of 2.5 floor heights (a bed ~ 1.1 fh wide),
     # so furniture fits rooms whose min span is MIN_ROOM_F=1.4 fh
     scale = floor_height / 0.2
+    fh = floor_height
+    z1 = getattr(interior, "z1", 0.0)
+    door_clear = 0.5 * fh
+    doors_by_floor = {}
+    for (dx, dy, dz, _dim) in getattr(interior, "doors", ()):
+        fl = int(round((dz - z1) / fh)) if fh else 0
+        doors_by_floor.setdefault(fl, []).append((dx, dy))
+
     for ri, (room, rtype) in enumerate(zip(interior.rooms, out.room_types)):
+        z0 = z1 + room.floor * floor_height
+        # doors on this room's boundary gate placement
+        rdoors = [(dx, dy) for (dx, dy) in doors_by_floor.get(room.floor, ())
+                  if room.x1 - 1e-6 <= dx <= room.x2 + 1e-6
+                  and room.y1 - 1e-6 <= dy <= room.y2 + 1e-6]
+        pl = _Placer(rg, room, rdoors, door_clear)
+        gen = _COMPOSITE_GENS.get(rtype)
+        if gen is not None:
+            gen(out, pl, rg, ri, room, z0, fh, scale)
+            continue
         recipe = _RECIPES.get(rtype, [])
-        z0 = room.floor * floor_height
-        placed = []
         for (kind, count, against_wall, w, d, h) in recipe:
             w *= scale
             d *= scale
             h *= scale
-            if w > (room.x2 - room.x1) - 0.02 or d > (room.y2 - room.y1) - 0.02:
-                continue  # furniture doesn't fit this room
             for _ in range(count):
-                ok = False
-                for _attempt in range(8):
-                    if against_wall:
-                        wall = rg.rand() % 4
-                        if wall == 0:
-                            x = room.x1 + 0.01
-                            y = room.y1 + rg.randd() * max(room.y2 - room.y1 - d, 0.01)
-                        elif wall == 1:
-                            x = room.x2 - w - 0.01
-                            y = room.y1 + rg.randd() * max(room.y2 - room.y1 - d, 0.01)
-                        elif wall == 2:
-                            x = room.x1 + rg.randd() * max(room.x2 - room.x1 - w, 0.01)
-                            y = room.y1 + 0.01
-                        else:
-                            x = room.x1 + rg.randd() * max(room.x2 - room.x1 - w, 0.01)
-                            y = room.y2 - d - 0.01
-                    else:
-                        x = room.x1 + rg.randd() * max(room.x2 - room.x1 - w, 0.01)
-                        y = room.y1 + rg.randd() * max(room.y2 - room.y1 - d, 0.01)
-                    if x < room.x1 or y < room.y1 or x + w > room.x2 \
-                            or y + d > room.y2:
-                        continue
-                    if any(x < px2 and x + w > px1 and y < py2 and y + d > py1
-                           for (px1, py1, px2, py2) in placed):
-                        continue
-                    ok = True
-                    break
-                if not ok:
+                p = pl.try_place(w, d, against_wall)
+                if p is None:
                     continue
-                placed.append((x, y, x + w, y + d))
-                out.cubes.append((x, y, z0, x + w, y + d, z0 + h))
-                out.kinds.append(kind)
-                out.rooms.append(ri)
+                x, y, rot = p
+                idx = out.add(ri, kind, x, y, z0, x + w, y + d, z0 + h,
+                              rot=rot)
+                _surface_items(out, pl, rg, ri, kind, idx, x, y, z0 + h,
+                               w, d, scale)
     return out
 
 

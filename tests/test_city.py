@@ -695,3 +695,47 @@ def test_city_object_catalog_breadth_and_blockers():
     # collision export
     co = CO.objects_to_cobjs(objs)
     assert int(np.asarray((co.shape >= 0).sum())) >= len(objs.x)
+
+
+def test_room_content_composite_generators():
+    """Composite room generators (building_room_obj_place.cpp): oriented
+    furniture groups, surface items with parent links, wall decorations,
+    and doorway clearance."""
+    import numpy as np
+    from w3d.city import floorplan as CF, room_content as RC
+    from w3d.utils.rng import RandGen
+
+    i = CF.gen_interior((0.0, 0.0, 0.0, 2.0, 1.6, 0.4), 4, 0.1, seed=5)
+    objs = RC.furnish_rooms(i, 0.1, seed=9)
+    kinds = np.asarray(objs.kinds)
+    parents = np.asarray(objs.parent)
+    assert len(objs.cubes) > 40
+    # surface items exist and sit ON their parents (z starts at parent top)
+    child_ix = np.where(parents >= 0)[0]
+    assert len(child_ix) > 5
+    for ci in child_ix[:20]:
+        pz2 = objs.cubes[parents[ci]][5]
+        cz1 = objs.cubes[ci][2]
+        assert cz1 >= pz2 - 0.05, (ci, cz1, pz2)
+    # chairs are oriented (rot populated)
+    assert len(set(objs.rot)) > 1
+    # doorway clearance: no object overlaps a door point's clearance disc
+    fh = i.floor_height
+    for (dx, dy, dz, _d) in i.doors:
+        fl = int(round((dz - i.z1) / fh))
+        for k, (x1, y1, z1, x2, y2, z2) in enumerate(objs.cubes):
+            if objs.kinds[k] in (RC.F_RUG, RC.F_PICTURE, RC.F_MIRROR,
+                                 RC.F_CABINET, RC.F_TOWEL_RACK,
+                                 RC.F_CUBICLE):
+                continue   # flat/wall/overhead decorations don't block
+            room = i.rooms[objs.rooms[k]]
+            if room.floor != fl:
+                continue
+            c = 0.4 * fh
+            assert not (x1 - c < dx < x2 + c and y1 - c < dy < y2 + c), \
+                (k, objs.kinds[k], (dx, dy))
+    # composite coverage: beds got pillows, desks got monitors
+    if (kinds == RC.F_BED).any():
+        assert (kinds == RC.F_PILLOW).any()
+    if (kinds == RC.F_DESK).any():
+        assert (kinds == RC.F_MONITOR).any()
