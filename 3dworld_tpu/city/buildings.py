@@ -178,3 +178,109 @@ def building_part_array(buildings) -> np.ndarray:
     """[P, 6] x1 y1 z1 x2 y2 z2 of all parts (export / device upload)."""
     rows = [p for b in buildings for p in b.parts]
     return np.asarray(rows, np.float32).reshape(-1, 6)
+
+
+# ---------------------------------------------------------------------------
+# exterior detail: window grids, roof objects, peaked-roof geometry
+# (building_geom.cpp:1330-1530; window spacing = get_window_vspace)
+# ---------------------------------------------------------------------------
+
+(ROOF_AC, ROOF_ANTENNA, ROOF_SAT_DISH, ROOF_SOLAR, ROOF_WATER_TOWER,
+ ROOF_SKYLIGHT, ROOF_WALL, ROOF_DUCT) = range(8)
+
+
+def gen_windows(b, params: BuildingParams, win_frac: float = 0.55):
+    """Per-part per-wall window grids: one row per floor (vspace =
+    floor_height), columns spaced ~0.6 fh with `win_frac` glass fill
+    (get_window_vspace / window drawing semantics).  Returns
+    [(x1,y1,z1,x2,y2,z2,dim,dir)] wall-plane rects."""
+    fh = params.floor_height
+    wins = []
+    for pi, (x1, y1, z1, x2, y2, z2) in enumerate(b.parts):
+        nf = max(1, int(round((z2 - z1) / fh)))
+        for dim in (0, 1):
+            span = (y2 - y1) if dim == 0 else (x2 - x1)
+            ncols = max(int(span / (0.6 * fh)), 1)
+            cw = span / ncols
+            for dr in (0, 1):
+                # skip faces flush against the part above (setbacks nest,
+                # so only same-coordinate faces occlude)
+                for fl in range(nf):
+                    wz1 = z1 + (fl + 0.3) * fh
+                    wz2 = z1 + (fl + 0.8) * fh
+                    for c in range(ncols):
+                        lo = (y1 if dim == 0 else x1) + (c + 0.5 * (1 - win_frac)) * cw
+                        hi = lo + win_frac * cw
+                        if dim == 0:
+                            wx = x2 if dr else x1
+                            wins.append((wx, lo, wz1, wx, hi, wz2, 0, dr))
+                        else:
+                            wy = y2 if dr else y1
+                            wins.append((lo, wy, wz1, hi, wy, wz2, 1, dr))
+    return wins
+
+
+def gen_roof_objects(b, seed: int = 0):
+    """Rooftop details (building_t::gen_details, building_geom.cpp:
+    1330-1360): solar panels 50%, satellite dish 1/8, TV antenna 1/8,
+    AC units, water tower on tall flat-roofed buildings, skylight on
+    peaked houses.  Returns [(x1,y1,z1,x2,y2,z2,kind)] cubes."""
+    rg = RandGen(seed + 41, 3 * seed + 13)
+    (x1, y1, z1t, x2, y2, z2) = b.parts[-1]
+    w = x2 - x1
+    h = y2 - y1
+    out = []
+
+    def put(kind, fx, fy, fw, fd, fz):
+        cx = x1 + fx * w
+        cy = y1 + fy * h
+        out.append((cx, cy, z2, min(cx + fw * w, x2), min(cy + fd * h, y2),
+                    z2 + fz, kind))
+
+    roll = rg.rand() & 7
+    if b.roof_type == 1:
+        if roll == 3:
+            put(ROOF_SKYLIGHT, 0.35, 0.35, 0.3, 0.2, 0.02)
+    else:
+        n_ac = 1 + rg.rand() % 3
+        for _ in range(n_ac):
+            put(ROOF_AC, 0.1 + 0.7 * rg.randd(), 0.1 + 0.7 * rg.randd(),
+                0.12, 0.1, 0.06)
+        if roll & 1:
+            put(ROOF_SOLAR, 0.1, 0.1, 0.35, 0.3, 0.02)
+        if roll == 0:
+            put(ROOF_SAT_DISH, 0.7, 0.2, 0.1, 0.1, 0.1)
+        if roll == 2:
+            put(ROOF_ANTENNA, 0.5, 0.5, 0.02, 0.02, 0.3)
+        if len(b.parts) >= 3:   # tall tower: water tower + parapet walls
+            put(ROOF_WATER_TOWER, 0.6, 0.6, 0.2, 0.2, 0.25)
+            out.append((x1, y1, z2, x2, y1 + 0.02 * h, z2 + 0.04, ROOF_WALL))
+            out.append((x1, y2 - 0.02 * h, z2, x2, y2, z2 + 0.04, ROOF_WALL))
+        if rg.rand_bool():
+            put(ROOF_DUCT, 0.3, 0.8, 0.3, 0.06, 0.05)
+    return out
+
+
+def peaked_roof_polys(b):
+    """Peaked (gable) roof geometry for roof_type 1: ridge along the
+    long axis, two slanted quads + two gable triangles (house roof,
+    building_geom.cpp add_roof)."""
+    (x1, y1, z1t, x2, y2, z2) = b.parts[-1]
+    w = x2 - x1
+    h = y2 - y1
+    peak = z2 + 0.25 * min(w, h)
+    if w >= h:
+        ym = 0.5 * (y1 + y2)
+        return [
+            ((x1, y1, z2), (x2, y1, z2), (x2, ym, peak), (x1, ym, peak)),
+            ((x1, ym, peak), (x2, ym, peak), (x2, y2, z2), (x1, y2, z2)),
+            ((x1, y1, z2), (x1, ym, peak), (x1, y2, z2)),
+            ((x2, y1, z2), (x2, ym, peak), (x2, y2, z2)),
+        ]
+    xm = 0.5 * (x1 + x2)
+    return [
+        ((x1, y1, z2), (xm, y1, peak), (xm, y2, peak), (x1, y2, z2)),
+        ((xm, y1, peak), (x2, y1, z2), (x2, y2, z2), (xm, y2, peak)),
+        ((x1, y1, z2), (xm, y1, peak), (x2, y1, z2)),
+        ((x1, y2, z2), (xm, y2, peak), (x2, y2, z2)),
+    ]

@@ -739,3 +739,37 @@ def test_room_content_composite_generators():
         assert (kinds == RC.F_PILLOW).any()
     if (kinds == RC.F_DESK).any():
         assert (kinds == RC.F_MONITOR).any()
+
+
+def test_building_exterior_windows_and_roof_detail():
+    """Window grids per wall per floor, rooftop objects (AC/solar/
+    antenna/water tower/parapets), peaked-roof polygons
+    (building_geom.cpp:1330-1530)."""
+    import numpy as np
+    from w3d.city import buildings as CB
+
+    b = _mk_multipart_building()      # 3 stacked parts
+    params = CB.BuildingParams(floor_height=0.1)
+    wins = CB.gen_windows(b, params)
+    assert len(wins) > 50
+    # windows lie on wall planes within the part z-range
+    for (x1, y1, z1, x2, y2, z2, dim, dr) in wins[:100]:
+        assert z2 > z1
+        if dim == 0:
+            assert x1 == x2
+        else:
+            assert y1 == y2
+    roofs = CB.gen_roof_objects(b, seed=2)
+    kinds = {r[6] for r in roofs}
+    assert CB.ROOF_AC in kinds
+    assert CB.ROOF_WATER_TOWER in kinds       # 3-part tower
+    top_z = b.parts[-1][5]
+    assert all(r[2] >= top_z - 1e-6 for r in roofs)
+
+    class House:
+        parts = [(0.0, 0.0, 0.0, 1.2, 0.8, 0.2)]
+        roof_type = 1
+    polys = CB.peaked_roof_polys(House())
+    assert len(polys) == 4
+    peak_z = max(p[2] for poly in polys for p in poly)
+    assert peak_z > 0.2

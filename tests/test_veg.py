@@ -255,3 +255,52 @@ def test_spraypaint_recolors_in_radius():
     assert abs(r[0, 0] - 1.0) < 1e-6
     # far leaves untouched
     assert abs(r[3].mean() - np.asarray(ls.r)[3].mean()) < 1e-6
+
+
+def test_scenery_per_kind_geometry():
+    """Scenery depth (scenery.cpp): terrain-following logs with two
+    radii, plant leaf rings with per-type berries and underwater seaweed
+    forcing, squashed rocks, typed collision export."""
+    import numpy as np
+    import jax.numpy as jnp
+    from w3d.veg import scenery as VS
+    from w3d.utils.constants import WorldConst
+
+    W = WorldConst(mesh_x=32, mesh_y=32)
+    rng = np.random.default_rng(2)
+    zv = jnp.asarray(0.3 * rng.standard_normal((32, 32)).astype(np.float32))
+    nz = jnp.ones((32, 32))
+    s = VS.place_scenery(11, -16.0, -16.0, zv, nz, W, density=3.0)
+    assert int(np.asarray(s.valid).sum()) > 20
+
+    logs = VS.gen_logs(s, zv, W)
+    lv = np.asarray(logs.valid)
+    if lv.any():
+        # endpoints follow the mesh independently (sloped logs)
+        z1 = np.asarray(logs.z1)[lv]
+        z2 = np.asarray(logs.z2)[lv]
+        assert not np.allclose(z1, z2)
+        assert (np.asarray(logs.r1)[lv] > 0).all()
+
+    plants = VS.gen_plants(s, zv, W, water_z=0.0)
+    pv = np.asarray(plants.valid)
+    if pv.any():
+        # underwater plants become seaweed (the last type)
+        under = np.asarray(plants.z)[pv] < 0.0
+        pts = np.asarray(plants.ptype)[pv]
+        assert (pts[under] == VS.NUM_PLANT_TYPES - 1).all()
+        assert (pts[~under] < VS.NUM_LAND_PLANT_TYPES).all()
+        lx, ly, lz = VS.plant_leaf_points(plants)
+        assert lx.shape[1] == 15       # 3 rings x 5 leaves
+        # leaves sit above the plant base
+        assert float((np.asarray(lz)[pv] - np.asarray(plants.z)[pv, None]).min()) > 0
+
+    rocks = VS.gen_rocks(s, zv, W)
+    rv = np.asarray(rocks.valid)
+    if rv.any():
+        sq = np.stack([np.asarray(rocks.sx), np.asarray(rocks.sy),
+                       np.asarray(rocks.sz)], 1)[rv]
+        assert (sq >= 0.7).all() and (sq <= 1.31).all()
+
+    co = VS.scenery_cobjs(s, logs, plants, rocks)
+    assert int((np.asarray(co.shape) >= 0).sum()) >= int(np.asarray(s.valid).sum())
