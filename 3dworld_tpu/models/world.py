@@ -33,6 +33,17 @@ WMODE_INF_TERRAIN = 2
 # ground mode
 # ---------------------------------------------------------------------------
 
+def with_valley_water(scene: GroundScene, volumes_per_basin) -> GroundScene:
+    """Fill terrain basins and feed the per-cell water surface into the
+    physics env (water_matrix wiring: valleys -> check_water_collision)."""
+    from ..water import valleys as WV
+
+    _labels, _zv, water, _wet = WV.fill_valleys(
+        scene.env.mesh_height, volumes_per_basin, scene.world)
+    scene.env = scene.env._replace(water_height=water)
+    return scene
+
+
 def ground_frame(scene: GroundScene, substeps: int = 4,
                  obj_collisions: bool = True) -> GroundScene:
     """One WMODE_GROUND frame: platforms + process_groups + ripples

@@ -29,11 +29,17 @@ def _cube_overlap(lo_a, hi_a, lo_b, hi_b):
 
 @jax.jit
 def push_movable_cobjs(cobjs: CobjSet, push_x, push_y,
-                       max_step: float = 0.05) -> CobjSet:
+                       max_step: float = 0.05,
+                       bisect_iters: int = 6) -> CobjSet:
     """Apply accumulated per-cobj horizontal pushes (push_cobj).
 
-    push_x/push_y: [M] desired motion; movable cube cobjs move by the
-    clamped push unless the destination overlaps another live cobj."""
+    push_x/push_y: [M] desired motion.  Instead of all-or-nothing, the
+    largest collision-free FRACTION of each cobj's delta is found by
+    bisection — the reference's binary_step_moving_cobj_delta
+    (movable_cobj.cpp:715-737) as a branchless lockstep search: test the
+    full move, then bisect t in [0, 1] against the blocking set.
+    Obstacles resting ON TOP of the moving cobj (stacked movables) are
+    ignored, as in the reference's flat-top skip."""
     lo = jnp.minimum(cobjs.p1, cobjs.p2)
     hi = jnp.maximum(cobjs.p1, cobjs.p2)
     live = cobjs.shape != COLL_NULL
@@ -41,14 +47,35 @@ def push_movable_cobjs(cobjs: CobjSet, push_x, push_y,
     dx = jnp.clip(push_x, -max_step, max_step) * mv
     dy = jnp.clip(push_y, -max_step, max_step) * mv
     d = jnp.stack([dx, dy, jnp.zeros_like(dx)], -1)
-    lo2 = lo + d
-    hi2 = hi + d
-    ov = _cube_overlap(lo2, hi2, lo, hi)
     M = cobjs.size
     ii = jnp.arange(M)
-    blocked = jnp.any(ov & live[None, :] & (ii[:, None] != ii[None, :]), axis=1)
-    ok = mv & ~blocked
-    delta = d * ok[:, None]
+    other = (ii[:, None] != ii[None, :]) & live[None, :]
+    # stacked-movable skip: obstacle center above this cobj's top
+    oc_z = 0.5 * (lo[:, 2] + hi[:, 2])
+    riding = cobjs.is_movable[None, :] & (oc_z[None, :] > hi[:, 2][:, None])
+    obst = other & ~riding
+
+    def free_at(t):
+        lo2 = lo + t[:, None] * d
+        hi2 = hi + t[:, None] * d
+        ov = _cube_overlap(lo2, hi2, lo, hi)
+        return ~jnp.any(ov & obst, axis=1)
+
+    one = jnp.ones((M,))
+    full_ok = free_at(one)
+    # bisect between t_lo (known free: 0) and t_hi (known blocked: 1)
+    t_lo = jnp.zeros((M,))
+    t_hi = one
+
+    def body(_, c):
+        tl, th = c
+        tm = 0.5 * (tl + th)
+        ok = free_at(tm)
+        return (jnp.where(ok, tm, tl), jnp.where(ok, th, tm))
+
+    t_lo, t_hi = jax.lax.fori_loop(0, bisect_iters, body, (t_lo, t_hi))
+    t = jnp.where(full_ok, 1.0, t_lo)
+    delta = d * (t * mv)[:, None]
     return cobjs._replace(p1=cobjs.p1 + delta, p2=cobjs.p2 + delta)
 
 

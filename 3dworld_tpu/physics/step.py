@@ -73,11 +73,16 @@ class PhysicsEnv(NamedTuple):
     """Per-step environment (traced): terrain + water + wind."""
 
     mesh_height: jax.Array   # [my, mx]
-    water_plane_z: jax.Array # scalar; flat-water approximation of water_matrix
+    water_plane_z: jax.Array # scalar flat-water level
     wind: jax.Array          # [3] global wind (Physics.cpp:36)
     temperature: jax.Array   # scalar degrees C
     base_gravity: jax.Array  # scalar (config "gravity")
     zmin: jax.Array          # kill plane
+    # per-cell water surface (the reference's water_matrix, mesh.h:100):
+    # when present, objects see max(water_plane_z, water_height[cell]) —
+    # valley-filled lakes at different levels behave correctly.  None =
+    # flat-water only (the fused Pallas substep always uses the scalar).
+    water_height: jax.Array | None = None
 
 
 def make_state(pos, vel, otype, table: T.ObjTypeTable) -> ObjectState:
@@ -639,8 +644,13 @@ def _substep(state: ObjectState, env: PhysicsEnv, cobjs: CobjSet | None,
     off_mesh = outside_mesh(px, py, world)
     on_mesh = ~off_mesh & ((pz - rad) <= mh)
 
-    # --- water (check_water_collision core, Physics.cpp:1082-1180) ---
-    wpz = env.water_plane_z
+    # --- water (check_water_collision core, Physics.cpp:1082-1180);
+    # per-object level from water_matrix when a per-cell map exists ---
+    if env.water_height is not None:
+        wh, _, _, _ = sample_mesh(env.water_height, px, py, world)
+        wpz = jnp.maximum(env.water_plane_z, wh)
+    else:
+        wpz = env.water_plane_z
     over_water = ~off_mesh & (wpz > mh)
     touches_water = over_water & ((pz - rad) < wpz) & alive
     v_sq = vx * vx + vy * vy + vz * vz

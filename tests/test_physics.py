@@ -327,3 +327,84 @@ def test_water_surface_ricochet():
     for nm in ("px", "py", "pz", "vx", "vy", "vz"):
         assert float(jnp.abs(getattr(ref, nm)
                              - getattr(out, nm)).max()) < 1e-4, nm
+
+
+def test_water_matrix_per_cell_levels():
+    """Per-cell water (water_matrix, mesh.h:100): floats settle at their
+    LOCAL lake surface, and dry cells act dry even when another valley
+    holds water (VERDICT §2.2 'global mesh matrices' gap)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from w3d.physics import types as PT, step as PS
+    from w3d.utils.constants import WorldConst
+
+    W = WorldConst()
+    table = PT.make_type_table()
+    ball = PT.type_id("BALL")
+    mesh = np.full((W.mesh_y, W.mesh_x), -1.0, np.float32)
+    wh = np.full((W.mesh_y, W.mesh_x), -10.0, np.float32)   # dry
+    # left lake at z=-0.3, right lake at z=-0.6 (x<0 vs x>0)
+    wh[:, :W.mesh_x // 2] = -0.3
+    wh[:, W.mesh_x // 2 + 2:] = -0.6
+    env = PS.PhysicsEnv(
+        mesh_height=jnp.asarray(mesh), water_plane_z=jnp.float32(-1e9),
+        wind=jnp.zeros(3), temperature=jnp.float32(20.0),
+        base_gravity=jnp.float32(1.0), zmin=jnp.float32(-W.z_scene),
+        water_height=jnp.asarray(wh))
+    pos = np.array([[-1.0, 0.0, 0.5], [1.0, 0.0, 0.5]], np.float32)
+    st = PS.make_state(pos, np.zeros((2, 3), np.float32),
+                       np.full(2, ball), table)
+    for _ in range(300):
+        st = PS.step_objects(st, env, None, table, substeps=1, world=W,
+                             obj_collisions=False)
+    z = np.asarray(st.pz)
+    fl = np.asarray(st.flags)
+    rad = float(np.asarray(table.radius)[ball])
+    dens = float(np.asarray(table.density)[ball])
+    # both float, each at its own lake's surface level
+    assert (fl & PT.FL_FLOATING).all()
+    exp_l = -0.3 + rad * (1.0 - 2.0 * dens)
+    exp_r = -0.6 + rad * (1.0 - 2.0 * dens)
+    np.testing.assert_allclose(z[0], exp_l, atol=0.02)
+    np.testing.assert_allclose(z[1], exp_r, atol=0.02)
+    # a dry-cell drop lands on the mesh, no water flags
+    st2 = PS.make_state(np.array([[0.05, 0.0, 0.5]], np.float32),
+                        np.zeros((1, 3), np.float32), np.array([ball]), table)
+    for _ in range(300):
+        st2 = PS.step_objects(st2, env, None, table, substeps=1, world=W,
+                              obj_collisions=False)
+    assert not (int(np.asarray(st2.flags)[0]) & PT.FL_IN_WATER)
+    np.testing.assert_allclose(float(st2.pz[0]), -1.0 + rad, atol=0.01)
+
+
+def test_movable_push_binary_step_partial_motion():
+    """binary_step_moving_cobj_delta (movable_cobj.cpp:715): a push into
+    a wall moves the cobj by the largest free FRACTION of the delta, not
+    zero; a clear push moves fully; stacked movables don't block."""
+    import numpy as np
+    import jax.numpy as jnp
+    from w3d.physics import movable as MV
+    from w3d.scene import cobj as SC
+    from w3d.physics.cobjs import COLL_CUBE
+
+    sp = SC.SceneParse()
+    # movable crate at x [0,0.2]; wall at x [0.25, 0.35]
+    sp.cobjs.append(SC.RawCobj(COLL_CUBE, (0.0, 0.0, 0.0), (0.2, 0.2, 0.2),
+                               movable=True))
+    sp.cobjs.append(SC.RawCobj(COLL_CUBE, (0.25, -1.0, 0.0), (0.35, 1.0, 0.5)))
+    # a second movable stacked ON TOP of the crate (must not block it)
+    sp.cobjs.append(SC.RawCobj(COLL_CUBE, (0.02, 0.02, 0.2), (0.18, 0.18, 0.35),
+                               movable=True))
+    co = SC.pack_cobjs(sp)
+    M = co.size
+    push = np.zeros(M, np.float32)
+    push[0] = 0.04          # would leave a 0.01 gap: free -> full move
+    c1 = MV.push_movable_cobjs(co, jnp.asarray(push), jnp.zeros(M))
+    np.testing.assert_allclose(float(c1.p1[0, 0]), 0.04, atol=1e-6)
+    push[0] = 0.08          # would penetrate the wall by 0.03
+    c2 = MV.push_movable_cobjs(co, jnp.asarray(push), jnp.zeros(M),
+                               max_step=0.1)
+    moved = float(c2.p1[0, 0])
+    assert 0.04 < moved < 0.08, moved          # partial, not zero
+    # final position does not penetrate the wall
+    assert 0.2 + moved <= 0.25 + 1e-5
