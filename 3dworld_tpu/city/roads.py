@@ -80,23 +80,74 @@ def gen_city_roads(plots: list[CityPlot], block_size: int = 8,
     return net
 
 
+def _route_cost(heightmap, x1, y1, x2, y2, water_z=None):
+    """Connector legality/cost along a straight leg: total height
+    adjustment the road grading would need (the reference's connector
+    cost = terrain delta smoothed to road grade), illegal (inf) when the
+    leg leaves the map or runs through deep water."""
+    import numpy as np
+    hm = np.asarray(heightmap)
+    my, mx = hm.shape
+    if not (0 <= x1 < mx and 0 <= x2 < mx and 0 <= y1 < my and 0 <= y2 < my):
+        return float("inf")
+    n = max(int(abs(x2 - x1) + abs(y2 - y1)), 1)
+    ts = np.linspace(0.0, 1.0, n + 1)
+    xs = np.clip(np.round(x1 + ts * (x2 - x1)).astype(int), 0, mx - 1)
+    ys = np.clip(np.round(y1 + ts * (y2 - y1)).astype(int), 0, my - 1)
+    prof = hm[ys, xs]
+    grade = np.linspace(prof[0], prof[-1], n + 1)
+    cost = float(np.abs(prof - grade).sum())
+    if water_z is not None and (prof < water_z - 0.2).any():
+        return float("inf")     # deep water: no legal surface road
+    return cost
+
+
 def gen_connector_roads(plots: list[CityPlot], net: RoadNetwork,
-                        road_width: float = 1.0) -> list[tuple]:
-    """L-shaped connector between each consecutive city pair
-    (simplified legal-grade search); returns flatten routes
+                        road_width: float = 1.0, heightmap=None,
+                        num_tries: int = 8, water_z=None,
+                        seed: int = 0) -> list[tuple]:
+    """Connector between each consecutive city pair.  With a heightmap,
+    this is the reference's legal-grade search
+    (create_connector_road, city_gen.cpp:2712-2726): `num_tries`
+    candidate connection positions are costed by the terrain adjustment
+    their route needs (illegal routes — off-map, deep water — are
+    rejected) and the cheapest wins.  Returns flatten routes
     [(x1,y1,x2,y2), ...] for heightmap carving."""
+    from ..utils.rng import RandGen
+    rg = RandGen(seed + 51, 2 * seed + 9)
     routes = []
     for i in range(len(plots) - 1):
         a, b = plots[i], plots[i + 1]
-        ax = (a.x1 + a.x2) // 2
-        ay = (a.y1 + a.y2) // 2
-        bx = (b.x1 + b.x2) // 2
-        by = (b.y1 + b.y2) // 2
-        # horizontal leg then vertical leg
-        net.segs.append(RoadSeg(min(ax, bx), ay, max(ax, bx), ay, road_width, -1, 0))
-        net.segs.append(RoadSeg(bx, min(ay, by), bx, max(ay, by), road_width, -1, 1))
-        routes.append((min(ax, bx), ay, max(ax, bx), ay))
-        routes.append((bx, min(ay, by), bx, max(ay, by)))
+        best = None
+        best_cost = float("inf")
+        tries = max(num_tries, 1) if heightmap is not None else 1
+        for t in range(tries):
+            if heightmap is None or t == 0:
+                ax = (a.x1 + a.x2) // 2
+                ay = (a.y1 + a.y2) // 2
+                bx = (b.x1 + b.x2) // 2
+                by = (b.y1 + b.y2) // 2
+            else:
+                ax = a.x1 + rg.rand() % max(a.x2 - a.x1, 1)
+                ay = a.y1 + rg.rand() % max(a.y2 - a.y1, 1)
+                bx = b.x1 + rg.rand() % max(b.x2 - b.x1, 1)
+                by = b.y1 + rg.rand() % max(b.y2 - b.y1, 1)
+            legs = ((min(ax, bx), ay, max(ax, bx), ay, 0),
+                    (bx, min(ay, by), bx, max(ay, by), 1))
+            if heightmap is None:
+                cost = 0.0
+            else:
+                cost = sum(_route_cost(heightmap, lx1, ly1, lx2, ly2,
+                                       water_z) for (lx1, ly1, lx2, ly2, _d)
+                           in legs)
+            if cost < best_cost:
+                best_cost = cost
+                best = legs
+        if best is None or best_cost == float("inf"):
+            continue            # no legal connector (the reference skips too)
+        for (lx1, ly1, lx2, ly2, d) in best:
+            net.segs.append(RoadSeg(lx1, ly1, lx2, ly2, road_width, -1, d))
+            routes.append((lx1, ly1, lx2, ly2))
     return routes
 
 

@@ -191,3 +191,113 @@ def get_texture(name: str, n: int = _DEF_SIZE,
 
 def texture_names():
     return sorted(CATALOG)
+
+
+# ---------------------------------------------------------------------------
+# full reference texture id coverage (Textures.cpp:36-170): every name in
+# the reference's texture table resolves here — to a bespoke catalog
+# entry where one exists, otherwise to a name-hashed procedural palette
+# ---------------------------------------------------------------------------
+
+REFERENCE_TEXTURES = (
+    "grass.png rock.png water.jpg stucco.jpg sky.jpg brick1.jpg moon.jpg "
+    "earth.png marble.jpg snow2.jpg leaves/green_maple_leaf.jpg bark2.jpg "
+    "desert_sand.jpg rock2.png camoflage.jpg hedges.jpg brick1.bmp "
+    "manhole.jpg leaves/palm_frond_diff.jpg @smoke @plasma @gen "
+    "@landscape_tex @tree_end @tree_hemi shingles.jpg paneling.png "
+    "cblock.png mj_leaf.jpg leaves/oak_leaf.png leaves/cherry_leaf.png "
+    "leaves/birch_leaf.png plant1.jpg plant2.png plant3.png "
+    "leaves/leaf_d.jpg fence.jpg skull.png radiation.png yuck.png "
+    "sawblade.png sawblade_b.png blur.png blur_s.png pine2.jpg noise.png "
+    "wood.jpg hb_brick.png particleb.png plaster.png tile.png "
+    "CommandCAD.png @disint @blur_inv @hstripe @vstripe bcube.jpg "
+    "atlas/explosion.png shiphull.jpg bcube2.jpg bcube_tactical.jpg "
+    "rock_sphere.png papaya_leaf.png coffee_leaf.png smiley_skull.png "
+    "ice.2.jpg rock.03.png black.png white.png atlas/fire.png "
+    "snowflake.png @blur_center @gradient grass_blade.png @wind_texture "
+    "mossy_rock.jpg bark/bark1.jpg bark/bark2.jpg bark/bark2-normal.jpg "
+    "bark/bark_lendrick.jpg bark/bark_lylejk.png "
+    "normal_maps/water_normal.tga normal_maps/ocean_water_normal.png "
+    "caustics.jpg perlin_simplex.png @noise_gen @noise_gen_mipmap "
+    "@noise_gen_sparse @player_bbb_tex pine_tree_leaves2.jpg flare1.jpg "
+    "flare2.jpg Flare3.jpg flare4.jpg flare5b.jpg foam1.jpg "
+    "bullet_hole/bullet_diffuse.jpg bullet_hole/bullet_alpha.jpg "
+    "bullet_hole/bullet_normal.jpg normal_maps/sand_normal.jpg "
+    "raindrop_dots.jpg spaceship1.jpg spaceship2.jpg atlas/blood.png "
+    "lichen.jpg bark/palm_bark.jpg daisy.jpg lava.jpg smoke_puff.jpg "
+    "bark/bark_birch.jpg bark/bark6.jpg ripple_map.png starburst.png "
+    "normal_maps/rocks1.jpg normal_maps/rocks2.jpg normal_maps/rocks3.jpg "
+    "normal_maps/dirt_normal.jpg cyan.png red.png hazard_stripes.jpg "
+    "@windows @twindows keycard.png"
+).split()
+
+# recognizable reference names -> bespoke catalog entries
+_ALIAS = {
+    "grass.png": "grass", "rock.png": "rock", "rock2.png": "rock2",
+    "rock.03.png": "rock2", "rock_sphere.png": "rock",
+    "water.jpg": "water", "stucco.jpg": "stucco", "sky.jpg": "sky",
+    "brick1.jpg": "brick1", "brick1.bmp": "brick1", "hb_brick.png": "brick2",
+    "cblock.png": "stone_wall", "moon.jpg": "moon", "earth.png": "earth",
+    "marble.jpg": "marble", "snow2.jpg": "snow", "bark2.jpg": "bark",
+    "bark/bark1.jpg": "bark", "bark/bark2.jpg": "bark",
+    "bark/bark_lendrick.jpg": "bark", "bark/bark_lylejk.png": "bark",
+    "bark/bark_birch.jpg": "bark", "bark/bark6.jpg": "bark",
+    "bark/palm_bark.jpg": "bark", "desert_sand.jpg": "sand",
+    "camoflage.jpg": "camo", "hedges.jpg": "coniferous",
+    "shingles.jpg": "shingle", "paneling.png": "panel",
+    "plaster.png": "plaster", "tile.png": "tile", "wood.jpg": "wood",
+    "noise.png": "noise", "@smoke": "smoke", "@plasma": "plasma",
+    "@tree_end": "tree_end", "@windows": "window",
+    "@twindows": "office_win", "@hstripe": "checker",
+    "@vstripe": "checker", "@gradient": "sky", "lava.jpg": "lava",
+    "mossy_rock.jpg": "mossy", "ice.2.jpg": "ice",
+    "leaves/green_maple_leaf.jpg": "leaves", "mj_leaf.jpg": "leaves",
+    "leaves/oak_leaf.png": "leaves", "leaves/cherry_leaf.png": "leaves",
+    "leaves/birch_leaf.png": "leaves", "leaves/leaf_d.jpg": "leaves",
+    "leaves/palm_frond_diff.jpg": "coniferous", "pine2.jpg": "coniferous",
+    "pine_tree_leaves2.jpg": "coniferous", "grass_blade.png": "grass",
+    "perlin_simplex.png": "noise", "@noise_gen": "noise",
+    "@noise_gen_mipmap": "noise", "@noise_gen_sparse": "noise",
+    "@landscape_tex": "ground", "asphalt": "asphalt",
+}
+
+
+def _auto_entry(name: str):
+    """Name-hashed procedural palette for reference textures without a
+    bespoke entry (deterministic per name)."""
+    h = 2166136261
+    for ch in name:
+        h = ((h ^ ord(ch)) * 16777619) & 0xFFFFFFFF
+    c0 = ((h & 0xFF) / 320 + 0.15, ((h >> 8) & 0xFF) / 320 + 0.15,
+          ((h >> 16) & 0xFF) / 320 + 0.15)
+    c1 = tuple(min(c + 0.3, 1.0) for c in c0)
+    return (fbm_ramp, dict(c0=c0, c1=c1, scale=4 + (h >> 24) % 12,
+                           seed=h % 1000))
+
+
+def resolve_texture_name(name: str) -> str | None:
+    """Reference file/id name -> catalog key (None if auto-generated)."""
+    if name in CATALOG:
+        return name
+    return _ALIAS.get(name)
+
+
+def get_reference_texture(name: str, n: int = _DEF_SIZE,
+                          asset_dir: str | None = None) -> np.ndarray:
+    """Any reference texture name (Textures.cpp table, incl. '@'
+    procedural ids and subdirectory files) -> [n, n, 3] uint8.  Asset
+    files override; bespoke procedural entries next; name-hashed
+    palettes cover the rest, so every reference texture id resolves."""
+    key = resolve_texture_name(name)
+    if key is not None:
+        return get_texture(key, n, asset_dir=asset_dir)
+    if asset_dir:
+        base = os.path.splitext(os.path.basename(name))[0]
+        for ext in ("png", "bmp", "jpg", "tga"):
+            p = os.path.join(asset_dir, f"{base}.{ext}")
+            if os.path.exists(p):
+                from . import heightmap_io as HIO
+                return HIO.read_image_rgb(p)[..., :3]
+    fam, kw = _auto_entry(name)
+    img = fam(n, **kw)
+    return np.asarray(jnp.clip(img * 255.0, 0, 255).astype(jnp.uint8))

@@ -773,3 +773,33 @@ def test_building_exterior_windows_and_roof_detail():
     assert len(polys) == 4
     peak_z = max(p[2] for poly in polys for p in poly)
     assert peak_z > 0.2
+
+
+def test_connector_legal_grade_search():
+    """Candidate connector routes are costed by terrain adjustment and
+    the cheapest legal one wins (create_connector_road check_only loop,
+    city_gen.cpp:2712-2726)."""
+    import numpy as np
+    from w3d.city import plots as CP, roads as CR
+
+    hm = np.zeros((96, 96), np.float32)
+    hm[:, 40:56] = 2.0          # a ridge between the two cities...
+    hm[70:96, 40:56] = 0.0      # ...with a flat pass at high y
+    plots = [CP.CityPlot(4, 60, 30, 92, 0.0), CP.CityPlot(64, 60, 92, 92, 0.0)]
+    net = CR.RoadNetwork()
+    routes = CR.gen_connector_roads(plots, net, heightmap=hm, num_tries=24,
+                                    seed=3)
+    assert routes
+    # the chosen route prefers the flat pass: its total ridge crossing
+    # cost must beat the naive center route
+    naive = CR._route_cost(hm, 17, 76, 78, 76)
+    chosen = sum(CR._route_cost(hm, x1, y1, x2, y2)
+                 for (x1, y1, x2, y2) in routes)
+    assert chosen <= naive + 1e-6, (chosen, naive)
+    # deep water makes a route illegal: flooded strip -> no connector
+    hm2 = np.zeros((96, 96), np.float32)
+    hm2[:, 40:56] = -5.0
+    net2 = CR.RoadNetwork()
+    r2 = CR.gen_connector_roads(plots, net2, heightmap=hm2, num_tries=6,
+                                water_z=0.0, seed=3)
+    assert r2 == []

@@ -456,3 +456,24 @@ def test_jpeg_tga_tiff_heightmap_read(tmp_path):
         back = HIO.read_image_rgb(p)
         assert back.shape == (16, 16, 3)
         assert back[..., 1].mean() > 150
+
+
+def test_every_reference_texture_resolves():
+    """All 131 reference texture-table names (Textures.cpp:36-170)
+    resolve to an image — bespoke procedural entries for the
+    recognizable ones, deterministic hashed palettes for the rest."""
+    import numpy as np
+    from w3d.export import texture_catalog as TC
+
+    assert len(TC.REFERENCE_TEXTURES) >= 120
+    n_bespoke = 0
+    for name in TC.REFERENCE_TEXTURES:
+        img = TC.get_reference_texture(name, n=32)
+        assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+        if TC.resolve_texture_name(name):
+            n_bespoke += 1
+    assert n_bespoke >= 45          # a good share map to bespoke families
+    # deterministic
+    a = TC.get_reference_texture("shiphull.jpg", n=32)
+    b = TC.get_reference_texture("shiphull.jpg", n=32)
+    np.testing.assert_array_equal(a, b)
