@@ -31,6 +31,26 @@ DRUNK_MAX_DAMAGE_REDUCTION = 0.75  # building_gameplay.cpp:821
 SOUND_DECAY = 0.92             # per-frame alert decay
 
 
+# secondary/surface item properties (setup_bldg_obj_types small items)
+_SMALL_PROPS = {
+    "F_PILLOW":   (15.0, 1.0, True, False, 0.0),
+    "F_MONITOR":  (250.0, 15.0, True, False, 0.0),
+    "F_KEYBOARD": (30.0, 2.0, True, False, 0.0),
+    "F_COMPUTER": (500.0, 20.0, True, False, 0.0),
+    "F_BOOK":     (10.0, 1.5, True, False, 0.0),
+    "F_BOTTLE":   (2.0, 1.0, True, True, 0.05),
+    "F_PLATE":    (6.0, 1.0, True, False, 0.0),
+    "F_PICTURE":  (40.0, 4.0, True, False, 0.0),
+    "F_MIRROR":   (60.0, 12.0, False, False, 0.0),
+    "F_TOWEL_RACK": (20.0, 3.0, False, False, 0.0),
+    "F_CUBICLE":  (200.0, 60.0, False, False, 0.0),
+    "F_RAILING":  (0.0, 0.0, False, False, 0.0),
+    "F_CABINET":  (100.0, 40.0, False, False, 0.0),
+    "F_PAPER":    (0.0, 0.0, True, False, 0.0),
+    "F_PAN":      (12.0, 2.5, True, False, 0.0),
+}
+
+
 # per-furniture-kind gameplay properties, mirroring setup_bldg_obj_types
 # (building_gameplay.cpp:56-318): (value $, weight lbs, pickupable,
 # consumable, heal amount).  Kind ids from room_content.py.
@@ -72,6 +92,7 @@ _PROPS = {
     RC.F_BOOTH:    (400.0, 150.0, False, False, 0.0),
     RC.F_PARK_SPACE: (0.0, 0.0, False, False, 0.0),
 }
+_PROPS.update({getattr(RC, k): v for k, v in _SMALL_PROPS.items()})
 MAX_CARRY_WEIGHT = 200.0  # lbs, reference player_inventory weight limit
 
 
@@ -247,3 +268,150 @@ class AchievementTracker:
     @property
     def count(self) -> int:
         return len(self.unlocked)
+
+
+# ---------------------------------------------------------------------------
+# thrown objects, door state, zombie state machine
+# (building_gameplay.cpp:1100-1300 throw/drop; building_interact.cpp
+# doors; building_navigation.cpp:1216-1410 states)
+# ---------------------------------------------------------------------------
+
+def throw_object(inv: PlayerInventory, state, table, origin, direction,
+                 free_slot: int, velocity: float = None):
+    """Throw the last-picked-up inventory item as a physics object
+    (player_inventory_t::use_last_item throw path): removes it from the
+    inventory and spawns a BALL-class projectile carrying its weight."""
+    from ..physics import types as PT
+    import jax.numpy as jnp
+    if not inv.carried:
+        return state, False
+    kind = inv.carried.pop()
+    val, wt, *_ = _PROPS.get(kind, (0.0, 1.0, True, False, 0.0))
+    inv.cur_weight = max(inv.cur_weight - wt, 0.0)
+    inv.cur_value = max(inv.cur_value - val, 0.0)
+    v = THROW_VELOCITY * 400.0 if velocity is None else velocity
+    d = np.asarray(direction, np.float32)
+    d = d / max(np.linalg.norm(d), 1e-9)
+    tid = PT.type_id("BALL")
+    state = state._replace(
+        px=state.px.at[free_slot].set(origin[0]),
+        py=state.py.at[free_slot].set(origin[1]),
+        pz=state.pz.at[free_slot].set(origin[2]),
+        vx=state.vx.at[free_slot].set(v * d[0]),
+        vy=state.vy.at[free_slot].set(v * d[1]),
+        vz=state.vz.at[free_slot].set(v * d[2]),
+        otype=state.otype.at[free_slot].set(tid),
+        status=state.status.at[free_slot].set(1),
+        health=state.health.at[free_slot].set(100.0))
+    return state, True
+
+
+@dataclass
+class DoorState:
+    """Open/closed doors (building interact): closed doors cut the nav
+    edge they carry and muffle sound through them."""
+
+    open: dict = field(default_factory=dict)   # door index -> bool
+
+    def toggle(self, di: int):
+        self.open[di] = not self.open.get(di, True)
+        return self.open[di]
+
+    def is_open(self, di: int) -> bool:
+        return self.open.get(di, True)
+
+
+def nav_graph_with_doors(interior, doors: DoorState) -> PP.NavGraph:
+    """Nav graph where closed doors remove their room-to-room edge
+    (people/zombies can't path through a shut door)."""
+    g = PP.build_nav_graph(interior)
+    fh = getattr(interior, "floor_height", 1.0) or 1.0
+    z1 = getattr(interior, "z1", 0.0)
+    for di, (dx, dy, dz, _dim) in enumerate(interior.doors):
+        if doors.is_open(di):
+            continue
+        # find the edge whose waypoint is this door and cut it
+        for (a, b), (wx, wy) in list(g.waypoints.items()):
+            if abs(wx - dx) < 1e-6 and abs(wy - dy) < 1e-6:
+                if b in g.adj[a]:
+                    g.adj[a].remove(b)
+                if a in g.adj[b]:
+                    g.adj[b].remove(a)
+                del g.waypoints[(a, b)]
+    return g
+
+
+# zombie AI states (ai_room_update state machine)
+Z_WANDER, Z_INVESTIGATE, Z_PURSUE, Z_ATTACK = range(4)
+
+
+@dataclass
+class ZombieAI:
+    """Per-person AI state driving goal selection: wandering zombies
+    that HEAR a sound go investigate its room; seeing the player (same
+    room, or alerted) escalates to pursuit; contact attacks.  The
+    reference drives this per-person in ai_room_update
+    (building_navigation.cpp:2864); goals feed the batched walkers."""
+
+    states: list = field(default_factory=list)
+
+    def ensure(self, n: int):
+        while len(self.states) < n:
+            self.states.append(Z_WANDER)
+
+    def update(self, st: PP.PeopleState, graph: PP.NavGraph, cur_rooms,
+               player_room: int, player_xy, player_floor,
+               alert: SoundAlert, sound_room: int, rg) -> PP.PeopleState:
+        n = len(cur_rooms)
+        self.ensure(n)
+        in_range = zombies_in_attack_range(st, player_xy, player_floor) \
+            if player_room >= 0 else np.zeros(n, bool)
+        dests = []
+        for i in range(n):
+            sees_player = (player_room >= 0 and cur_rooms[i] == player_room)
+            if in_range[i]:
+                self.states[i] = Z_ATTACK
+            elif sees_player or (alert.alerted and self.states[i] == Z_PURSUE):
+                self.states[i] = Z_PURSUE
+            elif alert.alerted and sound_room >= 0:
+                self.states[i] = Z_INVESTIGATE
+            elif self.states[i] in (Z_INVESTIGATE, Z_PURSUE) \
+                    and not alert.alerted:
+                self.states[i] = Z_WANDER
+            dests.append({Z_WANDER: None,
+                          Z_INVESTIGATE: sound_room,
+                          Z_PURSUE: player_room,
+                          Z_ATTACK: player_room}[self.states[i]])
+        # group by destination for assign_goals (None = random wander)
+        px = np.zeros((n, PP.MAX_PATH), np.float32)
+        py = np.zeros((n, PP.MAX_PATH), np.float32)
+        pf = np.zeros((n, PP.MAX_PATH), np.float32)
+        plen = np.zeros(n, np.int32)
+        R = len(graph.centers)
+        import jax.numpy as jnp
+        for i in range(n):
+            dest = dests[i] if dests[i] is not None else rg.rand() % R
+            wps = graph.expand(graph.route(cur_rooms[i], dest))[:PP.MAX_PATH]
+            for k, (wx, wy, wf) in enumerate(wps):
+                px[i, k], py[i, k], pf[i, k] = wx, wy, wf
+            plen[i] = len(wps)
+        return st._replace(path_x=jnp.asarray(px), path_y=jnp.asarray(py),
+                           path_f=jnp.asarray(pf), path_len=jnp.asarray(plen),
+                           path_pos=jnp.zeros((n,), jnp.int32))
+
+
+def loot_room(objs, room_ix: int, inv: PlayerInventory,
+              ach: AchievementTracker = None) -> int:
+    """Pick up every pickupable object in a room (do_room_obj_pickup
+    over the room's contents); returns the number taken."""
+    taken = 0
+    for i, r in enumerate(objs.rooms):
+        if r != room_ix:
+            continue
+        if do_pickup(objs.kinds[i], inv):
+            taken += 1
+    if ach is not None and taken:
+        ach.register("first_pickup")
+        if len(inv.carried) >= 20:
+            ach.register("kleptomaniac")
+    return taken

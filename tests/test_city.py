@@ -803,3 +803,68 @@ def test_connector_legal_grade_search():
     r2 = CR.gen_connector_roads(plots, net2, heightmap=hm2, num_tries=6,
                                 water_z=0.0, seed=3)
     assert r2 == []
+
+
+def test_building_gameplay_depth():
+    """Thrown objects, closed doors cutting nav edges, zombie
+    investigate/pursue state machine, room looting
+    (building_gameplay.cpp / building_navigation.cpp)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from w3d.city import bldg_gameplay as BG, people as CPE, \
+        room_content as RC
+    from w3d.city import floorplan as CF
+    from w3d.physics import types as PT, step as PS
+    from w3d.utils.rng import RandGen
+
+    i = CF.gen_interior((0.0, 0.0, 0.0, 2.0, 1.6, 0.2), 2, 0.1, seed=3)
+    doors = BG.DoorState()
+    g_open = BG.nav_graph_with_doors(i, doors)
+    edges_open = sum(len(a) for a in g_open.adj)
+    # close every door: all door edges vanish (stairs may remain)
+    for di in range(len(i.doors)):
+        doors.toggle(di)
+    g_closed = BG.nav_graph_with_doors(i, doors)
+    edges_closed = sum(len(a) for a in g_closed.adj)
+    assert edges_closed < edges_open
+
+    # throw: inventory item becomes a live projectile
+    inv = BG.PlayerInventory()
+    assert BG.do_pickup(RC.F_BOTTLE, inv) or BG.do_pickup(RC.F_LAMP, inv)
+    table = PT.make_type_table()
+    st = PS.make_state(np.zeros((4, 3), np.float32),
+                       np.zeros((4, 3), np.float32),
+                       np.full(4, PT.type_id("BALL")), table)
+    st = st._replace(status=st.status.at[:].set(0))
+    st2, ok = BG.throw_object(inv, st, table, (0.5, 0.5, 0.15), (1, 0, 0.2), 0)
+    assert ok and int(np.asarray(st2.status)[0]) == 1
+    assert float(np.asarray(st2.vx)[0]) > 0
+    assert not inv.carried
+
+    # zombie state machine: sound -> investigate; same room -> pursue
+    g = CPE.build_nav_graph(i)
+    st_p = CPE.make_people(g, 4, seed=2)
+    rg = RandGen(3, 7)
+    ai = BG.ZombieAI()
+    alert = BG.SoundAlert()
+    cur = [0, 0, 1, 1]
+    quiet = BG.SoundAlert()
+    ai.update(st_p, g, cur, player_room=-1, player_xy=(9, 9),
+              player_floor=0, alert=quiet, sound_room=-1, rg=rg)
+    assert all(s == BG.Z_WANDER for s in ai.states)
+    alert.register(0.5, (0.5, 0.5, 0.0))
+    ai.update(st_p, g, cur, player_room=2, player_xy=(9, 9),
+              player_floor=0, alert=alert, sound_room=1, rg=rg)
+    assert all(s in (BG.Z_INVESTIGATE, BG.Z_PURSUE) for s in ai.states)
+    # person in the player's room escalates to pursue
+    ai2 = BG.ZombieAI()
+    ai2.update(st_p, g, [2, 0, 0, 0], player_room=2, player_xy=(9, 9),
+               player_floor=0, alert=alert, sound_room=1, rg=rg)
+    assert ai2.states[0] == BG.Z_PURSUE
+
+    # looting a furnished room picks up its pickupable objects
+    objs = RC.furnish_rooms(i, 0.1, seed=4)
+    inv2 = BG.PlayerInventory()
+    rooms_with_objs = sorted(set(objs.rooms))
+    total = sum(BG.loot_room(objs, r, inv2) for r in rooms_with_objs)
+    assert total > 0 and len(inv2.carried) >= 1

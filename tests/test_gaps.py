@@ -271,7 +271,11 @@ def test_movable_push_and_settle():
     co4 = co4._replace(is_movable=co4.is_movable.at[0].set(True))
     co5 = MV.push_movable_cobjs(co4, jnp.zeros(co4.size).at[0].set(0.03),
                                 jnp.zeros(co4.size))
-    assert float(co5.p1[0, 0]) == 0.0          # blocked
+    # binary-step semantics: slides up to contact with the 1.005 gap,
+    # never past it (binary_step_moving_cobj_delta)
+    moved = float(co5.p1[0, 0])
+    assert moved <= 0.005 + 1e-5, moved
+    assert 1.0 + moved <= 1.005 + 1e-5
 
 
 def test_ship_config_parser(tmp_path):
