@@ -477,3 +477,91 @@ def test_every_reference_texture_resolves():
     a = TC.get_reference_texture("shiphull.jpg", n=32)
     b = TC.get_reference_texture("shiphull.jpg", n=32)
     np.testing.assert_array_equal(a, b)
+
+
+def test_stl_ply_off_loaders_and_dispatcher(tmp_path):
+    """STL (binary + ascii), PLY (ascii + binary), OFF readers and the
+    unified load_model extension dispatcher (the reference reads these
+    through Assimp; model3d.cpp)."""
+    import struct
+    import numpy as np
+    from w3d.scene.read_mesh_formats import (load_stl, load_ply, load_off,
+                                             load_model)
+
+    # one tetrahedron
+    V = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    F = np.array([[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]], np.int32)
+
+    # binary STL
+    p_stl = str(tmp_path / "t.stl")
+    with open(p_stl, "wb") as f:
+        f.write(b"\x00" * 80)
+        f.write(struct.pack("<I", len(F)))
+        for tri in F:
+            f.write(struct.pack("<3f", 0, 0, 1))
+            for vi in tri:
+                f.write(struct.pack("<3f", *V[vi]))
+            f.write(struct.pack("<H", 0))
+    m = load_stl(p_stl)
+    assert m.faces.shape == (4, 3) and len(m.positions) == 4
+
+    # ascii STL
+    p_stla = str(tmp_path / "ta.stl")
+    with open(p_stla, "w") as f:
+        f.write("solid t\n")
+        for tri in F:
+            f.write("facet normal 0 0 1\nouter loop\n")
+            for vi in tri:
+                f.write("vertex %f %f %f\n" % tuple(V[vi]))
+            f.write("endloop\nendfacet\n")
+        f.write("endsolid t\n")
+    m2 = load_stl(p_stla)
+    assert m2.faces.shape == (4, 3)
+
+    # ascii PLY with an extra vertex property + a quad face (fan split)
+    p_ply = str(tmp_path / "t.ply")
+    with open(p_ply, "w") as f:
+        f.write("ply\nformat ascii 1.0\nelement vertex 4\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                "property uchar red\n"
+                "element face 3\nproperty list uchar int vertex_indices\n"
+                "end_header\n")
+        for v in V:
+            f.write("%f %f %f 255\n" % tuple(v))
+        f.write("3 0 1 2\n3 0 1 3\n4 0 1 2 3\n")
+    m3 = load_ply(p_ply)
+    assert len(m3.positions) == 4
+    assert m3.faces.shape == (4, 3)            # quad -> 2 triangles
+
+    # binary PLY
+    p_plyb = str(tmp_path / "tb.ply")
+    with open(p_plyb, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\nelement vertex 4\n"
+                b"property float x\nproperty float y\nproperty float z\n"
+                b"element face 2\nproperty list uchar int vertex_indices\n"
+                b"end_header\n")
+        for v in V:
+            f.write(struct.pack("<3f", *v))
+        for tri in F[:2]:
+            f.write(struct.pack("<B3i", 3, *tri))
+    m4 = load_ply(p_plyb)
+    assert len(m4.positions) == 4 and m4.faces.shape == (2, 3)
+
+    # OFF
+    p_off = str(tmp_path / "t.off")
+    with open(p_off, "w") as f:
+        f.write("OFF\n4 2 0\n")
+        for v in V:
+            f.write("%f %f %f\n" % tuple(v))
+        f.write("3 0 1 2\n3 0 2 3\n")
+    m5 = load_off(p_off)
+    assert len(m5.positions) == 4 and m5.faces.shape == (2, 3)
+
+    # dispatcher
+    assert load_model(p_stl).faces.shape == (4, 3)
+    assert load_model(p_off).faces.shape == (2, 3)
+    try:
+        load_model(str(tmp_path / "x.fbx"))
+        assert False
+    except ValueError:
+        pass
