@@ -100,7 +100,8 @@ def test_blast_and_weapons():
                         np.full(1, PT.type_id("BALL")), table)
     st4 = GG.apply_blast(st3, 0.0, 0.0, 0.0, 1.0, 50000.0)
     assert int(st4.status[0]) == 1
-    st5 = GG.fire_weapon(st, [5], 0, (0, 0, 1), (1, 0, 0), table)
+    st5 = GG.fire_weapon(st, [5], GG.WEAPON_INDEX["rocket"], (0, 0, 1),
+                         (1, 0, 0), table)
     assert int(st5.otype[5]) == PT.type_id("ROCKET")
     assert float(st5.vx[5]) == 2.0
 
