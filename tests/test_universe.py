@@ -103,7 +103,8 @@ def test_blast_and_weapons():
     st5 = GG.fire_weapon(st, [5], GG.WEAPON_INDEX["rocket"], (0, 0, 1),
                          (1, 0, 0), table)
     assert int(st5.otype[5]) == PT.type_id("ROCKET")
-    assert float(st5.vx[5]) == 2.0
+    # fire velocity = v_add + v_mult * |shooter_vel| (stationary: 3.1)
+    assert abs(float(st5.vx[5]) - 3.1) < 1e-4
 
 
 def test_smiley_ai_seek_and_flee():
