@@ -342,3 +342,84 @@ def orbital_regen(f: FleetState, dock_pos, dock_align, rate: float = 2.0,
     armor = jnp.where(near & f.alive,
                       jnp.minimum(f.armor + rate, amax), f.armor)
     return f._replace(armor=armor)
+
+
+# ---------------------------------------------------------------------------
+# player ship control (u_ship::thrust, u_ship.cpp:282-340; player turn /
+# hyperspeed semantics)
+# ---------------------------------------------------------------------------
+
+MOVE_FRONT, MOVE_BACK, MOVE_LEFT, MOVE_RIGHT, MOVE_STOP = range(5)
+HYPERSPEED_MULT = 20.0     # hyperspeed_mult default
+PLAYER_TURN_RATE = 0.08
+
+
+class PlayerShip(NamedTuple):
+    """The player-controlled ship (pos/vel/facing/up + hyperspeed latch);
+    steered by thrust() commands per frame like the reference's
+    player_controlled path."""
+
+    px: jax.Array
+    py: jax.Array
+    pz: jax.Array
+    vx: jax.Array
+    vy: jax.Array
+    vz: jax.Array
+    dx: jax.Array       # facing
+    dy: jax.Array
+    dz: jax.Array
+    cls: jax.Array
+    hyper: jax.Array    # bool latch (lhyper)
+
+
+def make_player_ship(cls: int = 1, pos=(0.0, 0.0, 0.0)) -> PlayerShip:
+    f = jnp.float32
+    return PlayerShip(px=f(pos[0]), py=f(pos[1]), pz=f(pos[2]),
+                      vx=f(0), vy=f(0), vz=f(0),
+                      dx=f(1), dy=f(0), dz=f(0),
+                      cls=jnp.int32(cls), hyper=jnp.asarray(False))
+
+
+@functools.partial(jax.jit, static_argnames=("tdir",))
+def player_thrust(s: PlayerShip, tdir: int, speed: float = 1.0,
+                  hyperspeed: bool = False) -> PlayerShip:
+    """One thrust command (u_ship::thrust): FRONT accelerates along the
+    facing up to max_speed (x HYPERSPEED_MULT in hyperspeed, latched
+    until slow — lhyper), BACK reverses, STOP brakes toward zero,
+    LEFT/RIGHT yaw the facing at the player turn rate."""
+    oh = jax.nn.one_hot(s.cls, NUM_SHIP_CLASSES, dtype=jnp.float32)
+    tbl = jnp.asarray(SHIP_CLASSES)
+    accel = jnp.sum(oh * tbl[:, 0])
+    vmax = jnp.sum(oh * tbl[:, 1])
+    if tdir in (MOVE_LEFT, MOVE_RIGHT):
+        ang = (-1.0 if tdir == MOVE_LEFT else 1.0) * PLAYER_TURN_RATE * speed
+        ca, sa = jnp.cos(ang), jnp.sin(ang)
+        ndx = s.dx * ca - s.dy * sa
+        ndy = s.dx * sa + s.dy * ca
+        return s._replace(dx=ndx, dy=ndy)
+    sp = jnp.sqrt(s.vx ** 2 + s.vy ** 2 + s.vz ** 2)
+    # hyperspeed latch: stays on until speed drops below normal max
+    hyper = jnp.where(jnp.asarray(hyperspeed), True,
+                      s.hyper & (sp > vmax))
+    cap = jnp.where(hyper, HYPERSPEED_MULT * vmax, vmax)
+    if tdir == MOVE_FRONT:
+        a = accel * speed * jnp.where(hyper, HYPERSPEED_MULT, 1.0)
+        vx = s.vx + a * s.dx
+        vy = s.vy + a * s.dy
+        vz = s.vz + a * s.dz
+    elif tdir == MOVE_BACK:
+        vx = s.vx - accel * speed * s.dx
+        vy = s.vy - accel * speed * s.dy
+        vz = s.vz - accel * speed * s.dz
+    else:   # MOVE_STOP: brake toward zero (stoppable classes)
+        brake = jnp.maximum(1.0 - accel * speed * 50.0, 0.0)
+        vx, vy, vz = s.vx * brake, s.vy * brake, s.vz * brake
+    nsp = jnp.sqrt(vx * vx + vy * vy + vz * vz) + 1e-12
+    scl = jnp.minimum(1.0, cap / nsp)
+    return s._replace(vx=vx * scl, vy=vy * scl, vz=vz * scl, hyper=hyper)
+
+
+@jax.jit
+def player_ship_frame(s: PlayerShip) -> PlayerShip:
+    """Advance the player ship one frame (free_obj::advance_time core)."""
+    return s._replace(px=s.px + s.vx, py=s.py + s.vy, pz=s.pz + s.vz)

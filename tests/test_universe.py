@@ -265,3 +265,41 @@ def test_orbital_regen_heals_friendlies_near_dock():
     assert a[0] > 10.0          # friendly in range heals
     assert a[1] == 10.0         # enemy in range doesn't
     assert a[2] == 10.0         # friendly out of range doesn't
+
+
+def test_player_ship_controls():
+    """u_ship::thrust player semantics: yaw turns, front accel capped at
+    max speed, hyperspeed latch (lhyper) persists until slow, stop
+    brakes."""
+    import numpy as np
+    from w3d.universe import ships as US
+
+    s = US.make_player_ship(cls=US.CLS_CRUISER)
+    vmax = float(np.asarray(US.SHIP_CLASSES)[US.CLS_CRUISER, 1])
+    # accelerate to max speed
+    for _ in range(100):
+        s = US.player_thrust(s, US.MOVE_FRONT)
+        s = US.player_ship_frame(s)
+    sp = float(np.sqrt(s.vx**2 + s.vy**2 + s.vz**2))
+    assert abs(sp - vmax) < 1e-5
+    assert float(s.px) > 0
+    # hyperspeed exceeds the cap and latches
+    for _ in range(200):
+        s = US.player_thrust(s, US.MOVE_FRONT, hyperspeed=True)
+        s = US.player_ship_frame(s)
+    sph = float(np.sqrt(s.vx**2 + s.vy**2 + s.vz**2))
+    assert sph > 5.0 * vmax
+    s2 = US.player_thrust(s, US.MOVE_FRONT)        # no hyper flag: latched
+    assert bool(s2.hyper)
+    # braking drops below vmax -> latch releases
+    for _ in range(200):
+        s = US.player_thrust(s, US.MOVE_STOP)
+    assert float(np.sqrt(s.vx**2 + s.vy**2 + s.vz**2)) < 0.3 * vmax
+    assert not bool(US.player_thrust(s, US.MOVE_FRONT).hyper)
+    # turning yaws the facing, keeps it unit length
+    s3 = US.make_player_ship()
+    for _ in range(10):
+        s3 = US.player_thrust(s3, US.MOVE_LEFT)
+    d = np.array([float(s3.dx), float(s3.dy), float(s3.dz)])
+    assert abs(np.linalg.norm(d) - 1.0) < 1e-5
+    assert abs(float(s3.dy)) > 0.5
