@@ -121,17 +121,29 @@ class TiledWorld:
 
 @dataclass
 class UniverseWorld:
-    """WMODE_UNIVERSE session: cell paging + fleet combat."""
+    """WMODE_UNIVERSE session: cell paging + fleet combat + the
+    player-controlled ship."""
 
     state: object
     fleet: object = None
+    player_ship: object = None
     frame: int = 0
     key: object = field(default_factory=lambda: jax.random.key(1))
 
-    def step(self, player_pos):
-        """draw_universe: process_ships + lazy cell gen."""
+    def step(self, player_pos, controls=()):
+        """draw_universe: player thrust commands + process_ships + lazy
+        cell gen.  `controls` = [(tdir, speed, hyperspeed), ...] for this
+        frame (u_ship::thrust inputs)."""
         from ..universe import ships as USH
 
+        if self.player_ship is not None:
+            for (tdir, speed, hyper) in controls:
+                self.player_ship = USH.player_thrust(
+                    self.player_ship, tdir, speed, hyper)
+            self.player_ship = USH.player_ship_frame(self.player_ship)
+            player_pos = (float(self.player_ship.px),
+                          float(self.player_ship.py),
+                          float(self.player_ship.pz))
         created, freed = self.state.update(player_pos)
         if self.fleet is not None:
             self.fleet = USH.step_fleet(self.fleet,
