@@ -755,3 +755,26 @@ def step_helis(h: HeliState, pads, key) -> HeliState:
         pad=jnp.where(touched, new_pad, h.pad),
         phase=phase,
         wait=jnp.where(touched, new_wait, wait))
+
+
+CAR_LEN = 0.27      # nominal car size (city_params get_nom_car_size)
+CAR_WID = 0.12
+CAR_HGT = 0.09
+
+
+def car_geometry(cars: CarState, graph: RoadGraph, ground_z: float = 0.0):
+    """Oriented car boxes for export/collision (car_t bcube + dim/dir,
+    car_draw in the reference renders models into these): returns
+    (cx, cy, cz, half_len_x, half_len_y, half_h, heading) with the long
+    axis along the travel direction; parked cars sit in their spots
+    aligned to +x."""
+    x, y = car_positions(cars, graph)
+    oh = jax.nn.one_hot(cars.seg, graph.x1.shape[0], dtype=jnp.float32)
+    dim = (oh @ graph.dim.astype(jnp.float32)).astype(jnp.int32)
+    along_x = jnp.where(cars.parked, True, dim == 0)
+    hx = jnp.where(along_x, 0.5 * CAR_LEN, 0.5 * CAR_WID)
+    hy = jnp.where(along_x, 0.5 * CAR_WID, 0.5 * CAR_LEN)
+    d1x, d1y = _seg_dir_vec(dim, cars.end)
+    heading = jnp.where(cars.parked, 0.0, jnp.arctan2(d1y, d1x))
+    return (x, y, jnp.full_like(x, ground_z + 0.5 * CAR_HGT),
+            hx, hy, jnp.full_like(x, 0.5 * CAR_HGT), heading)

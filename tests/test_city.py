@@ -868,3 +868,24 @@ def test_building_gameplay_depth():
     rooms_with_objs = sorted(set(objs.rooms))
     total = sum(BG.loot_room(objs, r, inv2) for r in rooms_with_objs)
     assert total > 0 and len(inv2.carried) >= 1
+
+
+def test_car_geometry_oriented_boxes():
+    import numpy as np
+    import jax
+    net, CT = _small_city()
+    graph = CT.build_road_graph(net)
+    spots = CT.gen_parking_spots(net.blocks)
+    cars = CT.make_cars(24, graph, seed=2, spots=spots, parked_frac=0.3)
+    cx, cy, cz, hx, hy, hz, hd = CT.car_geometry(cars, graph)
+    hx, hy = np.asarray(hx), np.asarray(hy)
+    dim = np.asarray((jax.nn.one_hot(cars.seg, graph.x1.shape[0])
+                      @ graph.dim.astype(np.float32))).astype(int)
+    parked = np.asarray(cars.parked)
+    # moving cars on y-roads have the long axis along y
+    on_y = (~parked) & (dim == 1)
+    if on_y.any():
+        assert (hy[on_y] > hx[on_y]).all()
+    # parked cars align to +x
+    if parked.any():
+        assert (hx[parked] > hy[parked]).all()
