@@ -4,8 +4,8 @@ The reference reads everything beyond .obj/.3ds through Assimp
 (model3d.cpp load path; Assimp covers STL/PLY/OFF/FBX/DAE/...).  Here
 the common interchange formats get native stdlib readers, and
 `load_model` dispatches by extension across every supported format
-(.obj fast native parser, .3ds chunks, .gltf/.glb, .stl, .ply, .off).
-FBX/DAE (proprietary/XML-heavy) are not covered.
+(.obj fast native parser, .3ds chunks, .gltf/.glb, .stl, .ply, .off,
+.dae COLLADA geometry).  Binary FBX (proprietary) is not covered.
 """
 
 from __future__ import annotations
@@ -182,5 +182,80 @@ def load_model(path: str) -> Model3d:
         return load_ply(path)
     if ext == ".off":
         return load_off(path)
+    if ext == ".dae":
+        return load_dae(path)
     raise ValueError(f"unsupported model format '{ext}' "
-                     "(.obj/.3ds/.gltf/.glb/.stl/.ply/.off)")
+                     "(.obj/.3ds/.gltf/.glb/.stl/.ply/.off/.dae)")
+
+
+def load_dae(path: str) -> Model3d:
+    """COLLADA (.dae) geometry: positions + triangulated faces from every
+    <geometry> in the library, instanced un-transformed (the reference
+    reads DAE through Assimp; this covers the mesh payload — node
+    transforms and materials are ignored)."""
+    import xml.etree.ElementTree as ET
+    tree = ET.parse(path)
+    root = tree.getroot()
+    # namespace-agnostic tag matching
+    def tag(e):
+        return e.tag.rsplit("}", 1)[-1]
+
+    def findall(e, name):
+        return [c for c in e.iter() if tag(c) == name]
+
+    all_pos = []
+    all_faces = []
+    voff = 0
+    for geom in findall(root, "geometry"):
+        for mesh in [c for c in geom if tag(c) == "mesh"]:
+            sources = {}
+            for src in [c for c in mesh if tag(c) == "source"]:
+                arr = [c for c in src if tag(c) == "float_array"]
+                if arr:
+                    sources["#" + src.get("id")] = np.asarray(
+                        arr[0].text.split(), np.float32)
+            # vertices indirection: <vertices id> -> POSITION source
+            vert_src = {}
+            for v in [c for c in mesh if tag(c) == "vertices"]:
+                for inp in [c for c in v if tag(c) == "input"]:
+                    if inp.get("semantic") == "POSITION":
+                        vert_src["#" + v.get("id")] = inp.get("source")
+            for prim in [c for c in mesh if tag(c) in
+                         ("triangles", "polylist")]:
+                inputs = [c for c in prim if tag(c) == "input"]
+                stride = 1 + max(int(i.get("offset", 0)) for i in inputs)
+                pos_key = None
+                pos_off = 0
+                for i in inputs:
+                    if i.get("semantic") == "VERTEX":
+                        pos_key = vert_src.get(i.get("source"),
+                                               i.get("source"))
+                        pos_off = int(i.get("offset", 0))
+                pos = sources[pos_key].reshape(-1, 3)
+                p_el = [c for c in prim if tag(c) == "p"]
+                if not p_el:
+                    continue
+                idx = np.asarray(p_el[0].text.split(), np.int64)
+                vidx = idx.reshape(-1, stride)[:, pos_off]
+                if tag(prim) == "triangles":
+                    f = vidx.reshape(-1, 3)
+                else:          # polylist: fan-triangulate via vcount
+                    vc_el = [c for c in prim if tag(c) == "vcount"]
+                    vcount = np.asarray(vc_el[0].text.split(), np.int64)
+                    f = []
+                    k = 0
+                    for c in vcount:
+                        for j in range(1, c - 1):
+                            f.append((vidx[k], vidx[k + j], vidx[k + j + 1]))
+                        k += c
+                    f = np.asarray(f, np.int64).reshape(-1, 3)
+                all_pos.append(pos)
+                all_faces.append(f + voff)
+                voff += len(pos)
+    if not all_pos:
+        raise ValueError(f"no geometry in {path}")
+    P = np.concatenate(all_pos).astype(np.float32)
+    F = np.concatenate(all_faces).astype(np.int32)
+    nn, uu, fn, fu = _empty_aux(len(F))
+    return Model3d(positions=P, normals=nn, uvs=uu, faces=F,
+                   face_normals=fn, face_uvs=fu)

@@ -565,3 +565,35 @@ def test_stl_ply_off_loaders_and_dispatcher(tmp_path):
         assert False
     except ValueError:
         pass
+
+
+def test_dae_collada_loader(tmp_path):
+    """COLLADA geometry extraction: triangles + polylist fans, vertices
+    indirection, namespaced tags."""
+    import numpy as np
+    from w3d.scene.read_mesh_formats import load_dae, load_model
+    dae = """<?xml version="1.0"?>
+<COLLADA xmlns="http://www.collada.org/2005/11/COLLADASchema" version="1.4.1">
+ <library_geometries>
+  <geometry id="g1"><mesh>
+   <source id="pos"><float_array id="pa" count="12">
+     0 0 0  1 0 0  0 1 0  0 0 1</float_array></source>
+   <vertices id="verts"><input semantic="POSITION" source="#pos"/></vertices>
+   <triangles count="2">
+    <input semantic="VERTEX" source="#verts" offset="0"/>
+    <p>0 1 2  0 1 3</p>
+   </triangles>
+   <polylist count="1">
+    <input semantic="VERTEX" source="#verts" offset="0"/>
+    <vcount>4</vcount>
+    <p>0 1 2 3</p>
+   </polylist>
+  </mesh></geometry>
+ </library_geometries>
+</COLLADA>"""
+    p = str(tmp_path / "m.dae")
+    open(p, "w").write(dae)
+    m = load_dae(p)
+    assert len(m.positions) == 8          # geometry appended per-primitive
+    assert m.faces.shape == (4, 3)        # 2 tris + quad fan (2)
+    assert load_model(p).faces.shape == (4, 3)
