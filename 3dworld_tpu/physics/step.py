@@ -899,3 +899,40 @@ def step_objects_fused(
     status = jnp.where((life > 0) & (time.astype(jnp.float32) > life), 0,
                        state.status)
     return state._replace(time=time, status=status)
+
+
+def local_wind_field(px, py, pz, wind, mesh, world: WorldConst,
+                     zbottom, ztop, t_offset=0.0, seed: int = 0):
+    """Batched get_local_wind (Physics.cpp:649-676): under the mesh no
+    wind; near the surface the wind follows the terrain contour
+    (orthogonalized against the vertex normal, z damped 10x) blended by
+    (1 - rel_height)^2; pressure rises over hills; spatial intensity
+    modulates by a drifting noise field (the WIND_TEX lookup)."""
+    from ..utils import rng as w3d_rng
+    mh, nx, ny, nz = sample_mesh(mesh, px, py, world)
+    wx, wy, wz = wind[0], wind[1], wind[2]
+    d = wx * nx + wy * ny + wz * nz
+    ox = wx - d * nx
+    oy = wy - d * ny
+    oz = (wz - d * nz) * 0.1            # z component much smaller
+    span = jnp.maximum(ztop - mh, 1e-6)
+    rel = jnp.clip((pz - mh) / span, 0.0, 1.0)
+    hval = (1.0 - rel) ** 2
+    pressure = jnp.minimum(2.0, 0.5 * (ztop - zbottom) / jnp.maximum(
+        ztop - mh, 1e-6))
+    lwx = ox * hval + wx * (1.0 - hval)
+    lwy = oy * hval + wy * (1.0 - hval)
+    lwz = oz * hval + wz * (1.0 - hval)
+    # wind-texture intensity: hashed cell noise drifting with total wind
+    gx = (px * world.dx_inv + t_offset).astype(jnp.int32).astype(jnp.uint32)
+    gy = (py * world.dy_inv + t_offset).astype(jnp.int32).astype(jnp.uint32)
+    h = w3d_rng.xxhash_u32(gx * jnp.uint32(92837111) ^ gy, seed=seed)
+    tex = (h & 0xFFFF).astype(jnp.float32) / 65535.0
+    inten = jnp.clip(1.0 - 2.0 * tex, 0.0, 1.0)
+    scale = pressure * (hval * inten + (1.0 - hval))
+    under = pz < mh
+    above = pz > ztop
+    def sel(lc, w):
+        v = lc * scale
+        return jnp.where(under, 0.0, jnp.where(above, w, v))
+    return sel(lwx, wx), sel(lwy, wy), sel(lwz, wz)

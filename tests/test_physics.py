@@ -408,3 +408,32 @@ def test_movable_push_binary_step_partial_motion():
     assert 0.04 < moved < 0.08, moved          # partial, not zero
     # final position does not penetrate the wall
     assert 0.2 + moved <= 0.25 + 1e-5
+
+
+def test_local_wind_contour_following():
+    """get_local_wind (Physics.cpp:649-676): zero under the mesh, base
+    wind far above, contour-following with damped z near the surface."""
+    import numpy as np
+    import jax.numpy as jnp
+    from w3d.physics import step as PS
+    from w3d.utils.constants import WorldConst
+
+    W = WorldConst()
+    # a slope in x: mesh height rises with x
+    xx = np.linspace(-1, 1, W.mesh_x, dtype=np.float32)
+    mesh = jnp.asarray(np.tile(xx * 0.5, (W.mesh_y, 1)))
+    wind = jnp.asarray([0.5, 0.0, 0.0], jnp.float32)
+    px = jnp.asarray([0.0, 0.0, 0.0])
+    py = jnp.zeros(3)
+    # under the mesh / just above the surface / far above
+    mh0 = 0.0
+    pz = jnp.asarray([mh0 - 0.5, mh0 + 0.02, 5.0])
+    wx, wy, wz = PS.local_wind_field(px, py, pz, wind, mesh, W,
+                                     zbottom=-1.0, ztop=2.0)
+    wx, wz = np.asarray(wx), np.asarray(wz)
+    assert wx[0] == 0.0 and wz[0] == 0.0          # under mesh: no wind
+    np.testing.assert_allclose(wx[2], 0.5, atol=1e-6)   # far above: base
+    # near the slope: wind deflects along the surface -> gains +z,
+    # loses x relative to base (normal tilts against +x wind)
+    assert 0.0 < wx[1] < 0.5
+    assert wz[1] > 0.0
