@@ -190,3 +190,65 @@ def update_valleys(mesh, labels, volumes, world=DEFAULT_WORLD,
     zval, water = basin_fill_levels(mesh, merged, vols, world)
     wet = water > mesh
     return zval, water, wet, merged
+
+
+def basin_spill_points(mesh, labels):
+    """Per-basin spill point + saddle height (valley::spill_func): the
+    lowest boundary saddle of each basin and its cell position.  Host
+    build (irregular) for the float_downstream drift."""
+    import numpy as np
+    m = np.asarray(mesh)
+    my, mx = m.shape
+    lab = np.asarray(labels).reshape(my, mx)
+    best = {}
+    for (dy, dx) in ((0, 1), (1, 0)):
+        a = lab[:my - dy, :mx - dx]
+        b = lab[dy:, dx:]
+        h = np.maximum(m[:my - dy, :mx - dx], m[dy:, dx:])
+        diff = a != b
+        ys, xs = np.nonzero(diff)
+        for y, x in zip(ys, xs):
+            for basin in (a[y, x], b[y, x]):
+                if basin not in best or h[y, x] < best[basin][0]:
+                    best[basin] = (float(h[y, x]), x + dx * 0.5, y + dy * 0.5)
+    nb = int(lab.max()) + 1
+    sx = np.zeros(nb, np.float32)
+    sy = np.zeros(nb, np.float32)
+    sz = np.full(nb, np.inf, np.float32)
+    for basin, (h, x, y) in best.items():
+        if 0 <= basin < nb:
+            sz[basin] = h
+            sx[basin] = x
+            sy[basin] = y
+    return sx, sy, sz
+
+
+def float_downstream(px, py, pz, rad, labels, water, mesh,
+                     spill_x, spill_y, spill_z, spill_flow,
+                     world=DEFAULT_WORLD):
+    """Batched float_downstream (Water.cpp:1245-1260): floating objects
+    in a SPILLING basin drift toward its spill point with velocity
+    ~ spill flow / distance (capped at 0.005/frame).  Returns (dx, dy)
+    position deltas."""
+    my, mx = np.asarray(mesh).shape if hasattr(mesh, "shape") else mesh.shape
+    gx = jnp.clip(jnp.floor(px * world.dx_inv + mx // 2), 0, mx - 1).astype(jnp.int32)
+    gy = jnp.clip(jnp.floor(py * world.dy_inv + my // 2), 0, my - 1).astype(jnp.int32)
+    lab = jnp.asarray(labels).reshape(my, mx)[gy, gx]
+    wl = jnp.asarray(water)[gy, gx]
+    mh = jnp.asarray(mesh)[gy, gx]
+    spx = jnp.asarray(spill_x)[lab]
+    spy = jnp.asarray(spill_y)[lab]
+    spz = jnp.asarray(spill_z)[lab]
+    flow = jnp.asarray(spill_flow)[lab]
+    # world coords of the spill cell
+    tx = (spx - mx // 2) * world.dx
+    ty = (spy - my // 2) * world.dy
+    # spilling = water over the saddle; floating = above the bottom
+    active = (wl > mh) & (wl > spz) & jnp.isfinite(spz) & (flow > 0.0) \
+        & ((pz - rad) > (mh + 0.5 * rad))
+    ex = tx - px
+    ey = ty - py
+    dist = jnp.sqrt(ex * ex + ey * ey) + 1e-9
+    vel = jnp.minimum(0.005, 5.0e-5 * flow / (world.dx + world.dy + dist))
+    s = jnp.where(active, vel / dist, 0.0)
+    return s * ex, s * ey

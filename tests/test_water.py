@@ -184,3 +184,40 @@ def test_snow_deflects_off_steep_surfaces():
     assert over_r < over_p - 1.0, (over_r, over_p)
     # far-field ground records the mesh height in both
     assert abs(sz_r[5, 5] - (-1.0)) < 0.1
+
+
+def test_float_downstream_drifts_toward_spill():
+    """float_downstream (Water.cpp:1245-1260): floats in a spilling
+    basin drift toward the basin's spill saddle; non-spilling basins
+    don't drift."""
+    import numpy as np
+    import jax.numpy as jnp
+    from w3d.water import valleys as WV
+    from w3d.utils.constants import WorldConst
+
+    W = WorldConst(mesh_x=32, mesh_y=32)
+    # two clean valleys with minima at x=8 and x=24, saddle at x=16
+    yy, xx = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    m = (np.minimum(np.abs(xx - 8), np.abs(xx - 24)) * 0.1
+         + 0.001 * np.abs(yy - 16)).astype(np.float32)
+    mesh = jnp.asarray(m)
+    labels = WV.watershed_labels(mesh)
+    sx, sy, sz = WV.basin_spill_points(mesh, labels)
+    lab0 = int(np.asarray(labels).reshape(32, 32)[16, 10])
+    assert np.isfinite(sz[lab0])
+    assert abs(sz[lab0] - 0.8) < 0.1       # the x=16 ridge
+    # water above the saddle -> spilling
+    water = jnp.full((32, 32), 0.9, jnp.float32)
+    flow = np.zeros(len(sx), np.float32)
+    flow[lab0] = 500.0
+    px = jnp.asarray([(10 - 16) * W.dx])
+    py = jnp.asarray([0.0])
+    pz = jnp.asarray([0.88])
+    rad = jnp.asarray([0.01])
+    dx, dy = WV.float_downstream(px, py, pz, rad, labels, water, mesh,
+                                 sx, sy, sz, jnp.asarray(flow), W)
+    assert float(dx[0]) > 0.0          # drifts toward the +x saddle
+    # no flow -> no drift
+    dx2, _ = WV.float_downstream(px, py, pz, rad, labels, water, mesh,
+                                 sx, sy, sz, jnp.zeros(len(sx)), W)
+    assert float(dx2[0]) == 0.0
