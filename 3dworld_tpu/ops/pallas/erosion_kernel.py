@@ -185,7 +185,18 @@ def _erosion_kernel(par_ref, hm_ref, xi_ref, zi_ref, ang_ref, out_ref, *,
             h00, h10, h01, h11, jnp.ones((1, B), jnp.float32),
             jnp.zeros((ny, nx), jnp.float32))
     final = jax.lax.fori_loop(0, steps, step_fn, init)
-    out_ref[0, :, :] = final[-1]
+    # cap deposit: droplets alive at the step cap drop their carried
+    # sediment where they stand (matches ops/erosion._walk_batch; the
+    # reference walks to natural death, so discarding capped sediment
+    # would inflate net erosion)
+    (fxi, fzi, _fxp, _fzp, fxf, fzf, _fdx, _fdz, fs, _fv, _fw, _fh,
+     _h00, _h10, _h01, _h11, falive, fdelta) = final
+    fdep = jnp.where(falive > 0.5, fs, 0.0) * erode_amount
+    Zf = onehot_y(fzi) * (1 - fzf) + onehot_y(fzi + 1.0) * fzf
+    Xf = onehot_x(fxi) * (1 - fxf) + onehot_x(fxi + 1.0) * fxf
+    fmap = jax.lax.dot_general(Zf * fdep, Xf, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    out_ref[0, :, :] = fdelta + fmap
 
 
 @functools.partial(

