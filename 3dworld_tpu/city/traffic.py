@@ -778,3 +778,115 @@ def car_geometry(cars: CarState, graph: RoadGraph, ground_z: float = 0.0):
     heading = jnp.where(cars.parked, 0.0, jnp.arctan2(d1y, d1x))
     return (x, y, jnp.full_like(x, ground_z + 0.5 * CAR_HGT),
             hx, hy, jnp.full_like(x, 0.5 * CAR_HGT), heading)
+
+
+# ---------------------------------------------------------------------------
+# city birds (city_birds.cpp): standing / takeoff / flying / gliding /
+# landing between perch points on city objects and roofs
+# ---------------------------------------------------------------------------
+
+(BIRD_STANDING, BIRD_TAKEOFF, BIRD_FLYING, BIRD_GLIDING,
+ BIRD_LANDING) = range(5)
+BIRD_SPEED = 0.012
+BIRD_VSPEED = 0.006
+BIRD_CRUISE = 0.35
+
+
+def bird_perches(objs, buildings, max_perches: int = 64):
+    """Perch points: tops of perchable city objects (benches, mailboxes,
+    streetlights — add_bird_loc, city_obj_placer.cpp:671) + building
+    roof centers."""
+    from . import objects as CO
+    pts = []
+    if objs is not None and len(objs.x):
+        perchable = {CO.KIND_INDEX[k] for k in
+                     ("bench", "mailbox", "streetlight", "hydrant",
+                      "power_pole", "statue")}
+        for i in range(len(objs.x)):
+            if int(objs.kind[i]) in perchable:
+                pts.append((float(objs.x[i]), float(objs.y[i]),
+                            float(CO.KIND_HEIGHT[objs.kind[i]])))
+    for b in buildings or []:
+        (x1, y1, _z1, x2, y2, z2) = b.parts[-1]
+        pts.append((0.5 * (x1 + x2), 0.5 * (y1 + y2), z2))
+    if not pts:
+        pts = [(0.0, 0.0, 0.0)]
+    return np.asarray(pts[:max_perches], np.float32)
+
+
+class BirdState(NamedTuple):
+    px: jax.Array
+    py: jax.Array
+    pz: jax.Array
+    vz_sign: jax.Array   # >0 climbing (flying anim), <0 descending (glide)
+    state: jax.Array
+    perch: jax.Array     # target perch index
+    wait: jax.Array
+
+
+def make_birds(n: int, perches: np.ndarray, seed: int = 0) -> BirdState:
+    rg = RandGen(seed + 9, 2 * seed + 7)
+    start = np.asarray([rg.rand() % len(perches) for _ in range(n)])
+    p = perches[start]
+    return BirdState(
+        px=jnp.asarray(p[:, 0]), py=jnp.asarray(p[:, 1]),
+        pz=jnp.asarray(p[:, 2]),
+        vz_sign=jnp.zeros((n,)),
+        state=jnp.zeros((n,), jnp.int32),
+        perch=jnp.asarray([rg.rand() % len(perches) for _ in range(n)],
+                          jnp.int32),
+        wait=jnp.asarray([30 + rg.rand() % 200 for _ in range(n)],
+                         jnp.int32))
+
+
+@jax.jit
+def step_birds(b: BirdState, perches, key) -> BirdState:
+    """standing -> takeoff (climb to cruise) -> flying toward the target
+    perch, switching to GLIDING while descending (city_birds.cpp:173-178)
+    -> landing -> standing with a new destination."""
+    P = perches.shape[0]
+    oh = jax.nn.one_hot(b.perch, P, dtype=jnp.float32)
+    tx = oh @ perches[:, 0]
+    ty = oh @ perches[:, 1]
+    tz = oh @ perches[:, 2]
+    standing = b.state == BIRD_STANDING
+    takeoff = b.state == BIRD_TAKEOFF
+    airborne = (b.state == BIRD_FLYING) | (b.state == BIRD_GLIDING)
+    landing = b.state == BIRD_LANDING
+
+    wait = jnp.maximum(b.wait - standing.astype(jnp.int32), 0)
+    launch = standing & (wait == 0)
+
+    pz = jnp.where(takeoff, b.pz + BIRD_VSPEED, b.pz)
+    up_done = takeoff & (pz >= tz + 0.5 * BIRD_CRUISE)
+
+    dx = tx - b.px
+    dy = ty - b.py
+    d = jnp.sqrt(dx * dx + dy * dy) + 1e-9
+    stepc = jnp.minimum(BIRD_SPEED, d)
+    px = jnp.where(airborne, b.px + stepc * dx / d, b.px)
+    py = jnp.where(airborne, b.py + stepc * dy / d, b.py)
+    # descend toward the perch height while cruising in
+    dz_target = tz + jnp.minimum(d * 0.5, BIRD_CRUISE)
+    climb = dz_target - pz
+    vz = jnp.clip(climb, -BIRD_VSPEED, BIRD_VSPEED)
+    pz = jnp.where(airborne, pz + vz, pz)
+    over = airborne & (d < 0.02)
+    touched = landing & (pz <= tz + 1e-3)
+    pz = jnp.where(landing, jnp.maximum(pz - BIRD_VSPEED, tz), pz)
+
+    # flying <-> gliding by vertical velocity sign (city_birds.cpp:173)
+    state = jnp.where(launch, BIRD_TAKEOFF, b.state)
+    state = jnp.where(up_done, BIRD_FLYING, state)
+    state = jnp.where(airborne & (vz < 0), BIRD_GLIDING, state)
+    state = jnp.where(airborne & (vz >= 0), jnp.where(airborne, BIRD_FLYING,
+                                                      state), state)
+    state = jnp.where(over, BIRD_LANDING, state)
+    state = jnp.where(touched, BIRD_STANDING, state)
+    new_perch = jax.random.randint(key, b.perch.shape, 0, P)
+    new_wait = jax.random.randint(jax.random.fold_in(key, 1), b.wait.shape,
+                                  60, 400)
+    return BirdState(px=px, py=py, pz=pz, vz_sign=vz,
+                     state=state,
+                     perch=jnp.where(touched, new_perch, b.perch),
+                     wait=jnp.where(touched, new_wait, wait))

@@ -423,3 +423,49 @@ def player_thrust(s: PlayerShip, tdir: int, speed: float = 1.0,
 def player_ship_frame(s: PlayerShip) -> PlayerShip:
     """Advance the player ship one frame (free_obj::advance_time core)."""
     return s._replace(px=s.px + s.vx, py=s.py + s.vy, pz=s.pz + s.vz)
+
+
+@jax.jit
+def avoid_hazards(f: FleetState, star_pos, star_radius, bhole_mask,
+                  heat_mult: float = 6.0, gmax_dist: float = 0.5):
+    """Hazard avoidance (u_ship::ai_action, u_ship.cpp:995-1012): ships
+    too close to a hot star fly a tangent veering away; near a black
+    hole with excessive gravity they thrust directly away.  Applied
+    after step_fleet; overrides the combat velocity for endangered
+    ships."""
+    ex = f.px[:, None] - star_pos[None, :, 0]
+    ey = f.py[:, None] - star_pos[None, :, 1]
+    ez = f.pz[:, None] - star_pos[None, :, 2]
+    d2 = ex * ex + ey * ey + ez * ez
+    near = jnp.argmin(d2, axis=1)
+    noh = jax.nn.one_hot(near, star_pos.shape[0], dtype=jnp.float32)
+    dx = jnp.sum(noh * ex, 1)
+    dy = jnp.sum(noh * ey, 1)
+    dz = jnp.sum(noh * ez, 1)
+    dist = jnp.sqrt(dx * dx + dy * dy + dz * dz) + 1e-9
+    srad = noh @ star_radius
+    is_bh = (noh @ bhole_mask.astype(jnp.float32)) > 0.5
+    hot = ~is_bh & (dist < heat_mult * srad)
+    danger_bh = is_bh & (dist < gmax_dist)
+    # hot: tangent + slight outward veer (orthogonalize dir against the
+    # safe dir, then add 0.1 * safe)
+    sx, sy, sz = dx / dist, dy / dist, dz / dist
+    dp = f.dx * sx + f.dy * sy + f.dz * sz
+    tx = f.dx - dp * sx + 0.1 * sx
+    ty = f.dy - dp * sy + 0.1 * sy
+    tz = f.dz - dp * sz + 0.1 * sz
+    tl = jnp.sqrt(tx * tx + ty * ty + tz * tz) + 1e-9
+    oh = jax.nn.one_hot(f.cls, NUM_SHIP_CLASSES, dtype=jnp.float32)
+    vmax = oh @ jnp.asarray(SHIP_CLASSES)[:, 1]
+    esc = hot | danger_bh
+    nvx = jnp.where(danger_bh, vmax * sx,
+                    jnp.where(hot, vmax * tx / tl, f.vx))
+    nvy = jnp.where(danger_bh, vmax * sy,
+                    jnp.where(hot, vmax * ty / tl, f.vy))
+    nvz = jnp.where(danger_bh, vmax * sz,
+                    jnp.where(hot, vmax * tz / tl, f.vz))
+    return f._replace(
+        vx=nvx, vy=nvy, vz=nvz,
+        px=jnp.where(esc, f.px + nvx, f.px),
+        py=jnp.where(esc, f.py + nvy, f.py),
+        pz=jnp.where(esc, f.pz + nvz, f.pz))

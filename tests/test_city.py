@@ -889,3 +889,30 @@ def test_car_geometry_oriented_boxes():
     # parked cars align to +x
     if parked.any():
         assert (hx[parked] > hy[parked]).all()
+
+
+def test_city_birds_cycle_between_perches():
+    """city_birds.cpp state machine: standing -> takeoff -> flying
+    (gliding while descending) -> landing -> standing, between perch
+    points from city objects + roofs."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from w3d.city import traffic as CT, objects as CO, plots as CP, \
+        roads as CR
+
+    plots = [CP.CityPlot(0, 0, 24, 24, 0.0)]
+    net = CR.gen_city_roads(plots, block_size=8)
+    objs = CO.place_city_objects(net, [], seed=3)
+    per = CT.bird_perches(objs, [])
+    assert len(per) > 5
+    b = CT.make_birds(10, per, seed=1)
+    k = jax.random.PRNGKey(0)
+    states = set()
+    for i in range(3000):
+        b = CT.step_birds(b, jnp.asarray(per), jax.random.fold_in(k, i))
+        if i % 25 == 0:
+            states.update(int(s) for s in np.asarray(b.state))
+    # the full cycle occurs, including gliding descents
+    assert {CT.BIRD_STANDING, CT.BIRD_TAKEOFF, CT.BIRD_FLYING,
+            CT.BIRD_LANDING}.issubset(states), states

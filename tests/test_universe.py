@@ -303,3 +303,33 @@ def test_player_ship_controls():
     d = np.array([float(s3.dx), float(s3.dy), float(s3.dz)])
     assert abs(np.linalg.norm(d) - 1.0) < 1e-5
     assert abs(float(s3.dy)) > 0.5
+
+
+def test_fleet_hazard_avoidance():
+    """u_ship ai_action hazard branch: ships near a hot star veer onto a
+    tangent away; near a black hole they flee radially; distant ships
+    untouched."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from w3d.universe import ships as US
+
+    f = US.make_fleet(jax.random.PRNGKey(8), 3,
+                      classes=jnp.asarray([US.CLS_FIGHTER] * 3))
+    f = f._replace(px=jnp.asarray([0.1, 5.0, 0.05]),
+                   py=jnp.zeros(3), pz=jnp.zeros(3),
+                   vx=jnp.zeros(3), vy=jnp.zeros(3), vz=jnp.zeros(3),
+                   dx=jnp.asarray([0.0, 1.0, 0.0]),
+                   dy=jnp.asarray([1.0, 0.0, 1.0]), dz=jnp.zeros(3))
+    stars = jnp.asarray([[0.0, 0.0, 0.0], [10.0, 0.0, 0.0]])
+    srad = jnp.asarray([0.05, 0.05])
+    bhole = jnp.asarray([False, True])
+    f2 = US.avoid_hazards(f, stars, srad, bhole)
+    # ship 0 near the hot star: gains outward (+x) velocity
+    assert float(f2.vx[0]) > 0.0
+    # ship 1 far from everything: untouched
+    assert float(f2.vx[1]) == 0.0 and float(f2.px[1]) == 5.0
+    # a ship near the black hole flees radially at full speed
+    f3 = f._replace(px=jnp.asarray([9.8, 5.0, 0.05]))
+    f4 = US.avoid_hazards(f3, stars, srad, bhole)
+    assert float(f4.vx[0]) < 0.0      # away from the hole at x=10
