@@ -41,13 +41,20 @@ def run_ground(config: str, frames: int, num_objects: int):
 
 
 def run_tiled(frames: int, seed: int):
+    import numpy as np
     from .models.world import TiledWorld
     from .terrain.tiles import TileManager
     from .terrain.mesh import TerrainConfig
     from .utils.constants import WorldConst
+    from .city import assemble as CA
     tm = TileManager(cfg=TerrainConfig(mesh_seed=seed),
                      world=WorldConst(mesh_x=64, mesh_y=64), tile_size=64)
-    w = TiledWorld(tile_mgr=tm)
+    # full live city over a flat region (gen_cities + traffic init)
+    cw = CA.build_city(np.zeros((128, 128), np.float32), num_cities=1,
+                       num_cars=64, num_peds=128, seed=seed)
+    w = TiledWorld(tile_mgr=tm, road_graph=cw.graph, cars=cw.cars,
+                   peds=cw.peds, stoplights=cw.stoplights,
+                   ped_nav=cw.ped_nav)
     cam = 0.0
     for i in range(frames):
         t0 = time.perf_counter()
@@ -55,6 +62,8 @@ def run_tiled(frames: int, seed: int):
         cam += 0.8
         print(json.dumps({"frame": i, "mode": "tiled",
                           "tiles": len(tm.tiles),
+                          "cars": int(w.cars.seg.shape[0]),
+                          "peds": int(w.peds.x.shape[0]),
                           "created": len(created), "deleted": len(deleted),
                           "ms": round((time.perf_counter() - t0) * 1e3, 1)}))
     return w
