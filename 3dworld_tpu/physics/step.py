@@ -653,6 +653,12 @@ def _substep(state: ObjectState, env: PhysicsEnv, cobjs: CobjSet | None,
         wpz = env.water_plane_z
     over_water = ~off_mesh & (wpz > mh)
     touches_water = over_water & ((pz - rad) < wpz) & alive
+    # frozen water becomes an ice SURFACE (check_water_collision ice
+    # branch, Physics.cpp:1198-1218): objects sit on it, bounce if
+    # elastic enough, else stick (XYZ_STOPPED | IS_ON_ICE, status 4)
+    frozen = env.temperature <= T.W_FREEZE_POINT
+    ice_touch = touches_water & frozen
+    touches_water = touches_water & ~frozen
     v_sq = vx * vx + vy * vy + vz * vz
     fast = v_sq >= T.BOUNCE_CUTOFF
     den_ratio = T.WATER_DENSITY / (dens + T.WATER_DENSITY)
@@ -693,6 +699,20 @@ def _substep(state: ObjectState, env: PhysicsEnv, cobjs: CobjSet | None,
     vy = jnp.where(hit_bottom, 0.0, vy)
     vz = jnp.where(hit_bottom, 0.0, vz)
     status = jnp.where(hit_bottom, 3, status)
+
+    # --- ice surface (frozen): sit at wpz + radius; bounce only for
+    # elasticity >= ICE_BOUNCE_ELAS, otherwise stuck to the ice ---
+    ibx, iby, ibz, idid = bounce_velocity(vx, vy, vz, 0.0, 0.0, 1.0,
+                                          elas, air_eff)
+    stick = ice_touch & ((elas < T.ICE_BOUNCE_ELAS) | ~idid)
+    bounce_ice = ice_touch & ~stick
+    pz = jnp.where(ice_touch, wpz + rad + 1e-5, pz)
+    vx = jnp.where(stick, 0.0, jnp.where(bounce_ice, ibx, vx))
+    vy = jnp.where(stick, 0.0, jnp.where(bounce_ice, iby, vy))
+    vz = jnp.where(stick, 0.0, jnp.where(bounce_ice, ibz, vz))
+    status = jnp.where(stick, 4, jnp.where(bounce_ice, 1, status))
+    flags = jnp.where(stick, flags | (T.FL_Z_STOPPED | T.FL_XY_STOPPED
+                                      | T.FL_IS_ON_ICE), flags)
 
     # --- static cobj collisions ---
     cobj_hit = jnp.zeros_like(alive)
@@ -843,7 +863,9 @@ def step_objects_fused(
     sort and the banded pair pass stay in XLA between kernel calls.
 
     Semantics match `step_objects` except penetration ties across
-    coincident cobjs (see physics_kernel docstring).  Requires cobjs
+    coincident cobjs (see physics_kernel docstring) and frozen-water ice
+    surfaces (the fused kernel always takes the liquid branch; use
+    step_objects for below-freezing scenes).  Requires cobjs
     (the kernel always runs the narrow phase; pass a 0-count padded set
     for a cobj-free scene)."""
     from ..ops.pallas.physics_kernel import (substep_pallas, mesh_maps,

@@ -437,3 +437,42 @@ def test_local_wind_contour_following():
     # loses x relative to base (normal tilts against +x wind)
     assert 0.0 < wx[1] < 0.5
     assert wz[1] > 0.0
+
+
+def test_frozen_water_ice_surface():
+    """check_water_collision ice branch (Physics.cpp:1198-1218): below
+    W_FREEZE_POINT, objects land ON the water surface; low-elasticity
+    types stick (status 4, IS_ON_ICE); warm water still swallows them."""
+    import numpy as np
+    import jax.numpy as jnp
+    from w3d.physics import types as PT, step as PS
+    from w3d.utils.constants import WorldConst
+
+    W = WorldConst()
+    table = PT.make_type_table()
+    ball = PT.type_id("BALL")
+    mesh = np.full((W.mesh_y, W.mesh_x), -2.0, np.float32)
+
+    def run(temp):
+        env = PS.PhysicsEnv(
+            mesh_height=jnp.asarray(mesh), water_plane_z=jnp.float32(-0.5),
+            wind=jnp.zeros(3), temperature=jnp.float32(temp),
+            base_gravity=jnp.float32(1.0), zmin=jnp.float32(-W.z_scene))
+        st = PS.make_state(np.array([[0.0, 0.0, 0.3]], np.float32),
+                           np.zeros((1, 3), np.float32),
+                           np.array([ball]), table)
+        for _ in range(300):
+            st = PS.step_objects(st, env, None, table, substeps=1, world=W,
+                                 obj_collisions=False)
+        return st
+
+    rad = float(np.asarray(table.radius)[ball])
+    frozen = run(-5.0)
+    # resting ON the ice surface (wpz + radius), flagged on-ice
+    np.testing.assert_allclose(float(frozen.pz[0]), -0.5 + rad, atol=5e-3)
+    assert int(np.asarray(frozen.flags)[0]) & PT.FL_IS_ON_ICE
+    assert int(frozen.status[0]) == 4
+    warm = run(20.0)
+    # warm: floats at the water line, below the frozen resting height
+    assert float(warm.pz[0]) < float(frozen.pz[0]) - 1e-3
+    assert int(np.asarray(warm.flags)[0]) & PT.FL_IN_WATER
