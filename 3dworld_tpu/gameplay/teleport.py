@@ -58,3 +58,25 @@ def apply_teleporters(state: ObjectState, tp: Teleporters,
         vz=jnp.where(boost, jump_speed, state.vz),
         status=jnp.where(any_in, 1, state.status),
     )
+
+
+@jax.jit
+def apply_teleporters_smileys(s, tp: Teleporters):
+    """Smileys walking into a teleporter take it (smiley_select_target's
+    teleporter use, ai.cpp: smileys route through teleporters); jump
+    pads are ignored by the ground AI.  `s` is a gameplay SmileyState
+    (x, y, z fields)."""
+    d2 = ((s.x[:, None] - tp.sx[None, :]) ** 2
+          + (s.y[:, None] - tp.sy[None, :]) ** 2
+          + (s.z[:, None] - tp.sz[None, :]) ** 2)
+    live = (s.health > 0)[:, None] if hasattr(s, "health") else \
+        jnp.ones((s.x.shape[0], 1), bool)
+    inside = (d2 <= tp.radius[None, :] ** 2) & \
+        (~tp.is_jump_pad)[None, :] & live
+    any_in = jnp.any(inside, axis=1)
+    first = jnp.argmax(inside, axis=1)
+    oh = jax.nn.one_hot(first, tp.sx.shape[0], dtype=jnp.float32)
+    return s._replace(
+        x=jnp.where(any_in, oh @ tp.dx, s.x),
+        y=jnp.where(any_in, oh @ tp.dy, s.y),
+        z=jnp.where(any_in, oh @ tp.dz, s.z))

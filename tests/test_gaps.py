@@ -731,3 +731,23 @@ def test_full_weapon_table_and_hitscan():
     st5, hits5, _ = GG.fire_hitscan(tgt, no_wall, (0, 0, 1.0), (1, 0, 0),
                                     GG.WEAPON_INDEX["shotgun"], table)
     assert float(np.asarray(st5.health)[0]) < float(np.asarray(st3.health)[0])
+
+
+def test_smileys_take_teleporters():
+    """Smileys inside a teleporter source relocate to its destination
+    (smiley teleporter use); dead smileys and jump pads don't move them."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from w3d.gameplay import game as GGm, teleport as GT2
+
+    s = GGm.make_smileys(jax.random.PRNGKey(1), 3)
+    s = s._replace(x=jnp.asarray([0.0, 0.05, 3.0]),
+                   y=jnp.zeros(3), z=jnp.zeros(3),
+                   health=jnp.asarray([100.0, 0.0, 100.0]))
+    tp = GT2.make_teleporters([[0, 0, 0, 0.5, 7, 7, 7, 0],
+                               [3, 0, 0, 0.5, 9, 9, 9, 1]])  # 2nd = pad
+    s2 = GT2.apply_teleporters_smileys(s, tp)
+    assert abs(float(s2.x[0]) - 7.0) < 1e-6   # live smiley teleported
+    assert abs(float(s2.x[1]) - 0.05) < 1e-6  # dead one stays
+    assert abs(float(s2.x[2]) - 3.0) < 1e-6   # jump pad ignored
