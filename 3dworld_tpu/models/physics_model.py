@@ -96,26 +96,35 @@ def frame_step(w: SpheresWorld, substeps: int = 4,
 
 
 def make_sharded_frame_step(mesh: Mesh, substeps: int, world: WorldConst,
-                            obj_collisions: bool = False):
+                            obj_collisions: bool = True,
+                            pair_window: int | None = None,
+                            pair_method: str = "auto"):
     """Object-axis data parallelism: object state shards over 'objs'; the
-    mesh/cobj scene replicates.  (Cross-shard pair collisions need an
-    all-gather of positions; the sharded path currently runs with pairwise
-    collisions off or with the gathered pass — see physics step notes.)"""
+    mesh/cobj scene replicates.  With collisions on (the default), the
+    EXACT banded pair pass runs domain-decomposed: per-device x-slabs of
+    the globally sorted order with a PAIR_WINDOW-rank ppermute halo
+    (parallel/pairs.py)."""
     obj_sh = NamedSharding(mesh, P("objs"))
-    rep = NamedSharding(mesh, P())
+
+    if obj_collisions:
+        from ..parallel.pairs import make_step_objects_sharded
+        inner = make_step_objects_sharded(
+            mesh, axis=mesh.axis_names[0], substeps=substeps, world=world,
+            window=pair_window or PS.PAIR_WINDOW, method=pair_method)
+
+        @jax.jit
+        def step(w: SpheresWorld) -> SpheresWorld:
+            return w._replace(state=inner(w.state, w.env, w.cobjs, w.table))
+
+        return step
 
     @jax.jit
     def step(w: SpheresWorld) -> SpheresWorld:
-        st = w.state
-        sh = lambda a: jax.lax.with_sharding_constraint(a, obj_sh)
-        st = st._replace(px=sh(st.px), py=sh(st.py), pz=sh(st.pz),
-                         vx=sh(st.vx), vy=sh(st.vy), vz=sh(st.vz),
-                         status=sh(st.status), flags=sh(st.flags),
-                         otype=sh(st.otype), time=sh(st.time),
-                         health=sh(st.health))
+        st = jax.tree.map(
+            lambda a: jax.lax.with_sharding_constraint(a, obj_sh), w.state)
         out = PS.step_objects(st, w.env, w.cobjs, w.table,
                               substeps=substeps, world=world,
-                              obj_collisions=obj_collisions)
+                              obj_collisions=False)
         return w._replace(state=out)
 
     return step

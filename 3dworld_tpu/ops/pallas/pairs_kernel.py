@@ -61,7 +61,7 @@ def _shift_pos(x, d):
 def _pairs_kernel(px_ref, py_ref, pz_ref, vx_ref, vy_ref, vz_ref,
                   rad_ref, mass_ref, elas_ref, act_ref,
                   opx_ref, opy_ref, opz_ref, ovx_ref, ovy_ref, ovz_ref, *,
-                  S: int, n: int, window: int):
+                  S: int, n: int, window: int, i_limit: int):
     """fori_loop over shift distance d = window..1 with ONLY unit shifts
     in the body (a static unroll of `window` distinct roll amounts blows
     the 16M scoped-VMEM stack at window ~300).
@@ -108,7 +108,8 @@ def _pairs_kernel(px_ref, py_ref, pz_ref, vx_ref, vy_ref, vz_ref,
         d2 = jnp.maximum(ex * ex + ey * ey + ez * ez, 1e-12)
         dist = jnp.sqrt(d2)
         rsum = rad + srad
-        valid = (flatf < jnp.float32(n) - d) & (act > 0) & (sact > 0)
+        valid = (flatf < jnp.minimum(jnp.float32(i_limit), jnp.float32(n) - d)) \
+            & (act > 0) & (sact > 0)
         hit = valid & (dist < rsum)
         pen = jnp.where(hit, rsum - dist, 0.0)
         msum = mass + smass
@@ -142,14 +143,16 @@ def _pairs_kernel(px_ref, py_ref, pz_ref, vx_ref, vy_ref, vz_ref,
     ovz_ref[:, :] = dvz + s1(qvz)
 
 
-@functools.partial(jax.jit, static_argnames=("window", "interpret"))
+@functools.partial(jax.jit, static_argnames=("window", "i_limit", "interpret"))
 def banded_pairs_pallas(px, py, pz, vx, vy, vz, radius, mass, elas, active,
-                        window: int = 64, interpret: bool = False):
+                        window: int = 64, i_limit: int | None = None,
+                        interpret: bool = False):
     """Drop-in Pallas version of banded/block_pair_collisions (same
     outputs).  Exact for every pair within `window` ranks of the sorted
     order — with the x-sort key that means exact while no rsum-wide x
     slab holds more than `window` objects (audited in
-    tests/test_physics_oracle.py)."""
+    tests/test_physics_oracle.py).  `i_limit` as in
+    banded_pair_collisions (sharded halo pass support)."""
     n = px.shape[0]
     S = -(-n // L)
     assert window < S * L
@@ -160,7 +163,8 @@ def banded_pairs_pallas(px, py, pz, vx, vy, vz, radius, mass, elas, active,
                         constant_values=1.0).reshape(S, L))
     args.append(padf(elas))
     args.append(padf(active.astype(jnp.float32)))
-    kern = functools.partial(_pairs_kernel, S=S, n=n, window=window)
+    kern = functools.partial(_pairs_kernel, S=S, n=n, window=window,
+                             i_limit=n if i_limit is None else i_limit)
     outs = pl.pallas_call(
         kern,
         out_shape=[jax.ShapeDtypeStruct((S, L), jnp.float32)] * 6,

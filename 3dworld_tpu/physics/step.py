@@ -453,6 +453,80 @@ def block_pair_collisions(px, py, pz, vx, vy, vz, radius, mass, elas, active,
     return tuple(res)
 
 
+def rowblock_pair_collisions(px, py, pz, vx, vy, vz, radius, mass, elas,
+                             active, i_limit: int | None = None,
+                             qmax: int = 2):
+    """Row-block EXACT pair pass over the x-sorted order.
+
+    Reshape the sorted population to [S, 128] rows; every pair within
+    (qmax+1)*128 - 1 ranks lies in a dense row-vs-row block at row offset
+    q <= qmax, so the whole pass is qmax+1 batched [S, 128, 128]
+    elementwise blocks with row/column-sum reductions — no serial
+    shift loop (the banded kernel runs `window` dependent iterations), no
+    gathers, and XLA fuses each block chain into its two reductions.
+
+    Coverage per offset: q=0 spans rank distances 1..127 (upper
+    triangle), q=1 spans 1..255, q=2 spans 129..383 — the union covers
+    every distance in [1, 383] exactly once, beating the banded kernel's
+    PAIR_WINDOW=288 guarantee.  Same contact math and symmetric deltas as
+    banded_pair_collisions; `i_limit` as there (sharded halo support —
+    note the halo must then span ceil(i_limit-relative coverage) = 383
+    ranks, i.e. 3 rows).
+    """
+    n = px.shape[0]
+    Lr = 128
+    S = -(-n // Lr)
+    npad = S * Lr
+    f32 = px.dtype
+    ilim = n if i_limit is None else i_limit
+
+    pad = lambda a, v=0.0: jnp.pad(a, (0, npad - n),
+                                   constant_values=v).reshape(S, Lr)
+    X, Y, Z = pad(px), pad(py), pad(pz)
+    VX, VY, VZ = pad(vx), pad(vy), pad(vz)
+    R, M_, E = pad(radius), pad(mass, 1.0), pad(elas)
+    A = pad(active.astype(f32))
+    rank = (jnp.arange(S, dtype=jnp.int32)[:, None] * Lr
+            + jnp.arange(Lr, dtype=jnp.int32)[None, :])
+    maski = (rank < ilim)[:, :, None]                     # i-side limit
+    lane = jnp.arange(Lr, dtype=jnp.int32)
+    tri = (lane[:, None] < lane[None, :])[None]           # q=0 triangle
+
+    accs = [jnp.zeros((S, Lr), f32) for _ in range(6)]
+    for q in range(qmax + 1):
+        rl = lambda M: jnp.roll(M, -q, 0)
+        ex = X[:, :, None] - rl(X)[:, None, :]            # [S, 128, 128]
+        ey = Y[:, :, None] - rl(Y)[:, None, :]
+        ez = Z[:, :, None] - rl(Z)[:, None, :]
+        d2 = jnp.maximum(ex * ex + ey * ey + ez * ez, 1e-12)
+        rinv = jax.lax.rsqrt(d2)
+        rsum = R[:, :, None] + rl(R)[:, None, :]
+        valid = (A[:, :, None] > 0) & (rl(A)[:, None, :] > 0) & maski
+        if q == 0:
+            valid = valid & tri
+        else:
+            valid = valid & (jnp.arange(S) < S - q)[:, None, None]
+        hit = valid & (d2 < rsum * rsum)
+        mi = M_[:, :, None]
+        mj = rl(M_)[:, None, :]
+        minv = 1.0 / (mi + mj)
+        p = jnp.where(hit, rsum * rinv - 1.0, 0.0)        # pen/dist
+        relv = ((VX[:, :, None] - rl(VX)[:, None, :]) * ex
+                + (VY[:, :, None] - rl(VY)[:, None, :]) * ey
+                + (VZ[:, :, None] - rl(VZ)[:, None, :]) * ez) \
+            * (rinv * rinv)
+        eij = jnp.minimum(E[:, :, None], rl(E)[:, None, :])
+        a = jnp.where(hit & (relv < 0), -(1.0 + eij) * relv, 0.0)
+        wi = mj * minv
+        wj = mi * minv
+        for k, e in enumerate((ex, ey, ez)):
+            accs[k] = accs[k] + jnp.sum(p * wi * e, -1) \
+                - jnp.roll(jnp.sum(p * wj * e, -2), q, 0)
+            accs[3 + k] = accs[3 + k] + jnp.sum(a * wi * e, -1) \
+                - jnp.roll(jnp.sum(a * wj * e, -2), q, 0)
+    return tuple(acc.reshape(npad)[:n] for acc in accs)
+
+
 def _on_tpu() -> bool:
     """Where will this trace execute?  Honors jax.default_device(...)
     contexts (jax.default_backend() alone ignores them, which broke
@@ -494,6 +568,9 @@ def _pair_deltas(px, py, pz, vx, vy, vz, radius, mass, elas, active,
         return grid_pair_collisions(px, py, pz, vx, vy, vz, radius, mass,
                                     elas, active, cell=PAIR_CELL,
                                     half_extent=2.0 * world.x_scene)
+    if method == "rowblock":
+        return rowblock_pair_collisions(px, py, pz, vx, vy, vz, radius,
+                                        mass, elas, active)
     if method == "block" or (method == "auto" and not _on_tpu()):
         return block_pair_collisions(px, py, pz, vx, vy, vz, radius, mass,
                                      elas, active,
@@ -507,7 +584,7 @@ def _pair_deltas(px, py, pz, vx, vy, vz, radius, mass, elas, active,
 
 
 def banded_pair_collisions(px, py, pz, vx, vy, vz, radius, mass, elas, active,
-                           window: int = 64):
+                           window: int = 64, i_limit: int | None = None):
     """Pair collisions against the `window` nearest sorted-order neighbors.
 
     Pure shifted-slice arithmetic: for each offset d in 1..window compare
@@ -516,8 +593,14 @@ def banded_pair_collisions(px, py, pz, vx, vy, vz, radius, mass, elas, active,
     `spatial_sort`); pairs further apart in Z-order than `window` are
     missed, which at game densities is a vanishing fraction (and the
     reference's racy OMP collision order is itself approximate).
+
+    `i_limit` restricts the i side of every evaluated pair to ranks
+    < i_limit: the sharded halo pass (parallel/pairs.py) appends a
+    `window`-rank halo from the next device and sets i_limit to the local
+    slab length, so halo rows contribute only as the j side.
     """
     n = px.shape[0]
+    ilim = n if i_limit is None else i_limit
     act = active.astype(px.dtype)
     dpx = jnp.zeros_like(px)
     dpy = jnp.zeros_like(px)
@@ -537,7 +620,7 @@ def banded_pair_collisions(px, py, pz, vx, vy, vz, radius, mass, elas, active,
         dist = jnp.sqrt(d2)
         rsum = radius + sh(radius)
         idx = jnp.arange(n)
-        valid = (idx < n - d) & (act > 0) & (sh(act) > 0)
+        valid = (idx < jnp.minimum(ilim, n - d)) & (act > 0) & (sh(act) > 0)
         hit = valid & (dist < rsum)
         pen = jnp.where(hit, rsum - dist, 0.0)
         m_i, m_j = mass, sh(mass)
@@ -584,7 +667,7 @@ def _type_params(otype, table: T.ObjTypeTable):
 
 def _substep(state: ObjectState, env: PhysicsEnv, cobjs: CobjSet | None,
              table: T.ObjTypeTable, tstep, world: WorldConst,
-             obj_collisions: bool):
+             obj_collisions: bool, pair_fn=None):
     rad, air, fric, grav, elas, dens, tv, mass, _life = _type_params(state.otype, table)
 
     alive = state.status > 0
@@ -791,8 +874,10 @@ def _substep(state: ObjectState, env: PhysicsEnv, cobjs: CobjSet | None,
     # --- dynamic object-object collisions (sorted-band broad phase) ---
     if obj_collisions:
         act = alive & (rad >= T.LARGE_OBJ_RAD)
-        dpx, dpy, dpz, dvx, dvy, dvz = _pair_deltas(
-            px, py, pz, vx, vy, vz, rad, mass, elas, act, world=world)
+        fn = pair_fn if pair_fn is not None else functools.partial(
+            _pair_deltas, world=world)
+        dpx, dpy, dpz, dvx, dvy, dvz = fn(
+            px, py, pz, vx, vy, vz, rad, mass, elas, act)
         px = px + jnp.where(act, dpx, 0.0)
         py = py + jnp.where(act, dpy, 0.0)
         pz = pz + jnp.where(act, dpz, 0.0)
@@ -809,7 +894,8 @@ def _substep(state: ObjectState, env: PhysicsEnv, cobjs: CobjSet | None,
                           status=status, flags=flags)
 
 
-@functools.partial(jax.jit, static_argnames=("substeps", "world", "obj_collisions"))
+@functools.partial(jax.jit, static_argnames=("substeps", "world", "obj_collisions",
+                                             "pair_method", "pair_window"))
 def step_objects(
     state: ObjectState,
     env: PhysicsEnv,
@@ -819,6 +905,8 @@ def step_objects(
     substeps: int = 4,
     world: WorldConst = DEFAULT_WORLD,
     obj_collisions: bool = True,
+    pair_method: str = "auto",
+    pair_window: int = PAIR_WINDOW,
 ) -> ObjectState:
     """One frame: `substeps` uniform physics substeps with dt=tstep/substeps
     (the reference runs 1-40 substeps by type, build_world.cpp:467-505).
@@ -827,9 +915,12 @@ def step_objects(
     dt = jnp.asarray(tstep / substeps, jnp.float32)
     if obj_collisions:
         state = spatial_sort(state, world)
+    pair_fn = functools.partial(_pair_deltas, window=pair_window, world=world,
+                                method=pair_method)
 
     def body(s, _):
-        return _substep(s, env, cobjs, table, dt, world, obj_collisions), None
+        return _substep(s, env, cobjs, table, dt, world, obj_collisions,
+                        pair_fn=pair_fn), None
 
     state, _ = jax.lax.scan(body, state, None, length=substeps)
     # frame bookkeeping: age + lifetime kill (advance_object preamble)
