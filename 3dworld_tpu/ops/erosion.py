@@ -375,6 +375,161 @@ def erode(
 # Scalar oracle (host) — direct transcription of the algorithm for testing
 # ---------------------------------------------------------------------------
 
+def erode_reference_strict(
+    heightmap: np.ndarray,
+    num_iters: int,
+    params: ErosionParams = ErosionParams(),
+    min_zval: float = -1.0e9,
+) -> np.ndarray:
+    """Bit-faithful scalar droplet erosion oracle: float32 arithmetic with
+    C++ operator semantics, validated BITWISE against the compiled
+    reference erosion.cpp in tests/test_cpp_golden.py.
+
+    Semantics deliberately reproduced from the reference (erosion.cpp),
+    including its NaN defect chain: the rock/dirt multiplier is applied
+    AFTER the ``dh*0.99`` erosion clamp (erosion.cpp:131-132), so dh can
+    go negative and ``sqrtf(v*v+Kg*dh)`` (erosion.cpp:149) NaN-poisons the
+    droplet.  NaN then flows through C++ ``min``/``max`` ((b<a)?b:a — NaN
+    comparisons false, first operand wins), ``(int)`` casts of NaN/huge
+    floats (INT_MIN on x86-64), and the final ``max(min_zval, h)`` clamp
+    which launders NaN cells to min_zval.  `erode_reference` (below) keeps
+    a guarded sqrt and float64 state — use it when NaN-free behavior is
+    wanted; use this when matching the compiled reference.
+    """
+    f32 = np.float32
+    ys, xs = heightmap.shape
+    nx, ny = xs + 2 * PAD, ys + 2 * PAD
+    hm = np.pad(heightmap.astype(f32), PAD, mode="edge")
+    ea = f32(params.erode_amount)
+    wpz_cut = f32(f32(params.water_plane_z) - f32(params.half_dxy))
+    zmin_r = f32(params.zmin)
+    dz_range = f32(f32(params.zmax) - zmin_r)
+    rock_thresh = f32(params.rock_thresh)
+    relh_adj = f32(params.relh_adj_tex)
+    two_pi = f32(np.float64(2.0) * f32(3.141592654))
+    INT_MIN = -(2 ** 31)
+
+    def cmax(a, b):      # C++ max(a,b) = (a<b) ? b : a  (NaN -> a)
+        return b if a < b else a
+
+    def cmin(a, b):      # C++ min(a,b) = (b<a) ? b : a  (NaN -> a)
+        return b if b < a else a
+
+    def cint(v):         # (int)float on x86-64: NaN/overflow -> INT_MIN
+        if np.isnan(v) or v >= 2147483648.0 or v < -2147483648.0:
+            return INT_MIN
+        return int(np.floor(v))
+
+    def hidx(x, z):
+        return min(max(z, 0), ny - 1), min(max(x, 0), nx - 1)
+
+    def deposit_at(x, z, wgt, ds):
+        if not (x < 0 or z < 0 or x >= nx or z >= ny):
+            zz, xx = hidx(x, z)
+            hm[zz, xx] += f32(f32(ds * ea) * wgt)
+
+    rg = w3d_rng.RandGen()
+    with np.errstate(invalid="ignore", over="ignore"):
+        for it in range(num_iters):
+            rg.set_state(it + 11, 79 * it + 121)
+            xi = PAD + rg.rand() % xs
+            zi = PAD + rg.rand() % ys
+            xp, zp = f32(xi), f32(zi)
+            xf = zf = s = v = f32(0.0)
+            w = f32(1.0)
+            dx = dz = f32(0.0)
+            h = hm[hidx(xi, zi)]
+            h00 = h
+            h10 = hm[hidx(xi + 1, zi)]
+            h01 = hm[hidx(xi, zi + 1)]
+            h11 = hm[hidx(xi + 1, zi + 1)]
+            for _ in range(4 * nx * ny):
+                # C++ left-assoc: ((h00+h01)-h10)-h11
+                gx = f32(f32(f32(h00 + h01) - h10) - h11)
+                gz = f32(f32(f32(h00 + h10) - h01) - h11)
+                dx = f32(f32(f32(dx - gx) * f32(KI)) + gx)
+                dz = f32(f32(f32(dz - gz) * f32(KI)) + gz)
+                dl = np.sqrt(f32(f32(dx * dx) + f32(dz * dz)))
+                if dl <= FLT_EPSILON:
+                    # rand_float(): float(0.000001 * (rand()%1000000)),
+                    # double product narrowed on return (rand_gen.h:86)
+                    rf = f32(np.float64(1e-6) * np.float64(rg.rand() % 1000000))
+                    a = f32(rf * two_pi)
+                    # sinf/cosf via correctly-rounded f64 then narrow
+                    dx = f32(np.cos(np.float64(a)))
+                    dz = f32(np.sin(np.float64(a)))
+                else:
+                    dx, dz = f32(dx / dl), f32(dz / dl)
+                nxp, nzp = f32(xp + dx), f32(zp + dz)
+                nxi, nzi = cint(nxp), cint(nzp)
+                nxf, nzf = f32(nxp - f32(nxi)), f32(nzp - f32(nzi))
+                nh00 = hm[hidx(nxi, nzi)]
+                nh10 = hm[hidx(nxi + 1, nzi)]
+                nh01 = hm[hidx(nxi, nzi + 1)]
+                nh11 = hm[hidx(nxi + 1, nzi + 1)]
+                nh = f32(f32(f32(nh00 * f32(1 - nxf)) + f32(nh10 * nxf)) * f32(1 - nzf)
+                         + f32(f32(nh01 * f32(1 - nxf)) + f32(nh11 * nxf)) * nzf)
+                if cmax(cmax(nh00, nh10), cmax(nh01, nh11)) < wpz_cut:
+                    break
+                outside = xi < 0 or zi < 0 or xi >= nx or zi >= ny
+                if nh >= h or outside:
+                    ds = f32(f32(nh - h) + f32(0.001))
+                    last = ds >= s or outside
+                    if last:
+                        ds = s
+                    for cx, cz, wt in ((xi, zi, f32(f32(1 - xf) * f32(1 - zf))),
+                                       (xi + 1, zi, f32(xf * f32(1 - zf))),
+                                       (xi, zi + 1, f32(f32(1 - xf) * zf)),
+                                       (xi + 1, zi + 1, f32(xf * zf))):
+                        deposit_at(cx, cz, wt, ds)
+                    h = f32(h + ds)
+                    if last:
+                        s = f32(0.0)
+                        break
+                    s = f32(s - ds)
+                    v = f32(0.0)
+                dh = f32(h - nh)
+                q = f32(f32(f32(cmax(dh, f32(MIN_SLOPE)) * v) * w) * f32(KQ))
+                ds = f32(s - q)
+                if ds >= 0:
+                    ds = f32(ds * f32(KD))
+                    for cx, cz, wt in ((xi, zi, f32(f32(1 - xf) * f32(1 - zf))),
+                                       (xi + 1, zi, f32(xf * f32(1 - zf))),
+                                       (xi, zi + 1, f32(f32(1 - xf) * zf)),
+                                       (xi + 1, zi + 1, f32(xf * zf))):
+                        deposit_at(cx, cz, wt, ds)
+                    dh = f32(dh + ds)
+                    s = f32(s - ds)
+                else:
+                    ds = f32(ds * f32(-KR))
+                    ds = cmin(ds, f32(dh * f32(0.99)))
+                    relh = f32(relh_adj + f32(f32(nh - zmin_r) / dz_range))
+                    ds = f32(ds * (f32(0.5) if relh > rock_thresh else f32(2.0)))
+                    for z in range(zi - 1, zi + 3):
+                        zo = f32(f32(z) - zp)
+                        zo2 = f32(zo * zo)
+                        for x in range(xi - 1, xi + 3):
+                            xo = f32(f32(x) - xp)
+                            wt = f32(f32(1) - f32(f32(xo * xo) + zo2) * f32(0.25))
+                            if wt <= 0:
+                                continue
+                            wt = f32(wt * f32(ERODE_STENCIL_NORM))
+                            zz, xx = hidx(x, z)
+                            hm[zz, xx] -= f32(f32(ds * ea) * wt)
+                    dh = f32(dh - ds)
+                    s = f32(s + ds)
+                v = np.sqrt(f32(f32(v * v) + f32(f32(KG) * dh)))
+                w = f32(w * f32(f32(1) - f32(KW)))
+                xp, zp, xi, zi, xf, zf = nxp, nzp, nxi, nzi, nxf, nzf
+                h, h00, h10, h01, h11 = nh, nh00, nh10, nh01, nh11
+    out = hm[PAD:PAD + ys, PAD:PAD + xs]
+    res = np.empty_like(out)
+    for j in range(ys):            # C++ max(min_zval, h): NaN -> min_zval
+        for i in range(xs):
+            res[j, i] = cmax(f32(min_zval), out[j, i])
+    return res.astype(np.float32)
+
+
 def erode_reference(
     heightmap: np.ndarray,
     num_iters: int,
@@ -385,7 +540,9 @@ def erode_reference(
     """Sequential scalar droplet erosion (validation oracle).
 
     Follows erosion.cpp:14-165 step-for-step (single-threaded, so exactly
-    the reference's semantics with OMP disabled).  Slow — tests only.
+    the reference's semantics with OMP disabled), except float64 state and
+    a guarded sqrt (the reference NaN defect — see erode_reference_strict,
+    which reproduces it bit-for-bit).  Slow — tests only.
     """
     ys, xs = heightmap.shape
     nx, ny = xs + 2 * PAD, ys + 2 * PAD
