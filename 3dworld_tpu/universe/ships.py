@@ -81,21 +81,23 @@ class FleetState(NamedTuple):
 
 
 def make_fleet(key, n: int, num_teams: int = 2, spread: float = 2.0,
-               classes=None) -> FleetState:
+               classes=None, tbl=None, aligns=None,
+               center=(0.0, 0.0, 0.0)) -> FleetState:
     ks = jax.random.split(key, 6)
     if classes is None:
         cls = jax.random.randint(ks[0], (n,), 0, 4)   # combat classes
     else:
         cls = jnp.asarray(classes, jnp.int32)
-    oh = jax.nn.one_hot(cls, NUM_SHIP_CLASSES, dtype=jnp.float32)
-    tbl = jnp.asarray(SHIP_CLASSES)
+    tbl = jnp.asarray(SHIP_CLASSES if tbl is None else tbl)
+    oh = jax.nn.one_hot(cls, tbl.shape[0], dtype=jnp.float32)
     return FleetState(
-        px=jax.random.uniform(ks[1], (n,), minval=-spread, maxval=spread),
-        py=jax.random.uniform(ks[2], (n,), minval=-spread, maxval=spread),
-        pz=jax.random.uniform(ks[3], (n,), minval=-spread, maxval=spread),
+        px=center[0] + jax.random.uniform(ks[1], (n,), minval=-spread, maxval=spread),
+        py=center[1] + jax.random.uniform(ks[2], (n,), minval=-spread, maxval=spread),
+        pz=center[2] + jax.random.uniform(ks[3], (n,), minval=-spread, maxval=spread),
         vx=jnp.zeros(n), vy=jnp.zeros(n), vz=jnp.zeros(n),
         cls=cls,
-        align=jax.random.randint(ks[4], (n,), 0, num_teams),
+        align=(jnp.asarray(aligns, jnp.int32) if aligns is not None
+               else jax.random.randint(ks[4], (n,), 0, num_teams)),
         armor=oh @ tbl[:, 2],
         shields=oh @ tbl[:, 3],
         cooldown=jnp.zeros(n),
@@ -105,18 +107,21 @@ def make_fleet(key, n: int, num_teams: int = 2, spread: float = 2.0,
     )
 
 
-def ship_parts(f: FleetState):
+def ship_parts(f: FleetState, tbl=None, part_offsets=None,
+               num_parts=None):
     """[N, K] part positions + radii in world space (multipart_ship
     collision geometry): parts lie along the facing direction, scaled by
     the class radius; the abomination's tail spheres shrink with
     state_val (eye/tail animation)."""
-    oh = jax.nn.one_hot(f.cls, NUM_SHIP_CLASSES, dtype=jnp.float32)
-    tbl = jnp.asarray(SHIP_CLASSES)
-    po = jnp.asarray(PART_OFFSETS)                 # [C, K, 4]
+    tbl = jnp.asarray(SHIP_CLASSES if tbl is None else tbl)
+    oh = jax.nn.one_hot(f.cls, tbl.shape[0], dtype=jnp.float32)
+    po = jnp.asarray(PART_OFFSETS if part_offsets is None else part_offsets)
+    nparr = jnp.asarray(NUM_PARTS if num_parts is None else num_parts,
+                        jnp.float32)
     rad = oh @ tbl[:, 7]
     off = jnp.einsum("nc,ckj->nkj", oh, po)        # [N, K, 4]
-    npart = (oh @ jnp.asarray(NUM_PARTS, jnp.float32)).astype(jnp.int32)
-    kidx = jnp.arange(MAX_PARTS)[None, :]
+    npart = (oh @ nparr).astype(jnp.int32)
+    kidx = jnp.arange(po.shape[1])[None, :]
     valid = kidx < npart[:, None]
     pxk = f.px[:, None] + off[:, :, 0] * rad[:, None] * f.dx[:, None]
     pyk = f.py[:, None] + off[:, :, 0] * rad[:, None] * f.dy[:, None]
@@ -125,12 +130,18 @@ def ship_parts(f: FleetState):
     return pxk, pyk, pzk, prk, valid
 
 
-@jax.jit
-def step_fleet(f: FleetState, key) -> FleetState:
-    """One combat frame: target -> thrust -> move -> fire -> damage."""
+@functools.partial(jax.jit, static_argnames=("abomin_id", "reaper_id"))
+def step_fleet(f: FleetState, key, tbl=None,
+               abomin_id: int = CLS_ABOMINATION,
+               reaper_id: int = CLS_REAPER) -> FleetState:
+    """One combat frame: target -> thrust -> move -> fire -> damage.
+    `tbl` defaults to the built-in 7-class table; pass
+    ship_config.ship_class_table(defs) for the full 40-class reference
+    parameter set (abomin_id/reaper_id select the special-behavior
+    classes: USC_ABOMIN=24, USC_REAPER=25 in the reference enum)."""
     n = f.px.shape[0]
-    oh = jax.nn.one_hot(f.cls, NUM_SHIP_CLASSES, dtype=jnp.float32)
-    tbl = jnp.asarray(SHIP_CLASSES)
+    tbl = jnp.asarray(SHIP_CLASSES if tbl is None else tbl)
+    oh = jax.nn.one_hot(f.cls, tbl.shape[0], dtype=jnp.float32)
     accel = oh @ tbl[:, 0]
     vmax = oh @ tbl[:, 1]
     w_range = oh @ tbl[:, 4]
@@ -175,7 +186,7 @@ def step_fleet(f: FleetState, key) -> FleetState:
     # abomination eye animation (multipart_ship USC_ABOMIN state_val,
     # u_ship.cpp:2880-2899): opens toward 1 in combat, drifts shut
     # otherwise; a mostly-closed eye cannot fire (ai_action :2905)
-    is_abomin = f.cls == CLS_ABOMINATION
+    is_abomin = f.cls == abomin_id
     sv = jnp.clip(f.state_val
                   + jnp.where(has_tgt, ABOMIN_EYE_RATE, -ABOMIN_EYE_RATE),
                   0.0, 1.0)
@@ -192,7 +203,7 @@ def step_fleet(f: FleetState, key) -> FleetState:
     el = jnp.sqrt(ex * ex + ey * ey + ez * ez) + 1e-9
     aligned = (ex * ndx[None, :] + ey * ndy[None, :] + ez * ndz[None, :]) \
         / el > 0.5
-    is_reaper_j = (f.cls == CLS_REAPER)[None, :]
+    is_reaper_j = (f.cls == reaper_id)[None, :]
     block = jnp.where(aligned & is_reaper_j, 1.0 - REAPER_BLOCK, 1.0)
     dmg_in = jnp.sum(dmg_dealt[:, None] * toh * block, axis=0)
     sh = jnp.maximum(f.shields - dmg_in, 0.0)
@@ -222,13 +233,14 @@ def gen_asteroid_belt(key, system_radius: float, n: int = 256):
     return rad * jnp.cos(ang), rad * jnp.sin(ang), zoff, size
 
 
-def fleet_explosions(prev: FleetState, cur: FleetState):
+def fleet_explosions(prev: FleetState, cur: FleetState, tbl=None):
     """Ships that died this step -> [K<=N] explosion records (x, y, z,
     blast radius ~ 3x ship radius; the reference spawns an explosion
     uobject per destroyed ship)."""
     died = np.asarray(prev.alive) & ~np.asarray(cur.alive)
     idx = np.where(died)[0]
-    rad = np.asarray(SHIP_CLASSES)[np.asarray(cur.cls)[idx], 7] * 3.0
+    rad = np.asarray(SHIP_CLASSES if tbl is None else tbl)[
+        np.asarray(cur.cls)[idx], 7] * 3.0
     return np.stack([np.asarray(cur.px)[idx], np.asarray(cur.py)[idx],
                      np.asarray(cur.pz)[idx], rad], -1) \
         if len(idx) else np.zeros((0, 4), np.float32)
@@ -469,3 +481,59 @@ def avoid_hazards(f: FleetState, star_pos, star_radius, bhole_mask,
         px=jnp.where(esc, f.px + nvx, f.px),
         py=jnp.where(esc, f.py + nvy, f.py),
         pz=jnp.where(esc, f.pz + nvz, f.pz))
+
+
+# ---------------------------------------------------------------------------
+# reference-config fleets (ship_defs.txt -> sim)
+# ---------------------------------------------------------------------------
+
+def fleet_from_defs(defs, key, fleets=None):
+    """Build ONE FleetState from parsed $FLEET specs (us_fleet::spawn,
+    ship_config.cpp:473-505): per-class counts x multiplier, alignment
+    from the spec, positions within rgen_dist of the fleet pos (offset by
+    $START_POS like the reference's `ustart_pos + pos`).
+
+    Returns (state, tbl, part_offsets, num_parts) — pass tbl/parts into
+    step_fleet/ship_parts so all 40 reference classes drive the sim."""
+    from . import ship_config as SC
+    tbl = SC.ship_class_table(defs)
+    offs, nparts = SC.ship_part_geometry(defs, max_parts=MAX_PARTS)
+    start = defs.globals.get("start_pos", (0.0, 0.0, 0.0))
+    cls_list, align_list, pos_list, spread_list = [], [], [], []
+    use = defs.fleets if fleets is None else fleets
+    for fl in use:
+        total = fl.multiplier * sum(fl.counts)
+        if total == 0:
+            continue
+        for cid, cnt in enumerate(fl.counts):
+            k = fl.multiplier * cnt
+            cls_list.extend([cid] * k)
+            align_list.extend([fl.align] * k)
+        center = tuple(s + p for s, p in zip(start, fl.pos))
+        pos_list.extend([center] * total)
+        spread_list.extend([fl.rgen_dist] * total)
+    if not cls_list:
+        raise ValueError("no fleets with ships in defs")
+    n = len(cls_list)
+    cls = jnp.asarray(cls_list, jnp.int32)
+    oh = jax.nn.one_hot(cls, tbl.shape[0], dtype=jnp.float32)
+    tblj = jnp.asarray(tbl)
+    centers = jnp.asarray(pos_list, jnp.float32)
+    spread = jnp.asarray(spread_list, jnp.float32)[:, None]
+    u = jax.random.uniform(key, (n, 3), minval=-1.0, maxval=1.0)
+    pos = centers + u * spread
+    state = FleetState(
+        px=pos[:, 0], py=pos[:, 1], pz=pos[:, 2],
+        vx=jnp.zeros(n), vy=jnp.zeros(n), vz=jnp.zeros(n),
+        cls=cls, align=jnp.asarray(align_list, jnp.int32),
+        armor=oh @ tblj[:, 2], shields=oh @ tblj[:, 3],
+        cooldown=jnp.zeros(n), alive=jnp.ones(n, bool),
+        dx=jnp.ones(n), dy=jnp.zeros(n), dz=jnp.zeros(n),
+        state_val=jnp.zeros(n),
+    )
+    return state, tbl, offs, nparts
+
+
+# reference special-class enum ids (ship_config.cpp ship_strs order)
+USC_ABOMIN_ID = 24
+USC_REAPER_ID = 25

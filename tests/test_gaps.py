@@ -278,28 +278,15 @@ def test_movable_push_and_settle():
     assert 1.0 + moved <= 1.005 + 1e-5
 
 
-def test_ship_config_parser(tmp_path):
-    from w3d.universe import ship_config as SCfg, ships as USH
-    p = tmp_path / "ships.txt"
-    p.write_text("""
-# test ship defs
-ship interceptor
-  accel 0.003 max_speed 0.03 armor 80 shields 40
-  weapon_range 0.4 weapon_damage 4 weapon_cooldown 15 radius 0.008
-end_ship
-ship battleship
-  accel 0.0004 max_speed 0.006 armor 2000 shields 900
-  weapon_range 1.5 weapon_damage 60 weapon_cooldown 100 radius 0.1
-end_ship
-""")
-    defs = SCfg.parse_ship_defs(str(p))
-    assert len(defs) == 2
-    assert defs[0].name == "interceptor" and defs[0].accel == 0.003
+def test_ship_config_parser():
+    """Parses the REFERENCE $-sectioned format (ship_config.cpp) — full
+    coverage lives in tests/test_ship_defs.py."""
+    from w3d.universe import ship_config as SCfg
+    defs = SCfg.parse_ship_defs(SCfg.shipped_defs_path("ship_defs_base.txt"))
+    assert len(defs.sclasses) == SCfg.NUM_US_CLASS
     tbl = SCfg.ship_class_table(defs)
-    assert tbl.shape == (2, 8)
-    assert tbl[1, 2] == 2000.0
-    # empty path falls back to the built-in table
-    assert SCfg.ship_class_table([]).shape == USH.SHIP_CLASSES.shape
+    assert tbl.shape == (SCfg.NUM_US_CLASS, 9)
+    assert (tbl[:, 7] > 0).all()     # every class has a radius
 
 
 def test_skeletal_animation():

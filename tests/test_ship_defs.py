@@ -1,0 +1,109 @@
+"""The reference ship-definition config surface (ship_config.cpp): all
+shipped `universe/ship_defs*.txt` files parse, unit conversions match the
+reference, and the parsed classes drive the fleet sim."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import w3d  # noqa: F401
+from w3d.universe import ship_config as SC
+from w3d.universe import ships as USH
+
+REF_DIR = "/root/reference/universe"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF_DIR),
+                                reason="reference universe configs absent")
+
+ALL_FILES = sorted(glob.glob(os.path.join(REF_DIR, "ship_defs*.txt")))
+
+
+@pytest.mark.parametrize("path", ALL_FILES, ids=os.path.basename)
+def test_all_shipped_files_parse(path):
+    d = SC.parse_ship_defs(path)
+    assert len(d.sclasses) == SC.NUM_US_CLASS     # all 40 USC_* defined
+    assert len(d.weapons) == len(SC.WEAP_IDS)     # all 42 UWEAP_*
+    # every class got a weapon loadout or is explicitly unarmed
+    armed = sum(1 for c in d.sclasses.values() if c.weapons)
+    assert armed >= 30
+
+
+def test_unit_conversions_match_reference():
+    """USC_FIGHTER line of ship_defs_base.txt (radius 0.40, accel 0.45,
+    max_speed 24.0, shield_re 0.5 ...) through the reference's unit
+    conversions (ship_config.cpp:869-882)."""
+    d = SC.parse_ship_defs(os.path.join(REF_DIR, "ship_defs_base.txt"))
+    f = d.sclasses[0]                      # USC_FIGHTER
+    assert f.name == "Fighter"
+    np.testing.assert_allclose(f.fields["radius"], 0.40 / 1000.0)
+    np.testing.assert_allclose(f.fields["accel"], 0.45 / 1000.0)
+    np.testing.assert_allclose(f.fields["max_speed"], 24.0 / 1000.0)
+    np.testing.assert_allclose(f.fields["shield_re"], 0.5 / 40.0)
+    np.testing.assert_allclose(f.fields["max_shields"], 100.0)
+    assert f.fields["cost"] == 1000.0
+    assert f.base_color == SC.COLORS["LT_GRAY"]
+    assert f.exp_type == SC.EXP_IDS.index("ETYPE_PART_CLOUD")
+    # weapon conversion: UWEAP_ROCKET fire_delay seconds -> ticks
+    rocket = d.weapons[SC.WEAP_IDS.index("UWEAP_ROCKET")]
+    assert rocket.fields["fire_delay"] > 1.0     # ticks, not seconds
+    # fighter bay weapons carry a SHIP class as ammo
+    fighter_bay = d.weapons[SC.WEAP_IDS.index("UWEAP_FIGHTER")]
+    assert fighter_bay.fields["is_fighter"] == 1.0
+    assert SC.SHIP_IDS[fighter_bay.ammo_type].startswith("USC_")
+
+
+def test_loadouts_and_weap_pts():
+    d = SC.parse_ship_defs(os.path.join(REF_DIR, "ship_defs_base.txt"))
+    fighter = d.sclasses[0]
+    wids = [w[0] for w in fighter.weapons]
+    assert SC.WEAP_IDS.index("UWEAP_ROCKET") in wids
+    # some class carries explicit firing points
+    has_pts = any(w[3] for c in d.sclasses.values() for w in c.weapons)
+    assert has_pts
+
+
+def test_cobj_geometry_parsed():
+    d = SC.parse_ship_defs(os.path.join(REF_DIR, "ship_defs_base.txt"))
+    kinds = {g[0] for c in d.sclasses.values() for g in c.cobjs}
+    assert {"cylinder", "cube", "sphere"} <= kinds
+    offs, nparts = SC.ship_part_geometry(d)
+    assert (nparts > 1).sum() >= 10   # many multi-part classes
+
+
+def test_player_and_globals():
+    d = SC.parse_ship_defs(os.path.join(REF_DIR, "ship_defs.txt"))
+    assert d.player == (SC.SHIP_IDS.index("USC_X1EXTREME"),
+                        SC.ALIGN_IDS.index("PLAYER"))
+    assert len(d.player_weapons) >= 20
+    assert d.globals["hyperspeed"] == 100.0
+    assert d.globals["start_pos"] == (-0.0694, 0.2117, -0.8114)
+    assert d.team_credits[SC.ALIGN_IDS.index("PIRATE")] == 5000
+
+
+def test_fleet_sim_from_shipped_defs():
+    """ship_defs_assault.txt fleets drive step_fleet end-to-end with the
+    full 40-class table."""
+    d = SC.parse_ship_defs(os.path.join(REF_DIR, "ship_defs_assault.txt"))
+    st, tbl, offs, nparts = USH.fleet_from_defs(d, jax.random.key(0))
+    assert st.px.shape[0] == 156          # 55 defenders + 101 attackers
+    aligns = set(map(int, st.align))
+    assert len(aligns) == 2               # RED vs BLUE
+    s = st
+    for i in range(5):
+        s = USH.step_fleet(s, jax.random.key(i), tbl=jnp.asarray(tbl),
+                           abomin_id=USH.USC_ABOMIN_ID,
+                           reaper_id=USH.USC_REAPER_ID)
+    assert bool(jnp.isfinite(s.px).all())
+    # fleets close on each other (reference speeds are ~0.02/frame, so
+    # combat itself needs ~100 frames; assert the approach instead)
+    def gap(f):
+        red = np.asarray(f.align) == int(np.asarray(st.align).min())
+        cx = lambda v, m: float(np.asarray(v)[m].mean())
+        return np.hypot(np.hypot(cx(f.px, red) - cx(f.px, ~red),
+                                 cx(f.py, red) - cx(f.py, ~red)),
+                        cx(f.pz, red) - cx(f.pz, ~red))
+    assert gap(s) < gap(st)
+    assert float(jnp.max(jnp.abs(s.vx) + jnp.abs(s.vy) + jnp.abs(s.vz))) > 0
