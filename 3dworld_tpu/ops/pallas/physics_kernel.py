@@ -310,14 +310,41 @@ def _substep_kernel(env_ref, maps_ref, cf_ref,
     ny_cyl = jnp.where(use_cap, 0.0, ddy * inv_xy)
     nz_cyl = jnp.where(use_cap, jnp.where(cap_is_top, 1.0, -1.0), 0.0)
 
-    # capsule / rotated cylinder
+    # capsule: per-t interpolated radius (physics/cobjs.py semantics)
     abx, aby, abz = p2x - p1x, p2y - p1y, p2z - p1z
     ab2 = jnp.maximum(abx * abx + aby * aby + abz * abz, _EPS)
     t = jnp.clip(((X - p1x) * abx + (Y - p1y) * aby + (Z - p1z) * abz) / ab2,
                  0.0, 1.0)
     dist_seg, nx_cap, ny_cap, nz_cap = norm3(
         X - (p1x + t * abx), Y - (p1y + t * aby), Z - (p1z + t * abz))
-    pen_caps = (r + jnp.maximum(r1, r2)) - dist_seg
+    pen_caps = (r + (r1 + t * (r2 - r1))) - dist_seg
+
+    # rotated cylinder: EXACT taper + flat end caps
+    # (sphere_intersect_cylinder_ipt, Math3d.cpp:731-830)
+    leninv = jax.lax.rsqrt(ab2)
+    length = ab2 * leninv
+    t_un = ((X - p1x) * abx + (Y - p1y) * aby + (Z - p1z) * abz) / ab2
+    t_cl = jnp.clip(t_un, 0.0, 1.0)
+    rdist, rnx, rny, rnz = norm3(X - (p1x + t_un * abx),
+                                 Y - (p1y + t_un * aby),
+                                 Z - (p1z + t_un * abz))
+    rad_tc = r1 + t_cl * (r2 - r1)
+    in_t = (t_un >= 0.0) & (t_un <= 1.0)
+    pen_s = (rad_tc + r) - rdist
+    side_ok = in_t & (pen_s > 0.0)
+    d_end = t_un > 0.5
+    end_r = jnp.where(d_end, r2, r1)
+    axial_out = jnp.maximum(jnp.maximum(-t_un, t_un - 1.0), 0.0) * length
+    tv_cl = jnp.where(d_end, 1.0 - t_cl, t_cl) * length
+    pen_e = r - axial_out
+    end_ok = (end_r > 0.0) & (tv_cl < jnp.minimum(r, rdist)) \
+        & (rdist <= rad_tc + r) & (pen_e > 0.0)
+    sgn = jnp.where(d_end, 1.0, -1.0)
+    use_end = end_ok & (~side_ok | (pen_e < pen_s))
+    pen_rcyl = jnp.where(use_end, pen_e, jnp.where(side_ok, pen_s, -1.0))
+    nx_rcyl = jnp.where(use_end, sgn * abx * leninv, rnx)
+    ny_rcyl = jnp.where(use_end, sgn * aby * leninv, rny)
+    nz_rcyl = jnp.where(use_end, sgn * abz * leninv, rnz)
 
     # polygon
     ptx = [col(f"pt{k}x") for k in range(4)]
@@ -361,23 +388,24 @@ def _substep_kernel(env_ref, maps_ref, cf_ref,
     is_cube = shape == COLL_CUBE
     is_sph = shape == COLL_SPHERE
     is_cyl = shape == COLL_CYLINDER
-    is_caps = (shape == COLL_CAPSULE) | (shape == COLL_CYLINDER_ROT)
+    is_caps = shape == COLL_CAPSULE
+    is_rcyl = shape == COLL_CYLINDER_ROT
     is_poly = shape == COLL_POLYGON
     is_tor = shape == COLL_TORUS
 
     def sel6(vals, default):
         out = jnp.full((M, Nb), default, f32)
-        for m, v in zip((is_cube, is_sph, is_cyl, is_caps, is_poly, is_tor),
-                        vals):
+        for m, v in zip((is_cube, is_sph, is_cyl, is_caps, is_rcyl,
+                         is_poly, is_tor), vals):
             out = jnp.where(m, v, out)
         return out
 
-    pen = sel6([pen_cube, pen_sph, pen_cyl, pen_caps, pen_poly, pen_torus],
-               -1.0)
+    pen = sel6([pen_cube, pen_sph, pen_cyl, pen_caps, pen_rcyl,
+                pen_poly, pen_torus], -1.0)
     pen = jnp.where(shape != COLL_NULL, pen, -1.0)
-    cnx = sel6([nx_cube, nx_sph, nx_cyl, nx_cap, nx_pol, nx_tor], 0.0)
-    cny = sel6([ny_cube, ny_sph, ny_cyl, ny_cap, ny_pol, ny_tor], 0.0)
-    cnz = sel6([nz_cube, nz_sph, nz_cyl, nz_cap, nz_pol, nz_tor], 0.0)
+    cnx = sel6([nx_cube, nx_sph, nx_cyl, nx_cap, nx_rcyl, nx_pol, nx_tor], 0.0)
+    cny = sel6([ny_cube, ny_sph, ny_cyl, ny_cap, ny_rcyl, ny_pol, ny_tor], 0.0)
+    cnz = sel6([nz_cube, nz_sph, nz_cyl, nz_cap, nz_rcyl, nz_pol, nz_tor], 0.0)
 
     # deepest hit per object (ties average — see module docstring)
     pmax = jnp.max(pen, axis=0, keepdims=True)           # [1, Nb]

@@ -173,7 +173,9 @@ def sphere_cobj_test(px, py, pz, radius, c: CobjSet):
     ny_cyl = jnp.where(use_cap, 0.0, ddy * inv_xy)
     nz_cyl = jnp.where(use_cap, jnp.where(cap_is_top, 1.0, -1.0), 0.0)
 
-    # --- capsule / rotated cylinder: sphere-vs-segment, max radius ---
+    # --- capsule: sphere-vs-segment with the per-t interpolated radius
+    # (the reference tests end spheres r1/r2 + the side at
+    # rad=r1+t*(r2-r1): collision_detect.cpp:1384-1388 + Math3d.cpp:736) ---
     abx = c.p2[:, 0] - c.p1[:, 0]
     aby = c.p2[:, 1] - c.p1[:, 1]
     abz = c.p2[:, 2] - c.p1[:, 2]
@@ -183,7 +185,41 @@ def sphere_cobj_test(px, py, pz, radius, c: CobjSet):
     dist_seg, nx_cap, ny_cap, nz_cap = norm3(
         X - (c.p1[:, 0] + t * abx), Y - (c.p1[:, 1] + t * aby),
         Z - (c.p1[:, 2] + t * abz))
-    pen_caps = (r + jnp.maximum(c.r1, c.r2)) - dist_seg
+    rad_t = c.r1 + t * (c.r2 - c.r1)
+    pen_caps = (r + rad_t) - dist_seg
+
+    # --- rotated cylinder: EXACT per-t tapered radius + flat end caps
+    # (sphere_intersect_cylinder_ipt, Math3d.cpp:731-830: side candidate
+    # at rad=r1+t*(r2-r1)+sr with a radial normal, end candidate pushing
+    # along the axis, nearest displacement wins) ---
+    leninv = jax.lax.rsqrt(ab2)
+    length = ab2 * leninv
+    t_un = ((X - c.p1[:, 0]) * abx + (Y - c.p1[:, 1]) * aby
+            + (Z - c.p1[:, 2]) * abz) / ab2
+    t_cl = jnp.clip(t_un, 0.0, 1.0)
+    # pure radial perpendicular (unclamped projection)
+    px_ = X - (c.p1[:, 0] + t_un * abx)
+    py_ = Y - (c.p1[:, 1] + t_un * aby)
+    pz_ = Z - (c.p1[:, 2] + t_un * abz)
+    rdist, rnx, rny, rnz = norm3(px_, py_, pz_)
+    rad_tc = c.r1 + t_cl * (c.r2 - c.r1)
+    in_t = (t_un >= 0.0) & (t_un <= 1.0)
+    pen_s = (rad_tc + r) - rdist                      # side candidate
+    side_ok = in_t & (pen_s > 0.0)
+    # end candidate: nearer end, push along +-axis (flat cap)
+    d_end = t_un > 0.5
+    end_r = jnp.where(d_end, c.r2, c.r1)
+    axial_out = jnp.maximum(jnp.maximum(-t_un, t_un - 1.0), 0.0) * length
+    tv_cl = jnp.where(d_end, 1.0 - t_cl, t_cl) * length
+    pen_e = r - axial_out
+    end_ok = (end_r > 0.0) & (tv_cl < jnp.minimum(r, rdist)) \
+        & (rdist <= rad_tc + r) & (pen_e > 0.0)
+    sgn = jnp.where(d_end, 1.0, -1.0)
+    use_end = end_ok & (~side_ok | (pen_e < pen_s))
+    pen_rcyl = jnp.where(use_end, pen_e, jnp.where(side_ok, pen_s, -1.0))
+    nx_rcyl = jnp.where(use_end, sgn * abx * leninv, rnx)
+    ny_rcyl = jnp.where(use_end, sgn * aby * leninv, rny)
+    nz_rcyl = jnp.where(use_end, sgn * abz * leninv, rnz)
 
     # --- polygon (thin extruded): plane distance + inside test ---
     pnx, pny, pnz = c.pnorm[:, 0], c.pnorm[:, 1], c.pnorm[:, 2]
@@ -226,17 +262,19 @@ def sphere_cobj_test(px, py, pz, radius, c: CobjSet):
     is_cube = c.shape == COLL_CUBE
     is_sph = c.shape == COLL_SPHERE
     is_cyl = c.shape == COLL_CYLINDER
-    is_caps = (c.shape == COLL_CAPSULE) | (c.shape == COLL_CYLINDER_ROT)
+    is_caps = c.shape == COLL_CAPSULE
+    is_rcyl = c.shape == COLL_CYLINDER_ROT
     is_poly = c.shape == COLL_POLYGON
     is_tor = c.shape == COLL_TORUS
-    sel = lambda vals: jnp.select([is_cube, is_sph, is_cyl, is_caps, is_poly, is_tor],
-                                  vals, default=jnp.float32(0.0))
-    pen = jnp.select([is_cube, is_sph, is_cyl, is_caps, is_poly, is_tor],
-                     [pen_cube, pen_sph, pen_cyl, pen_caps, pen_poly, pen_torus],
+    preds = [is_cube, is_sph, is_cyl, is_caps, is_rcyl, is_poly, is_tor]
+    sel = lambda vals: jnp.select(preds, vals, default=jnp.float32(0.0))
+    pen = jnp.select(preds,
+                     [pen_cube, pen_sph, pen_cyl, pen_caps, pen_rcyl,
+                      pen_poly, pen_torus],
                      default=jnp.float32(-1.0))
-    nx = sel([nx_cube, nx_sph, nx_cyl, nx_cap, nx_pol, nx_tor])
-    ny = sel([ny_cube, ny_sph, ny_cyl, ny_cap, ny_pol, ny_tor])
-    nz = sel([nz_cube, nz_sph, nz_cyl, nz_cap, nz_pol, nz_tor])
+    nx = sel([nx_cube, nx_sph, nx_cyl, nx_cap, nx_rcyl, nx_pol, nx_tor])
+    ny = sel([ny_cube, ny_sph, ny_cyl, ny_cap, ny_rcyl, ny_pol, ny_tor])
+    nz = sel([nz_cube, nz_sph, nz_cyl, nz_cap, nz_rcyl, nz_pol, nz_tor])
     return pen, nx, ny, nz
 
 
@@ -274,9 +312,9 @@ class GroupedCobjs:
     argmax ties between coincident cobjs).
     """
 
-    #      cube, sphere, cyl, caps(+rot), poly, torus
+    #      cube, sphere, cyl, capsule, poly, torus, rot-cylinder
     SHAPE_ORDER = (COLL_CUBE, COLL_SPHERE, COLL_CYLINDER, COLL_CAPSULE,
-                   COLL_POLYGON, COLL_TORUS)
+                   COLL_POLYGON, COLL_TORUS, COLL_CYLINDER_ROT)
 
     def __init__(self, cobjs: CobjSet, bounds: tuple):
         self.cobjs = cobjs          # sorted + padded CobjSet
@@ -303,9 +341,9 @@ def group_cobjs(c: CobjSet, pad_to: int = 8) -> GroupedCobjs:
     Requires concrete (non-traced) arrays."""
     shape = np.asarray(c.shape)
     cls_of = {COLL_CUBE: 0, COLL_SPHERE: 1, COLL_CYLINDER: 2,
-              COLL_CAPSULE: 3, COLL_CYLINDER_ROT: 3, COLL_POLYGON: 4,
-              COLL_TORUS: 5}
-    groups = [[] for _ in range(6)]
+              COLL_CAPSULE: 3, COLL_POLYGON: 4, COLL_TORUS: 5,
+              COLL_CYLINDER_ROT: 6}
+    groups = [[] for _ in range(7)]
     for i, s in enumerate(shape):
         if s in cls_of:
             groups[cls_of[s]].append(i)
@@ -320,7 +358,7 @@ def group_cobjs(c: CobjSet, pad_to: int = 8) -> GroupedCobjs:
         idx.extend([len(shape)] * npad)   # map to an appended dead slot
     if not idx:
         idx = [len(shape)] * pad_to
-        bounds = [(0, 0)] * 6
+        bounds = [(0, 0)] * 7
 
     def take(a):
         a = np.asarray(a)
@@ -424,7 +462,7 @@ def sphere_cobj_test_grouped(px, py, pz, radius, g: GroupedCobjs):
             jnp.where(use_cap, 0.0, ddy * inv_xy),
             jnp.where(use_cap, jnp.where(cap_is_top, 1.0, -1.0), 0.0))
 
-    # capsule / rotated cylinder group
+    # capsule group: per-t interpolated radius (see sphere_cobj_test)
     lo, hi = b[3]
     if hi > lo:
         p1x_, p1y_, p1z_ = (sl(c.p1[:, k], lo, hi) for k in range(3))
@@ -437,10 +475,8 @@ def sphere_cobj_test_grouped(px, py, pz, radius, g: GroupedCobjs):
         dist_seg, sx, sy, sz = _norm3(X - (p1x_ + t * abx),
                                       Y - (p1y_ + t * aby),
                                       Z - (p1z_ + t * abz))
-        pen, nx, ny, nz = put(
-            lo, hi,
-            (r + jnp.maximum(sl(c.r1, lo, hi), sl(c.r2, lo, hi))) - dist_seg,
-            sx, sy, sz)
+        rad_t = sl(c.r1, lo, hi) + t * (sl(c.r2, lo, hi) - sl(c.r1, lo, hi))
+        pen, nx, ny, nz = put(lo, hi, (r + rad_t) - dist_seg, sx, sy, sz)
 
     # polygon group
     lo, hi = b[4]
@@ -494,6 +530,43 @@ def sphere_cobj_test_grouped(px, py, pz, radius, g: GroupedCobjs):
                                        tz - rvz * rinv)
         pen, nx, ny, nz = put(lo, hi, (r + sl(c.r2, lo, hi)) - dist_ring,
                               sx, sy, sz)
+
+    # rotated-cylinder group: EXACT taper + flat end caps
+    # (sphere_intersect_cylinder_ipt, Math3d.cpp:731-830)
+    lo, hi = b[6] if len(b) > 6 else (0, 0)
+    if hi > lo:
+        p1x_, p1y_, p1z_ = (sl(c.p1[:, k], lo, hi) for k in range(3))
+        abx = sl(c.p2[:, 0], lo, hi) - p1x_
+        aby = sl(c.p2[:, 1], lo, hi) - p1y_
+        abz = sl(c.p2[:, 2], lo, hi) - p1z_
+        ab2 = jnp.maximum(abx * abx + aby * aby + abz * abz, _EPS)
+        leninv = jax.lax.rsqrt(ab2)
+        length = ab2 * leninv
+        r1_, r2_ = sl(c.r1, lo, hi), sl(c.r2, lo, hi)
+        t_un = ((X - p1x_) * abx + (Y - p1y_) * aby + (Z - p1z_) * abz) / ab2
+        t_cl = jnp.clip(t_un, 0.0, 1.0)
+        rdist, rnx, rny, rnz = _norm3(X - (p1x_ + t_un * abx),
+                                      Y - (p1y_ + t_un * aby),
+                                      Z - (p1z_ + t_un * abz))
+        rad_tc = r1_ + t_cl * (r2_ - r1_)
+        in_t = (t_un >= 0.0) & (t_un <= 1.0)
+        pen_s = (rad_tc + r) - rdist
+        side_ok = in_t & (pen_s > 0.0)
+        d_end = t_un > 0.5
+        end_r = jnp.where(d_end, r2_, r1_)
+        axial_out = jnp.maximum(jnp.maximum(-t_un, t_un - 1.0), 0.0) * length
+        tv_cl = jnp.where(d_end, 1.0 - t_cl, t_cl) * length
+        pen_e = r - axial_out
+        end_ok = (end_r > 0.0) & (tv_cl < jnp.minimum(r, rdist)) \
+            & (rdist <= rad_tc + r) & (pen_e > 0.0)
+        sgn = jnp.where(d_end, 1.0, -1.0)
+        use_end = end_ok & (~side_ok | (pen_e < pen_s))
+        pen, nx, ny, nz = put(
+            lo, hi,
+            jnp.where(use_end, pen_e, jnp.where(side_ok, pen_s, -1.0)),
+            jnp.where(use_end, sgn * abx * leninv, rnx),
+            jnp.where(use_end, sgn * aby * leninv, rny),
+            jnp.where(use_end, sgn * abz * leninv, rnz))
 
     pen = jnp.where(c.shape[None, :] != COLL_NULL, pen, -1.0)
     return pen, nx, ny, nz
