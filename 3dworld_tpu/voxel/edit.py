@@ -115,3 +115,90 @@ class BrushJournal:
             j.add(Brush((float(row[0]), float(row[1]), float(row[2])),
                         float(row[3]), float(row[4]), int(row[5])))
         return j
+
+
+# ---------------------------------------------------------------------------
+# falling / unsupported chunks (voxels.cpp:606-716)
+# ---------------------------------------------------------------------------
+#
+# After an edit, the reference flood-fills an "anchored" region from the
+# mesh-contact voxels through 6-connected solid cells
+# (remove_unconnected_outside_range + flood_fill_range, voxels.cpp:759-830,
+# FLOOD_FILL_INNER axis steps only); solid voxels left unanchored either
+# fragment away, or — with enable_falling — shift down ONE z level per
+# 1/40 s drop tick until they land (voxels.cpp:694-716, "only correct to
+# drop one level at a time").  TPU form: the flood is iterative
+# 6-neighbor dilation masked by solidity; the drop is a masked axis-0
+# shift — both whole-grid fused elementwise ops.
+
+
+def _dilate6(mask: jax.Array) -> jax.Array:
+    """6-neighborhood (face-adjacent) binary dilation — the reference
+    flood connectivity (FLOOD_FILL_INNER steps one axis at a time)."""
+    m = mask.astype(jnp.float32)
+    out = m
+    for ax in range(3):
+        out = jnp.maximum(out, jnp.maximum(
+            jnp.roll(m, 1, ax).at[(slice(None),) * ax + (0,)].set(0.0),
+            jnp.roll(m, -1, ax).at[(slice(None),) * ax + (-1,)].set(0.0)))
+    return out > 0.0
+
+
+@functools.partial(jax.jit, static_argnames=("anchor_layers",))
+def falling_mask(values: jax.Array, isolevel: float,
+                 anchor_layers: int = 1) -> jax.Array:
+    """[nz,ny,nx] bool: solid voxels NOT 6-connected to the bottom
+    `anchor_layers` ground-contact layers (the unanchored set of
+    remove_unconnected_outside_range)."""
+    solid = values < isolevel
+    seed = jnp.zeros_like(solid).at[:anchor_layers].set(solid[:anchor_layers])
+
+    def body(state):
+        conn, _ = state
+        new = (_dilate6(conn) & solid) | conn
+        return new, jnp.any(new != conn)
+
+    conn, _ = jax.lax.while_loop(lambda s: s[1], body,
+                                 (seed, jnp.bool_(True)))
+    return solid & ~conn
+
+
+@functools.partial(jax.jit, static_argnames=("anchor_layers",))
+def drop_unanchored_step(values: jax.Array, isolevel: float,
+                         air_val: float = 1.0, anchor_layers: int = 1):
+    """ONE drop tick: every unanchored solid voxel moves down one z level
+    (voxels.cpp:706-714 — vacate the cell, write the value one step
+    down).  The cell below a falling column bottom is always non-solid
+    (else the column would be anchored through it), so the shift never
+    overwrites standing material.  Returns (new_values, any_fell)."""
+    fall = falling_mask(values, isolevel, anchor_layers=anchor_layers)
+    vacated = jnp.where(fall, isolevel + air_val, values)
+    fall_above = jnp.concatenate(
+        [fall[1:], jnp.zeros_like(fall[:1])], axis=0)
+    vals_above = jnp.concatenate([values[1:], values[-1:]], axis=0)
+    new = jnp.where(fall_above, vals_above, vacated)
+    return new, jnp.any(fall)
+
+
+def settle_unanchored(values: jax.Array, isolevel: float,
+                      air_val: float = 1.0, anchor_layers: int = 1,
+                      max_steps: int | None = None):
+    """Iterate drop ticks until every chunk lands (the reference reaches
+    the same state over successive frames via next_frame_modified_blocks,
+    voxels.cpp:685).  Returns (values, steps_fallen)."""
+    if max_steps is None:
+        max_steps = values.shape[0]
+
+    def cond(state):
+        _, more, steps = state
+        return more & (steps < max_steps)
+
+    def body(state):
+        v, _, steps = state
+        v2, fell = drop_unanchored_step(v, isolevel, air_val=air_val,
+                                        anchor_layers=anchor_layers)
+        return v2, fell, steps + fell.astype(jnp.int32)
+
+    v, _, steps = jax.lax.while_loop(
+        cond, body, (values, jnp.bool_(True), jnp.int32(0)))
+    return v, steps

@@ -199,3 +199,70 @@ def test_voxel_collision_paths():
     vc.rebuild(field2, dirty)
     assert vc.num_tris != n0                   # surface actually changed
     assert len(vc.to_cobjs().cobjs) == vc.num_tris
+
+
+# ---------------------------------------------------------------------------
+# falling / unsupported chunks (voxels.cpp:606-716)
+# ---------------------------------------------------------------------------
+
+def _tower_scene(nz=16, ny=8, nx=8):
+    """Ground layer + pillar + a floating island above a gap."""
+    v = jnp.ones((nz, ny, nx), jnp.float32)     # 1.0 = air (iso 0)
+    v = v.at[0].set(-1.0)                       # ground layer solid
+    v = v.at[0:4, 2, 2].set(-1.0)               # pillar, anchored
+    v = v.at[8:10, 5:7, 5:7].set(-1.0)          # floating island (gap 1..7)
+    return v
+
+
+def test_falling_mask_finds_island():
+    from w3d.voxel.edit import falling_mask
+    v = _tower_scene()
+    f = np.asarray(falling_mask(v, 0.0))
+    assert f[8:10, 5:7, 5:7].all()          # island is unanchored
+    assert not f[0].any()                   # ground anchored
+    assert not f[0:4, 2, 2].any()           # pillar anchored
+
+
+def test_island_falls_and_lands():
+    from w3d.voxel.edit import settle_unanchored, falling_mask
+    v = _tower_scene()
+    v2, steps = settle_unanchored(v, 0.0)
+    v2 = np.asarray(v2)
+    assert int(steps) == 7                  # fell from z=8 to rest at z=1
+    assert (v2[1:3, 5:7, 5:7] < 0).all()    # landed on the ground layer
+    assert (v2[8:10, 5:7, 5:7] > 0).all()   # vacated origin
+    assert not np.asarray(falling_mask(jnp.asarray(v2), 0.0)).any()
+    # mass conserved: same number of solid cells
+    assert (v2 < 0).sum() == (np.asarray(_tower_scene()) < 0).sum()
+
+
+def test_carved_free_chunk_falls():
+    """Carving the support out from a structure spawns a falling chunk
+    (the voxels.cpp:2112 update path after a brush edit)."""
+    from w3d.voxel.edit import falling_mask, drop_unanchored_step
+    nz, ny, nx = 12, 6, 6
+    v = jnp.ones((nz, ny, nx), jnp.float32)
+    v = v.at[0].set(-1.0)
+    v = v.at[0:8, 3, 3].set(-1.0)           # solid column
+    assert not np.asarray(falling_mask(v, 0.0)).any()
+    v = v.at[3:5, 3, 3].set(1.0)            # carve out the middle
+    f = np.asarray(falling_mask(v, 0.0))
+    assert f[5:8, 3, 3].all()               # top segment detached
+    assert not f[0:3, 3, 3].any()
+    v2, fell = drop_unanchored_step(v, 0.0)
+    assert bool(fell)
+    v2 = np.asarray(v2)
+    assert (v2[4:7, 3, 3] < 0).all() and v2[7, 3, 3] > 0
+
+
+def test_diagonal_contact_is_not_support():
+    """Reference flood is 6-connected (FLOOD_FILL_INNER axis steps):
+    diagonal-only contact does not anchor."""
+    from w3d.voxel.edit import falling_mask
+    v = jnp.ones((8, 6, 6), jnp.float32)
+    v = v.at[0].set(-1.0)
+    v = v.at[1, 2, 2].set(-1.0)             # grounded block
+    v = v.at[2, 3, 3].set(-1.0)             # touches only diagonally
+    f = np.asarray(falling_mask(v, 0.0))
+    assert not f[1, 2, 2]
+    assert f[2, 3, 3]
