@@ -29,12 +29,23 @@ def tokenize(text: str):
 
 
 def tokenize_lines(text: str):
-    """Per-line token lists with # comments stripped."""
+    """Per-line token lists with # comments stripped and /* */ block
+    comments skipped (3DWorld.cpp:2051-2056 read_block_comment)."""
+    in_block = False
     for line in text.splitlines():
-        hash_pos = line.find("#")
-        if hash_pos >= 0:
-            line = line[:hash_pos]
-        toks = line.split()
+        toks = []
+        for tok in line.split():
+            if in_block:
+                if tok.endswith("*/"):
+                    in_block = False
+                continue
+            if tok.startswith("#"):
+                break
+            if tok.startswith("/*"):
+                if not (len(tok) > 3 and tok.endswith("*/")):
+                    in_block = True
+                continue
+            toks.append(tok)
         if toks:
             yield toks
 
@@ -111,6 +122,8 @@ class Config:
     player_start: tuple = (0.0, 0.0, 0.0)
     wind_velocity: tuple = (0.4, 0.2, 0.0)
     extra: dict = field(default_factory=dict)  # unmodeled keyword -> raw token(s)
+    hmap: dict = field(default_factory=dict)   # hmap_* gen params (3DWorld.cpp:2007-2020)
+    display_mode: int = 0x01                   # toggle_* keywords flip bits (3DWorld.cpp:2173-2174)
     include_dirs: tuple = ()
 
     def world_const(self):
@@ -131,7 +144,18 @@ class Config:
             water_h_off_rel=self.water_h_off[0], water_h_off=self.water_h_off[1],
             relh_adj_tex=self.relh_adj_tex,
             mesh_freq_filter=self.mesh_freq_filter,
+            hmap=self.hmap_gen_params(),
         )
+
+    def hmap_gen_params(self):
+        """hmap_* keywords -> HmapParams (name remap per 3DWorld.cpp
+        kwmf.add calls: plat_height->plat_h etc.)."""
+        from ..terrain.mesh import HmapParams
+        remap = {"plat_height": "plat_h", "plat_slope": "plat_s",
+                 "crat_height": "crat_h", "crat_slope": "crat_s",
+                 "crack_depth": "crack_d"}
+        kw = {remap.get(k, k): v for k, v in self.hmap.items()}
+        return HmapParams(**kw)
 
 
 # keyword -> (field, arity, type); arity "rest_of_config" handled specially
@@ -261,7 +285,6 @@ _KEYWORDS = {
     "group_back_face_cull": ("group_back_face_cull", 1, _INT),
     "head_bob_amount": ("head_bob_amount", 1, _FLT),
     "hmap_filter_width": ("hmap_filter_width", 1, _INT),
-    "hmap_sine_mag": ("hmap_sine_mag", 5, _FLT),
     "indir_light_exp": ("indir_light_exp", 1, _FLT),
     "indir_vert_offset": ("indir_vert_offset", 1, _FLT),
     "inf_terrain_scenery": ("inf_terrain_scenery", 1, _INT),
@@ -402,6 +425,18 @@ def _parse_lines(lines, cfg: Config, base_dir: str):
     per-domain kwm dispatch."""
     for toks in lines:
         kw, args = toks[0], toks[1:]
+        if kw == "end":                        # stop reading (3DWorld.cpp:2296)
+            break
+        if kw == "toggle_mesh_enabled":        # zero-arg toggles (:2173-2174)
+            cfg.display_mode ^= 0x01
+            continue
+        if kw == "toggle_reflections":
+            cfg.display_mode ^= 0x10
+            continue
+        if kw.startswith("hmap_") and kw != "hmap_filter_width" and args:
+            # hmap_params_t fields, each a single float (3DWorld.cpp:2007-2020)
+            cfg.hmap[kw[5:]] = float(args[0])
+            continue
         if kw == "include" and args:
             load_config_file(_resolve(args[0], base_dir, cfg), cfg)
             continue
@@ -537,3 +572,10 @@ def load_config_tiered(base_dir: str = "scene_config") -> Config:
         load_config_file(os.path.join(base_dir, "config.txt"), cfg)
     load_config_file(os.path.join(base_dir, "config_post.txt"), cfg)
     return cfg
+
+
+def unbound_report(cfg: Config) -> dict:
+    """Keywords that landed unmodeled in cfg.extra — the per-scene config
+    coverage report.  Golden scenes must report empty
+    (tests/test_scene_dsl.py)."""
+    return dict(cfg.extra)

@@ -116,7 +116,7 @@ num_light_rays 10000 10000 20000000 1000000
     assert cfg.coll_obj_file == "coll_objs/spheres.txt"
     assert cfg.sphere_gen["metal_prob"] == "0.2"
     assert cfg.extra["unknown_keyword"] == "42"
-    assert "toggle_reflections" in cfg.extra
+    assert cfg.display_mode == (0x01 ^ 0x10)  # toggle_reflections bound
     assert cfg.num_light_rays == (10000, 10000, 20000000, 1000000)
     w = cfg.world_const()
     assert w.mesh_x == 192 and w.z_scene == 1.25
