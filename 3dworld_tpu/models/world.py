@@ -76,6 +76,43 @@ def ground_frame(scene: GroundScene, substeps: int = 4,
     return scene
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("frames", "substeps",
+                                             "obj_collisions", "world"))
+def ground_frames_chained(objects, env, cobjs, table, ripples, player,
+                          move_xy, world: WorldConst, frames: int,
+                          substeps: int = 4, obj_collisions: bool = True):
+    """K ground frames in ONE dispatch (lax.scan): physics + ripples +
+    player per frame, chained on-device so the live app loop amortizes
+    the per-dispatch relay/host round trip (~28 ms on the axon tunnel)
+    instead of paying it every frame — the same trick bench.py uses.
+
+    `move_xy` is [frames, 2] per-frame player input.  Platforms (host
+    branch in ground_frame) are not chained; scenes with platforms use
+    the per-frame path.  Returns (objects, ripples, player, live[frames]).
+    """
+    from ..gameplay import player as PL
+
+    wpz = env.water_plane_z
+    inside = wpz > env.mesh_height
+    depth = jnp.maximum(wpz - env.mesh_height, 0.0)
+
+    def body(carry, mv):
+        st, rip, ply = carry
+        st = PS.step_objects(st, env, cobjs, table, substeps=substeps,
+                             world=world, obj_collisions=obj_collisions)
+        rip, _ = WR.step_ripples(rip, inside, depth)
+        ply = PL.step_player(ply, env.mesh_height, cobjs, mv[0], mv[1],
+                             False, world=world)
+        return (st, rip, ply), jnp.sum(st.status > 0)
+
+    (st, rip, ply), live = jax.lax.scan(
+        body, (objects, ripples, player), move_xy, length=frames)
+    return st, rip, ply, live
+
+
 # ---------------------------------------------------------------------------
 # tiled-terrain mode
 # ---------------------------------------------------------------------------

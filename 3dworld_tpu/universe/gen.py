@@ -82,10 +82,37 @@ class System:
 
 @dataclass
 class Galaxy:
+    """Galaxy header generated with the cell; its SYSTEMS generate
+    lazily on first access (the reference creates galaxies in gen_cell
+    but clusters/systems only on approach, ugalaxy::process
+    Universe.cpp:1285) — so paging a 7^3 window is cheap and content
+    cost is paid only where the player actually goes.  Deterministic:
+    the system stream is seeded by two draws taken from the cell stream
+    at galaxy creation."""
+
     pos: tuple         # relative to cell center
     radius: float
     color: tuple
-    systems: list = field(default_factory=list)
+    nsys: int = 0
+    sys_seed1: int = 1
+    sys_seed2: int = 1
+    _systems: list | None = field(default=None, repr=False)
+
+    @property
+    def systems(self) -> list:
+        if self._systems is None:
+            rg = RandGen(self.sys_seed1 or 1, self.sys_seed2 or 1)
+            out = []
+            for _ in range(self.nsys):
+                sp = tuple(self.pos[d] + self.radius * (rg.randd() - 0.5)
+                           * (rg.randd() - 0.5) * 4.0 for d in range(3))
+                out.append(gen_system(rg, sp))
+            self._systems = out
+        return self._systems
+
+    @property
+    def generated(self) -> bool:
+        return self._systems is not None
 
 
 @dataclass
@@ -141,14 +168,9 @@ def gen_galaxy(rg: RandGen, cell_radius: float) -> Galaxy:
     radius = cell_radius * rg.rand_uniform(0.1, 0.3)
     color = (rg.rand_uniform(0.5, 1.0), rg.rand_uniform(0.5, 1.0),
              rg.rand_uniform(0.5, 1.0))
-    g = Galaxy(pos=pos, radius=radius, color=color)
     nsys = rg.rand_int(MIN_SYSTEMS_PER_GALAXY, MAX_SYSTEMS_PER_GALAXY)
-    for _ in range(nsys):
-        # clustered toward the galaxy center
-        sp = tuple(pos[d] + radius * (rg.randd() - 0.5) * (rg.randd() - 0.5) * 4.0
-                   for d in range(3))
-        g.systems.append(gen_system(rg, sp))
-    return g
+    return Galaxy(pos=pos, radius=radius, color=color, nsys=nsys,
+                  sys_seed1=rg.rand(), sys_seed2=rg.rand())
 
 
 def gen_cell(coords: tuple, origin=(0.0, 0.0, 0.0)) -> Cell:
@@ -186,11 +208,34 @@ class UniverseState:
             if k not in self.cells:
                 self.cells[k] = gen_cell(k)
                 created.append(k)
+        self.ensure_near(player_pos)
         return created, freed
 
+    def ensure_near(self, player_pos, radius: float = 0.5 * CELL_SIZE) -> int:
+        """Force lazy system generation for galaxies the player
+        approaches (ugalaxy::process on approach, Universe.cpp:1285);
+        distant galaxies stay headers."""
+        n = 0
+        for cell in self.cells.values():
+            for g in cell.galaxies:
+                if g.generated:
+                    continue
+                d2 = sum((cell.pos[d] + g.pos[d] - player_pos[d]) ** 2
+                         for d in range(3))
+                if d2 < (radius + g.radius) ** 2:
+                    g.systems  # noqa: B018 — forces generation
+                    n += 1
+        return n
+
     def num_systems(self) -> int:
-        return sum(len(g.systems) for cell in self.cells.values()
+        """Total systems in the window (header counts — does not force
+        lazy generation)."""
+        return sum(g.nsys for cell in self.cells.values()
                    for g in cell.galaxies)
+
+    def num_generated(self) -> int:
+        return sum(1 for cell in self.cells.values()
+                   for g in cell.galaxies if g.generated)
 
 
 def get_gravity(cell: Cell, pos, g_const: float = 1e-4):
