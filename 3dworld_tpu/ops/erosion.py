@@ -195,7 +195,16 @@ def _walk_batch(
         nzi = jnp.floor(nzp).astype(jnp.int32)
         nxf = nxp - nxi.astype(jnp.float32)
         nzf = nzp - nzi.astype(jnp.float32)
-        nh00, nh10, nh01, nh11 = _gather4_mm(hm, nx, ny, nxi, nzi)
+        # LIVE map read: base snapshot + the batch's accumulated delta, so
+        # every droplet sees all concurrent droplets' (and its own) writes
+        # up to the previous step — the sequential reference's in-place
+        # mh_padded semantics (erosion.cpp:95 reads after :100-147 writes
+        # of earlier droplets), deterministic-lockstep instead of OMP-racy.
+        # This is what keeps the dh -> v -> capacity feedback bounded:
+        # once a channel is carved, later concurrent droplets see the
+        # carved height and deposit instead of re-eroding the snapshot.
+        nh00, nh10, nh01, nh11 = _gather4_mm(hm + c["delta"], nx, ny,
+                                             nxi, nzi)
         nh = (nh00 * (1 - nxf) + nh10 * nxf) * (1 - nzf) + (nh01 * (1 - nxf) + nh11 * nxf) * nzf
         # ocean cutoff (erosion.cpp:98): die, drop sediment
         nmax = jnp.maximum(jnp.maximum(nh00, nh10), jnp.maximum(nh01, nh11))
@@ -252,25 +261,9 @@ def _walk_batch(
         emap = jnp.einsum("dbz,dbx->zx", U, Xo, preferred_element_type=jnp.float32)
         delta = c["delta"] + dmap - emap
 
-        # Note on self-feedback: the reference reads the next position's
-        # corners *before* applying this step's deposits/erosion
-        # (erosion.cpp:95 reads, :100-147 writes), so a droplet never sees
-        # its own current-step writes at step t+1 either — its only in-walk
-        # feedback is the local `h` variable (pit filling), which we carry.
-        # Re-reads of much older own-writes (path loops) are the one case a
-        # frozen batch snapshot misses; cross-droplet interleaving is racy
-        # in the reference (OMP) and deterministic-deferred here.
-
-        # terminal-velocity clamp: the sequential reference self-limits
-        # because each droplet sees every prior droplet's edits; batched
-        # frozen-snapshot walks superpose 100s of droplets' carving, and
-        # past ~10K iters the dh -> v -> capacity feedback diverges
-        # (oracle stays in [zmin, zmax]; unclamped batches hit 300+).
-        # vmax = free-fall speed over the full original relief — never
-        # binding in the oracle-matching regime.
-        vmax = jnp.sqrt(KG * jnp.maximum(
-            jnp.asarray(params.zmax, jnp.float32) - params.zmin, 1e-3))
-        v = jnp.minimum(jnp.sqrt(jnp.maximum(v * v + KG * dh, 0.0)), vmax)
+        # velocity update (erosion.cpp:149; sqrt guarded — see
+        # erode_reference_strict for the reference's unguarded NaN defect)
+        v = jnp.sqrt(jnp.maximum(v * v + KG * dh, 0.0))
         w = c["w"] * (1.0 - KW)
         new_alive = go_on
         keep = ~new_alive
@@ -346,25 +339,17 @@ def erode(
     zi_all = zi_all.reshape(num_batches, batch_size)
     keys = jax.random.split(w3d_rng.key(seed, 0xE05), num_batches)
 
-    # per-batch delta limiter: the sequential reference self-stabilizes
-    # (cf. the tile-based erosion stabilization discussion in
-    # arxiv 2210.14496, "Visually Improved Erosion Algorithm for the
-    # Procedural Generation of Tile-based Terrain" — PAPERS.md)
-    # (every droplet sees all prior edits, erosion.cpp updates mh_padded
-    # in place); frozen-snapshot batches superpose hundreds of droplets
-    # carving the same channels, and past ~10K total droplets the
-    # dh -> capacity feedback diverges (oracle stays within the original
-    # relief; unclamped batches reached z=+333 on a [-8.5,-5] map).
-    # Capping each batch's per-cell height change at 5% of the original
-    # relief bounds total drift while leaving the oracle-matching regime
-    # untouched (typical per-cell batch deltas are ~100x smaller).
-    dmax = 0.05 * jnp.maximum(
-        jnp.asarray(params.zmax, jnp.float32) - params.zmin, 1e-3)
+    # Stability comes from the LIVE in-batch map reads in _walk_batch
+    # (hm + delta): concurrent droplets see each other's carving as the
+    # sequential reference does (in-place mh_padded), so the
+    # dh -> v -> capacity feedback self-limits and no per-batch delta
+    # clamp is needed (the round-2 5% clamp is deleted; long-run
+    # stability asserted unclamped in tests/test_erosion.py).
 
     def batch_step(h, inp):
         xi, zi, k = inp
         d = _walk_batch(h, nx, ny, xi, zi, k, params, max_steps)
-        return h + jnp.clip(d, -dmax, dmax), None
+        return h + d, None
 
     hm, _ = jax.lax.scan(batch_step, hm, (xi_all, zi_all, keys))
     out = hm[pad:pad + ys, pad:pad + xs]

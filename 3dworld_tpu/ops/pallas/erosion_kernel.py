@@ -59,14 +59,15 @@ def _erosion_kernel(par_ref, hm_ref, xi_ref, zi_ref, ang_ref, out_ref, *,
     def onehot_y(idx):
         return (idx == sub_y).astype(jnp.float32)
 
-    def gather4(xi, zi):
+    def gather4(xi, zi, cur=None):
+        m = hm if cur is None else cur
         x0 = onehot_x(jnp.clip(xi, 0.0, nx - 1.0))
         x1 = onehot_x(jnp.clip(xi + 1.0, 0.0, nx - 1.0))
         z0 = onehot_y(jnp.clip(zi, 0.0, ny - 1.0))
         z1 = onehot_y(jnp.clip(zi + 1.0, 0.0, ny - 1.0))
-        w0 = jax.lax.dot_general(hm, x0, (((1,), (0,)), ((), ())),
+        w0 = jax.lax.dot_general(m, x0, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # [ny,B]
-        w1 = jax.lax.dot_general(hm, x1, (((1,), (0,)), ((), ())),
+        w1 = jax.lax.dot_general(m, x1, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         return (jnp.sum(w0 * z0, 0, keepdims=True),
                 jnp.sum(w1 * z0, 0, keepdims=True),
@@ -100,7 +101,10 @@ def _erosion_kernel(par_ref, hm_ref, xi_ref, zi_ref, ang_ref, out_ref, *,
         nzi = jnp.floor(nzp)
         nxf = nxp - nxi
         nzf = nzp - nzi
-        nh00, nh10, nh01, nh11 = gather4(nxi, nzi)
+        # LIVE read: base + batch delta so far (matches _walk_batch —
+        # concurrent droplets see each other's writes, which is the
+        # stabilizing in-place semantics of the reference's mh_padded)
+        nh00, nh10, nh01, nh11 = gather4(nxi, nzi, hm + delta)
         nh = (nh00 * (1 - nxf) + nh10 * nxf) * (1 - nzf) \
             + (nh01 * (1 - nxf) + nh11 * nxf) * nzf
         nmax = jnp.maximum(jnp.maximum(nh00, nh10), jnp.maximum(nh01, nh11))
@@ -296,12 +300,8 @@ def erode_tiles_pallas(heightmaps, num_iters: int, params,
         jnp.asarray(params.rock_thresh, jnp.float32),
         jnp.asarray(params.relh_adj_tex, jnp.float32)])
 
-    # per-batch delta limiter — same stabilizer as ops/erosion.erode
-    # (see the comment there): caps each batch's per-cell change at 5%
-    # of the original relief so superposed-droplet feedback can't
-    # diverge at high iteration counts
-    dmax = 0.05 * jnp.maximum(
-        jnp.asarray(params.zmax, jnp.float32) - params.zmin, 1e-3)
+    # stability comes from the live in-batch reads above — no clamp
+    # (matches ops/erosion.erode; round-2 5% limiter deleted)
 
     def batch_step(h, inp):
         xi, zi, k = inp
@@ -310,7 +310,7 @@ def erode_tiles_pallas(heightmaps, num_iters: int, params,
         ziT = jnp.broadcast_to(zi, (T, batch_size))
         d = erosion_walk_pallas(h, xiT, ziT, ang, pt, max_steps,
                                 interpret=interpret)
-        return h + jnp.clip(d, -dmax, dmax), None
+        return h + d, None
 
     hm, _ = jax.lax.scan(batch_step, hm, (xi_all, zi_all, keys))
     return jnp.maximum(hm, min_zval)

@@ -183,3 +183,24 @@ def test_shipped_config_heightmap_erosion_fidelity():
     ratio = np.abs(d_got).sum() / np.abs(d_ref).sum()
     assert 0.4 < ratio < 3.0, ratio
     assert np.sign(d_got.mean()) == np.sign(d_ref.mean())
+
+
+@pytest.mark.slow
+def test_100k_droplets_stable_unclamped():
+    """Round-2 verdict item: long-run stability WITHOUT the 5% delta
+    clamp (deleted).  Stability now comes from live in-batch map reads
+    (hm + delta) in _walk_batch: concurrent droplets see each other's
+    carving like the reference's in-place mh_padded, so the
+    dh -> v -> capacity feedback self-limits.  At this droplet count the
+    compiled C++ reference has NaN-wiped ~72% of cells to min_zval
+    (measured via tests/cpp/erosion_harness — its sqrt-NaN defect); the
+    batched kernel stays bounded within the original relief."""
+    hm = island(128)
+    out = np.asarray(E.erode(jnp.asarray(hm), 100_000, PARAMS,
+                             min_zval=-2.0, batch_size=2048,
+                             max_steps=128))
+    assert np.isfinite(out).all()
+    assert out.min() >= -2.0
+    assert out.max() <= hm.max() + 0.5
+    # material actually moved
+    assert np.abs(out - hm).max() > 0.05
