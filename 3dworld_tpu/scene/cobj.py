@@ -1209,12 +1209,22 @@ def _try_load_model(ms: ModelSpec, sp: SceneParse, scene_path: str,
     if fn is None or ms.group_cobjs_level >= 4:
         return fn is not None
     try:
-        from .model3d import load_obj, model_to_cobjs
-        if not fn.lower().endswith((".obj",)):
-            return True  # loaded, but cobj extraction unsupported here
-        model = load_obj(fn)
-        for quad in model_to_cobjs(model):
-            pts = tuple(xf.xform_pos(tuple(p)) for p in quad)
+        from .model3d import load_obj, model_to_cobjs, Model3d
+        low = fn.lower()
+        if low.endswith(".obj"):
+            model = load_obj(fn)
+        elif low.endswith((".model3d", ".model3d.npz", ".npz")):
+            # binary model cache (model3d.cpp cache path; ours is the
+            # Model3d._asdict() npz written by load_obj)
+            import numpy as _np
+            with _np.load(fn) as z:
+                model = Model3d(**{k: z[k] for k in Model3d._fields})
+        else:
+            # full format dispatch: 3DS / glTF / STL / PLY / OFF / DAE
+            from .read_mesh_formats import load_model
+            model = load_model(fn)
+        for rc in model_to_cobjs(model).cobjs:
+            pts = tuple(xf.xform_pos(tuple(p)) for p in rc.pts)
             add_cobj(COLL_POLYGON, pts[0], r1=0.0, pts=pts)
         return True
     except Exception:
