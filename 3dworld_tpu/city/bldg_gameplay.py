@@ -93,6 +93,17 @@ _PROPS = {
     RC.F_PARK_SPACE: (0.0, 0.0, False, False, 0.0),
 }
 _PROPS.update({getattr(RC, k): v for k, v in _SMALL_PROPS.items()})
+# nested/expanded content kinds (closet internals, floor clothes,
+# fixtures): value/weight/pickable/consumable/heal
+_PROPS.update({
+    RC.F_CLOSET:        (250.0, 150.0, False, False, 0.0),
+    RC.F_HANGER:        (0.5, 0.1, True, False, 0.0),
+    RC.F_CLOTHES:       (15.0, 1.0, True, False, 0.0),
+    RC.F_BOX:           (5.0, 8.0, True, False, 0.0),
+    RC.F_CEIL_LIGHT:    (40.0, 10.0, False, False, 0.0),
+    RC.F_LAVALAMP:      (60.0, 6.0, True, False, 0.0),
+    RC.F_FLOOR_CLOTHES: (10.0, 1.0, True, False, 0.0),
+})
 MAX_CARRY_WEIGHT = 200.0  # lbs, reference player_inventory weight limit
 
 
@@ -331,7 +342,7 @@ def nav_graph_with_doors(interior, doors: DoorState) -> PP.NavGraph:
         if doors.is_open(di):
             continue
         # find the edge whose waypoint is this door and cut it
-        for (a, b), (wx, wy) in list(g.waypoints.items()):
+        for (a, b), (wx, wy, *_e) in list(g.waypoints.items()):
             if abs(wx - dx) < 1e-6 and abs(wy - dy) < 1e-6:
                 if b in g.adj[a]:
                     g.adj[a].remove(b)
@@ -392,7 +403,7 @@ class ZombieAI:
         for i in range(n):
             dest = dests[i] if dests[i] is not None else rg.rand() % R
             wps = graph.expand(graph.route(cur_rooms[i], dest))[:PP.MAX_PATH]
-            for k, (wx, wy, wf) in enumerate(wps):
+            for k, (wx, wy, wf, _we) in enumerate(wps):
                 px[i, k], py[i, k], pf[i, k] = wx, wy, wf
             plen[i] = len(wps)
         return st._replace(path_x=jnp.asarray(px), path_y=jnp.asarray(py),

@@ -36,11 +36,14 @@ AVOID_PUSH = 0.35       # max fraction of a step spent dodging
 
 @dataclass
 class NavGraph:
-    """Rooms as nodes; door/stair adjacency as edges with waypoints."""
+    """Rooms as nodes; door/stair/elevator adjacency as edges with
+    waypoints.  Waypoint values are (x, y, elevator_id); doors and
+    stairs carry elevator_id -1."""
 
     centers: np.ndarray     # [R, 3] room centers (x, y, floor)
     adj: list               # adjacency lists
-    waypoints: dict         # (a, b) -> (x, y) door/stair crossing point
+    waypoints: dict         # (a, b) -> (x, y, eid) crossing point
+    elev_edges: dict = None  # (a, b) -> (x, y, eid) elevator crossings
 
     def route(self, a: int, b: int) -> list[int]:
         """BFS route (A* reduces to BFS on the unweighted room graph)."""
@@ -61,24 +64,45 @@ class NavGraph:
                     q.append(v)
         return [a]
 
-    def expand(self, rooms: list[int]) -> list[tuple]:
-        """Room route -> (x, y, floor) waypoints through each connecting
-        door (then the next room's center)."""
+    def expand(self, rooms: list[int],
+               use_elevator: bool = False) -> list[tuple]:
+        """Room route -> (x, y, floor, elevator_id) waypoints through
+        each connecting door (then the next room's center).
+
+        With use_elevator, floor-crossing hops served by an elevator
+        shaft emit a BOARDING waypoint at the source floor carrying the
+        elevator id (the rider waits there for the car — see
+        step_people) followed by the exit at the destination floor; the
+        reference's people likewise pick elevator or stairs per trip
+        (ai_room_update, building_navigation.cpp:2864+)."""
         wps = []
+        ee = self.elev_edges or {}
         for k in range(len(rooms) - 1):
             a, b = rooms[k], rooms[k + 1]
-            wp = self.waypoints.get((a, b)) or self.waypoints.get((b, a))
             fa = self.centers[a, 2]
             fb = self.centers[b, 2]
-            if wp is not None:
-                # cross the door at the SOURCE room's floor, then step to
-                # the destination floor (stairs change floor mid-crossing)
-                wps.append((wp[0], wp[1], fa if fa == fb else fb))
-            wps.append((self.centers[b, 0], self.centers[b, 1], fb))
+            el = ee.get((a, b)) or ee.get((b, a))
+            if use_elevator and el is not None and fa != fb:
+                wps.append((el[0], el[1], fa, el[2]))     # board + wait
+                wps.append((el[0], el[1], fb, -1))        # exit
+            else:
+                wp = self.waypoints.get((a, b)) or self.waypoints.get((b, a))
+                if wp is None:
+                    wp = el       # elevator-only connection
+                    if wp is not None and fa != fb:
+                        wps.append((wp[0], wp[1], fa, wp[2]))
+                        wps.append((wp[0], wp[1], fb, -1))
+                        wp = None
+                if wp is not None:
+                    # cross the door at the SOURCE room's floor, then
+                    # step to the destination floor (stairs change floor
+                    # mid-crossing)
+                    wps.append((wp[0], wp[1], fa if fa == fb else fb, -1))
+            wps.append((self.centers[b, 0], self.centers[b, 1], fb, -1))
         if not wps:
             a = rooms[0]
             wps.append((self.centers[a, 0], self.centers[a, 1],
-                        self.centers[a, 2]))
+                        self.centers[a, 2], -1))
         return wps
 
 
@@ -92,6 +116,7 @@ def build_nav_graph(interior) -> NavGraph:
                         for r in rooms], np.float32)
     adj = [[] for _ in range(R)]
     waypoints = {}
+    elev_edges = {}
 
     by_floor = {}
     for i, r in enumerate(rooms):
@@ -105,11 +130,14 @@ def build_nav_graph(interior) -> NavGraph:
                 return i
         return -1
 
-    def connect(a, b, wx, wy):
+    def connect(a, b, wx, wy, eid=-1):
         if b not in adj[a]:
             adj[a].append(b)
             adj[b].append(a)
-        waypoints.setdefault((a, b), (wx, wy))
+        if eid >= 0:
+            elev_edges.setdefault((a, b), (wx, wy, eid))
+        else:
+            waypoints.setdefault((a, b), (wx, wy, eid))
 
     fh = getattr(interior, "floor_height", 1.0) or 1.0
     z1 = getattr(interior, "z1", 0.0)
@@ -136,7 +164,33 @@ def build_nav_graph(interior) -> NavGraph:
         b = room_at(cx, cy, fl + 1)
         if a >= 0 and b >= 0:
             connect(a, b, cx, cy)
-    return NavGraph(centers=centers, adj=adj, waypoints=waypoints)
+
+    # elevator shafts connect the rooms they open into on EVERY pair of
+    # consecutive floors (riders chain floors inside the car); edges are
+    # tagged with the shaft id so routes board/ride instead of stepping
+    # (ai_room_update elevator riding, building_navigation.cpp:2864+)
+    for eid, (ex1, ey1, ex2, ey2) in enumerate(
+            getattr(interior, "elevators", ()) or ()):
+        cx = 0.5 * (ex1 + ex2)
+        cy = 0.5 * (ey1 + ey2)
+        served = sorted(by_floor)
+        for fl in served:
+            a = room_at(cx, cy, fl)
+            b = room_at(cx, cy, fl + 1)
+            if a >= 0 and b >= 0:
+                connect(a, b, cx, cy, eid)
+    return NavGraph(centers=centers, adj=adj, waypoints=waypoints,
+                    elev_edges=elev_edges)
+
+
+# activity states (ai_room_update's per-person state machine,
+# building_navigation.cpp:2864; AI_WAITING/AI_MOVING + the sitting /
+# sleeping / elevator sub-states of people_t)
+ACT_WALK = 0
+ACT_WAIT_ELEVATOR = 1
+ACT_RIDE_ELEVATOR = 2
+ACT_SIT = 3
+ACT_SLEEP = 4
 
 
 class PeopleState(NamedTuple):
@@ -148,9 +202,14 @@ class PeopleState(NamedTuple):
     path_x: jax.Array     # [N, MAX_PATH]
     path_y: jax.Array
     path_f: jax.Array
+    path_e: jax.Array     # [N, MAX_PATH] elevator id per waypoint (-1)
     path_len: jax.Array   # [N]
     path_pos: jax.Array   # [N] current waypoint index
     speed: jax.Array
+    activity: jax.Array   # [N] int32 ACT_*
+    timer: jax.Array      # [N] f32 frames left sitting/sleeping
+    end_act: jax.Array    # [N] int32 activity on arrival (SIT/SLEEP/WALK)
+    end_dur: jax.Array    # [N] f32 duration of the arrival activity
 
 
 def make_people(graph: NavGraph, n: int, seed: int = 0) -> PeopleState:
@@ -163,52 +222,103 @@ def make_people(graph: NavGraph, n: int, seed: int = 0) -> PeopleState:
         floor=jnp.asarray(graph.centers[starts, 2]),
         path_x=jnp.zeros((n, MAX_PATH)), path_y=jnp.zeros((n, MAX_PATH)),
         path_f=jnp.zeros((n, MAX_PATH)),
+        path_e=jnp.full((n, MAX_PATH), -1, jnp.int32),
         path_len=jnp.zeros((n,), jnp.int32),
         path_pos=jnp.zeros((n,), jnp.int32),
         speed=jnp.asarray([0.002 + 0.002 * rg.randd() for _ in range(n)],
                           jnp.float32),
+        activity=jnp.zeros((n,), jnp.int32),
+        timer=jnp.zeros((n,), jnp.float32),
+        end_act=jnp.zeros((n,), jnp.int32),
+        end_dur=jnp.zeros((n,), jnp.float32),
     )
     return assign_goals(st, graph, [int(s) for s in starts], rg)
 
 
 def assign_goals(st: PeopleState, graph: NavGraph, cur_rooms, rg: RandGen,
-                 forced_dest: int | None = None):
+                 forced_dest: int | None = None, room_objs=None,
+                 use_elevator_prob: float = 0.5):
     """Host: route each person to a random destination room (the ai state
     machine's choose-destination step), expanded to door waypoints.
     `forced_dest` routes everyone to one room — the ai_target_player /
-    zombie mode (building_navigation.cpp:1216-1255)."""
+    zombie mode (building_navigation.cpp:1216-1255).
+
+    Floor-crossing trips pick the elevator with `use_elevator_prob` (the
+    reference's stairs-vs-elevator choice).  With `room_objs` (a
+    room_content.RoomObjects), arriving in a room with a bed / chair /
+    couch queues a SLEEP / SIT activity (ai sitting & lying,
+    building_navigation.cpp:2864,3573)."""
     n = len(cur_rooms)
     R = len(graph.centers)
     px = np.zeros((n, MAX_PATH), np.float32)
     py = np.zeros((n, MAX_PATH), np.float32)
     pf = np.zeros((n, MAX_PATH), np.float32)
+    pe = np.full((n, MAX_PATH), -1, np.int32)
     plen = np.zeros(n, np.int32)
+    eact = np.zeros(n, np.int32)
+    edur = np.zeros(n, np.float32)
+    sit_kinds = sleep_kinds = None
+    if room_objs is not None:
+        from . import room_content as RC
+        sit_kinds = {RC.F_CHAIR, RC.F_COUCH}
+        sleep_kinds = {RC.F_BED, RC.F_HOSPITAL_BED}
     for i, cur in enumerate(cur_rooms):
         dest = forced_dest if forced_dest is not None else rg.rand() % R
-        wps = graph.expand(graph.route(cur, dest))[:MAX_PATH]
-        for k, (wx, wy, wf) in enumerate(wps):
-            px[i, k], py[i, k], pf[i, k] = wx, wy, wf
+        use_el = rg.randd() < use_elevator_prob
+        wps = graph.expand(graph.route(cur, dest), use_elevator=use_el)
+        wps = wps[:MAX_PATH]
+        for k, (wx, wy, wf, we) in enumerate(wps):
+            px[i, k], py[i, k], pf[i, k], pe[i, k] = wx, wy, wf, we
         plen[i] = len(wps)
+        if room_objs is not None:
+            kinds = {int(k) for k, r in zip(room_objs.kinds,
+                                            room_objs.rooms)
+                     if int(r) == dest}
+            if kinds & sleep_kinds and rg.randd() < 0.5:
+                eact[i], edur[i] = ACT_SLEEP, 200 + rg.rand() % 200
+            elif kinds & sit_kinds and rg.randd() < 0.5:
+                eact[i], edur[i] = ACT_SIT, 100 + rg.rand() % 100
     return st._replace(path_x=jnp.asarray(px), path_y=jnp.asarray(py),
-                       path_f=jnp.asarray(pf), path_len=jnp.asarray(plen),
-                       path_pos=jnp.zeros((n,), jnp.int32))
+                       path_f=jnp.asarray(pf), path_e=jnp.asarray(pe),
+                       path_len=jnp.asarray(plen),
+                       path_pos=jnp.zeros((n,), jnp.int32),
+                       activity=jnp.zeros((n,), jnp.int32),
+                       timer=jnp.zeros((n,), jnp.float32),
+                       end_act=jnp.asarray(eact),
+                       end_dur=jnp.asarray(edur))
 
 
 @jax.jit
-def step_people(st: PeopleState) -> PeopleState:
+def step_people(st: PeopleState, elev_z: jax.Array | None = None
+                ) -> PeopleState:
     """Advance every walker toward its current waypoint; waypoint reached
     -> next path entry (vmapped ai_room_update movement), with pairwise
-    separation so people avoid each other (:2689)."""
+    separation so people avoid each other (:2689).
+
+    `elev_z` [E] gives each elevator car's current height in floor
+    units.  Boarding waypoints (path_e >= 0) put the person in
+    WAIT_ELEVATOR until the car is at their floor, then RIDE — floor
+    tracks the car — until the car reaches the exit waypoint's floor.
+    Sitting/sleeping people hold position while their timer runs."""
     n = st.x.shape[0]
-    oh = jax.nn.one_hot(jnp.minimum(st.path_pos, MAX_PATH - 1), MAX_PATH,
-                        dtype=jnp.float32)
+    if elev_z is None:
+        elev_z = jnp.zeros((1,), jnp.float32)
+    pos_c = jnp.minimum(st.path_pos, MAX_PATH - 1)
+    oh = jax.nn.one_hot(pos_c, MAX_PATH, dtype=jnp.float32)
+    oh1 = jax.nn.one_hot(jnp.minimum(pos_c + 1, MAX_PATH - 1), MAX_PATH,
+                         dtype=jnp.float32)
     tx = jnp.sum(st.path_x * oh, -1)
     ty = jnp.sum(st.path_y * oh, -1)
     tf = jnp.sum(st.path_f * oh, -1)
+    te = jnp.sum(st.path_e.astype(jnp.float32) * oh, -1).astype(jnp.int32)
+    tf_next = jnp.sum(st.path_f * oh1, -1)     # ride destination floor
     dx = tx - st.x
     dy = ty - st.y
     d = jnp.sqrt(dx * dx + dy * dy) + 1e-9
-    step = jnp.minimum(st.speed, d)
+
+    act = st.activity
+    walking = act == ACT_WALK
+    step = jnp.where(walking, jnp.minimum(st.speed, d), 0.0)
     mx = step * dx / d
     my = step * dy / d
 
@@ -225,18 +335,139 @@ def step_people(st: PeopleState) -> PeopleState:
     ax = jnp.sum(push * ex, -1)
     ay = jnp.sum(push * ey, -1)
     al = jnp.sqrt(ax * ax + ay * ay) + 1e-9
-    amax = AVOID_PUSH * st.speed
+    amax = AVOID_PUSH * st.speed * walking.astype(jnp.float32)
     scale = jnp.minimum(1.0, amax / al)
     x = st.x + mx + ax * scale
     y = st.y + my + ay * scale
 
-    floor = jnp.where(d < 0.02, tf, st.floor)  # floor switches at waypoints
+    # elevator car heights seen by each person (one-hot over shafts; -1
+    # ids map to a zero row)
+    E = elev_z.shape[0]
+    eoh = (te[:, None] == jnp.arange(E, dtype=jnp.int32)[None, :]
+           ).astype(jnp.float32)
+    car_z = eoh @ elev_z
+
     reached = d < 0.01
-    pos = jnp.where(reached & (st.path_pos < st.path_len - 1),
+    at_board = reached & (te >= 0) & (jnp.abs(tf_next - st.floor) > 0.5)
+    # WALK -> WAIT at a boarding waypoint
+    act = jnp.where(walking & at_board, ACT_WAIT_ELEVATOR, act)
+    # WAIT -> RIDE when the car arrives at this floor
+    waiting = act == ACT_WAIT_ELEVATOR
+    car_here = jnp.abs(car_z - st.floor) < 0.05
+    act = jnp.where(waiting & car_here, ACT_RIDE_ELEVATOR, act)
+    # RIDE: floor tracks the car; arrive when the car hits the exit floor
+    riding = act == ACT_RIDE_ELEVATOR
+    floor = jnp.where(riding, car_z, st.floor)
+    arrived = riding & (jnp.abs(car_z - tf_next) < 0.02)
+    floor = jnp.where(arrived, tf_next, floor)
+    act = jnp.where(arrived, ACT_WALK, act)
+    # ordinary waypoint floor switch (stairs/doors)
+    floor = jnp.where(walking & (d < 0.02) & (te < 0), tf, floor)
+
+    advance = (walking & reached & (te < 0)) | arrived
+    pos = jnp.where(advance & (st.path_pos < st.path_len - 1),
                     st.path_pos + 1, st.path_pos)
-    return st._replace(x=x, y=y, floor=floor, path_pos=pos)
+
+    # path complete -> queued sit/sleep activity with its timer
+    done = walking & reached & (st.path_pos >= st.path_len - 1)
+    start_rest = done & (st.end_act > 0)
+    act = jnp.where(start_rest, st.end_act, act)
+    timer = jnp.where(start_rest, st.end_dur, st.timer)
+    resting = (act == ACT_SIT) | (act == ACT_SLEEP)
+    timer = jnp.where(resting, jnp.maximum(timer - 1.0, 0.0), timer)
+    act = jnp.where(resting & (timer <= 0.0), ACT_WALK, act)
+    end_act = jnp.where(start_rest, 0, st.end_act)
+
+    return st._replace(x=x, y=y, floor=floor, path_pos=pos,
+                       activity=act, timer=timer, end_act=end_act)
 
 
 def people_need_goals(st: PeopleState) -> np.ndarray:
-    """Host check: who finished their path (triggers re-routing)."""
-    return np.asarray((st.path_pos >= st.path_len - 1))
+    """Host check: who finished their path AND isn't resting or riding
+    (triggers re-routing)."""
+    done = np.asarray(st.path_pos >= st.path_len - 1)
+    idle = np.asarray(st.activity) == ACT_WALK
+    return done & idle
+
+
+def elevator_calls(st: PeopleState, num_elevators: int) -> list:
+    """Host: per-shaft floor requests from waiting/riding people — the
+    call-button presses (nearest-waiter floor first) and the riders'
+    destination floors."""
+    act = np.asarray(st.activity)
+    floors = np.asarray(st.floor)
+    pe = np.asarray(st.path_e)
+    pf = np.asarray(st.path_f)
+    pos = np.asarray(np.minimum(st.path_pos, MAX_PATH - 1))
+    calls = [[] for _ in range(num_elevators)]
+    for i in range(len(act)):
+        eid = int(pe[i, pos[i]])
+        if eid < 0 or eid >= num_elevators:
+            continue
+        if act[i] == ACT_WAIT_ELEVATOR:
+            calls[eid].append(int(round(floors[i])))
+        elif act[i] == ACT_RIDE_ELEVATOR:
+            nxt = min(pos[i] + 1, MAX_PATH - 1)
+            calls[eid].append(int(round(pf[i, nxt])))
+    return calls
+
+
+class BuildingPeopleSim:
+    """Host driver: people + elevator cars for one building (the
+    per-building slice of ai_room_update / elevator_t updates)."""
+
+    def __init__(self, interior, n_people: int, seed: int = 0,
+                 room_objs=None):
+        from .floorplan import ElevatorCar
+        self.graph = build_nav_graph(interior)
+        self.room_objs = room_objs
+        self.rg = RandGen(seed + 17, seed * 5 + 3)
+        self.people = make_people(self.graph, n_people, seed=seed)
+        self.cars = [ElevatorCar()
+                     for _ in (getattr(interior, "elevators", ()) or ())]
+
+    def step(self):
+        for eid, car in enumerate(self.cars):
+            car.step()
+        calls = elevator_calls(self.people, max(len(self.cars), 1))
+        for eid, car in enumerate(self.cars):
+            if calls[eid] and car.state == 0:
+                want = calls[eid][0]
+                if want != round(car.z):
+                    car.call(want)
+        elev_z = jnp.asarray([c.z for c in self.cars] or [0.0], jnp.float32)
+        self.people = step_people(self.people, elev_z)
+        need = people_need_goals(self.people)
+        if need.any():
+            # re-route finished walkers from their current room
+            cur = []
+            idx = np.where(need)[0]
+            cx = np.asarray(self.people.x)
+            cy = np.asarray(self.people.y)
+            cf = np.asarray(self.people.floor)
+            for i in idx:
+                cur.append(self._room_at(cx[i], cy[i], cf[i]))
+            sub = assign_goals(
+                _take(self.people, idx), self.graph, cur, self.rg,
+                room_objs=self.room_objs)
+            self.people = _put(self.people, idx, sub)
+        return self.people
+
+    def _room_at(self, x, y, fl):
+        c = self.graph.centers
+        d = (c[:, 0] - x) ** 2 + (c[:, 1] - y) ** 2 \
+            + 1e6 * (c[:, 2] - round(float(fl))) ** 2
+        return int(np.argmin(d))
+
+
+def _take(st: PeopleState, idx) -> PeopleState:
+    return PeopleState(*(jnp.asarray(np.asarray(f)[idx]) for f in st))
+
+
+def _put(st: PeopleState, idx, sub: PeopleState) -> PeopleState:
+    out = []
+    for f, g in zip(st, sub):
+        a = np.asarray(f).copy()
+        a[idx] = np.asarray(g)
+        out.append(jnp.asarray(a))
+    return PeopleState(*out)

@@ -36,7 +36,12 @@ from ..utils.rng import RandGen
 (F_PILLOW, F_MONITOR, F_KEYBOARD, F_COMPUTER, F_BOOK, F_BOTTLE, F_PLATE,
  F_PICTURE, F_MIRROR, F_TOWEL_RACK, F_CUBICLE, F_RAILING, F_CABINET,
  F_PAPER, F_PAN) = range(36, 51)
-NUM_FURNITURE_KINDS = 51
+# nested/expanded contents + per-room fixtures (add_closet_to_room,
+# building_room_obj_expand.cpp hanger/box expansion; TYPE_LIGHT,
+# TYPE_LAVALAMP, floor clothes TYPE_TEESHIRT/TYPE_PANTS)
+(F_CLOSET, F_HANGER, F_CLOTHES, F_BOX, F_CEIL_LIGHT, F_LAVALAMP,
+ F_FLOOR_CLOTHES) = range(51, 58)
+NUM_FURNITURE_KINDS = 58
 
 # per-room-type furniture recipes: (kind, count, against_wall, w, d, h)
 _RECIPES = {
@@ -240,15 +245,49 @@ def _surface_items(out, pl, rg, ri, kind, idx, x, y, z_top, w, d, scale):
     elif kind == F_STOVE:
         on_top(F_PAN, 0.05, 0.05, 0.02, x + 0.25 * w, y + 0.25 * d)
     elif kind == F_NIGHTSTAND:
-        on_top(F_LAMP, 0.04, 0.04, 0.08, x + 0.2 * w, y + 0.2 * d)
+        on_top(F_LAVALAMP if rg.rand() % 4 == 0 else F_LAMP,
+               0.04, 0.04, 0.08, x + 0.2 * w, y + 0.2 * d)
+
+
+def _gen_closet(out, pl, rg, ri, room, z0, fh, scale):
+    """Closet with EXPANDED contents (add_closet_to_room +
+    building_room_obj_expand.cpp): hangers with clothes on a rod, boxes
+    on the floor inside — nested objects parented to the closet."""
+    cw = min(0.3 * scale, 0.5 * (room.x2 - room.x1))
+    cd = min(0.12 * scale, 0.3 * (room.y2 - room.y1))
+    p = pl.try_place(cw, cd, True, tries=12)
+    if p is None:
+        return
+    x, y, rot = p
+    ci = out.add(ri, F_CLOSET, x, y, z0, x + cw, y + cd, z0 + 0.95 * fh,
+                 rot=rot)
+    nh = 2 + rg.rand() % 4
+    for k in range(nh):
+        hx = x + (0.1 + 0.8 * k / nh) * cw
+        hi = out.add(ri, F_HANGER, hx, y + 0.4 * cd, z0 + 0.75 * fh,
+                     hx + 0.01, y + 0.6 * cd, z0 + 0.8 * fh, parent=ci)
+        if rg.randd() < 0.7:    # most hangers hold clothes
+            out.add(ri, F_CLOTHES, hx - 0.02, y + 0.2 * cd, z0 + 0.5 * fh,
+                    hx + 0.03, y + 0.8 * cd, z0 + 0.75 * fh, parent=hi)
+    for k in range(rg.rand() % 3):
+        bx = x + (0.1 + 0.6 * rg.randd()) * cw
+        out.add(ri, F_BOX, bx, y + 0.2 * cd, z0,
+                bx + 0.08 * scale, y + 0.9 * cd, z0 + 0.07 * scale,
+                parent=ci)
 
 
 def _gen_bedroom(out, pl, rg, ri, room, z0, fh, scale):
     """Bedroom generator (add_bedroom_objs): bed against a wall with
-    pillow, nightstands FLANKING the bed with lamps, dresser/wardrobe on
-    other walls, rug under the middle."""
-    bw, bd = 0.45 * scale, 0.3 * scale
-    p = pl.try_place(bw, bd, True)
+    pillow, nightstands FLANKING the bed with lamps (or a lavalamp),
+    closet with expanded contents, dresser with mirror, clothes dropped
+    on the floor, rug under the middle."""
+    # fit the bed to the room (the reference scales bed size to the
+    # room's dimensions, add_bed building_room_obj_place.cpp)
+    rw = room.x2 - room.x1
+    rh = room.y2 - room.y1
+    bw = min(0.45 * scale, 0.55 * max(rw, rh))
+    bd = min(bw * (2.0 / 3.0), 0.45 * min(rw, rh))
+    p = pl.try_place(bw, bd, True, tries=16)
     if p:
         x, y, rot = p
         bi = out.add(ri, F_BED, x, y, z0, x + bw, y + bd, z0 + 0.12 * scale,
@@ -267,6 +306,7 @@ def _gen_bedroom(out, pl, rg, ri, room, z0, fh, scale):
                              y + nw, z0 + 0.1 * scale)
                 _surface_items(out, pl, rg, ri, F_NIGHTSTAND, ni, nx_, y,
                                z0 + 0.1 * scale, nw, nw, scale)
+    _gen_closet(out, pl, rg, ri, room, z0, fh, scale)
     for kind, w, d, h in ((F_DRESSER, 0.18, 0.1, 0.14),
                           (F_WARDROBE, 0.2, 0.1, 0.3),
                           (F_DESK, 0.25, 0.15, 0.15)):
@@ -277,6 +317,17 @@ def _gen_bedroom(out, pl, rg, ri, room, z0, fh, scale):
                         z0 + h * scale, rot=rot)
             _surface_items(out, pl, rg, ri, kind, i, x, y, z0 + h * scale,
                            w * scale, d * scale, scale)
+            if kind == F_DRESSER:
+                # mirror above the dresser (TYPE_DRESS_MIR)
+                out.add(ri, F_MIRROR, x, y, z0 + h * scale,
+                        x + w * scale, y + 0.01, z0 + h * scale + 0.3 * fh,
+                        parent=i)
+    # clothes dropped on the floor (TYPE_TEESHIRT / TYPE_PANTS)
+    for _ in range(rg.rand() % 3):
+        fx = room.x1 + (0.1 + 0.8 * rg.randd()) * (room.x2 - room.x1)
+        fy = room.y1 + (0.1 + 0.8 * rg.randd()) * (room.y2 - room.y1)
+        out.add(ri, F_FLOOR_CLOTHES, fx, fy, z0, fx + 0.06 * scale,
+                fy + 0.05 * scale, z0 + 0.01)
     # rug under the room center (doesn't block anything)
     cx, cy = 0.5 * (room.x1 + room.x2), 0.5 * (room.y1 + room.y2)
     rw, rd = 0.2 * scale, 0.15 * scale
@@ -316,7 +367,8 @@ def _gen_kitchen(out, pl, rg, ri, room, z0, fh, scale):
     run_w = min(0.8 * (room.x2 - room.x1), 1.0 * scale)
     x0 = room.x1 + 0.01
     y0 = room.y1 + 0.01
-    segs = max(int(run_w / (0.3 * scale)), 1)
+    segs = max(int(run_w / (0.3 * scale)),
+               2 if run_w >= 0.15 * scale else 1)
     for i in range(segs):
         sx = x0 + i * run_w / segs
         ex = x0 + (i + 1) * run_w / segs
@@ -330,6 +382,16 @@ def _gen_kitchen(out, pl, rg, ri, room, z0, fh, scale):
         _surface_items(out, pl, rg, ri,
                        F_STOVE if kind == F_STOVE else F_COUNTER,
                        ci, sx, y0, z0 + ch, ex - sx, cd, scale)
+    # short counter runs (segs == 1) hold only the sink; place the
+    # stove standalone so every kitchen still cooks
+    if segs < 2:
+        p = pl.try_place(0.14 * scale, 0.12 * scale, True)
+        if p:
+            x, y, rot = p
+            si = out.add(ri, F_STOVE, x, y, z0, x + 0.14 * scale,
+                         y + 0.12 * scale, z0 + ch, rot=rot)
+            _surface_items(out, pl, rg, ri, F_STOVE, si, x, y, z0 + ch,
+                           0.14 * scale, 0.12 * scale, scale)
     p = pl.try_place(0.14 * scale, 0.14 * scale, True)
     if p:
         x, y, rot = p
@@ -501,6 +563,13 @@ def furnish_rooms(interior, floor_height: float, seed: int,
                   if room.x1 - 1e-6 <= dx <= room.x2 + 1e-6
                   and room.y1 - 1e-6 <= dy <= room.y2 + 1e-6]
         pl = _Placer(rg, room, rdoors, door_clear)
+        # every room gets a ceiling light (the reference's per-room
+        # TYPE_LIGHT placement)
+        lcx = 0.5 * (room.x1 + room.x2)
+        lcy = 0.5 * (room.y1 + room.y2)
+        out.add(ri, F_CEIL_LIGHT, lcx - 0.05 * scale, lcy - 0.05 * scale,
+                z0 + 0.97 * fh, lcx + 0.05 * scale, lcy + 0.05 * scale,
+                z0 + fh)
         gen = _COMPOSITE_GENS.get(rtype)
         if gen is not None:
             gen(out, pl, rg, ri, room, z0, fh, scale)

@@ -710,8 +710,14 @@ def test_room_content_composite_generators():
     kinds = np.asarray(objs.kinds)
     parents = np.asarray(objs.parent)
     assert len(objs.cubes) > 40
-    # surface items exist and sit ON their parents (z starts at parent top)
-    child_ix = np.where(parents >= 0)[0]
+    # surface items exist and sit ON their parents (z starts at parent
+    # top) — except closet internals (hangers/clothes/boxes and wall
+    # fixtures), which nest INSIDE their parents
+    from w3d.city import room_content as RCk
+    inside_kinds = {RCk.F_HANGER, RCk.F_CLOTHES, RCk.F_BOX, RCk.F_MIRROR,
+                    RCk.F_CABINET, RCk.F_CUBICLE, RCk.F_TOWEL_RACK}
+    child_ix = [ci for ci in np.where(parents >= 0)[0]
+                if int(kinds[ci]) not in inside_kinds]
     assert len(child_ix) > 5
     for ci in child_ix[:20]:
         pz2 = objs.cubes[parents[ci]][5]
@@ -726,8 +732,9 @@ def test_room_content_composite_generators():
         for k, (x1, y1, z1, x2, y2, z2) in enumerate(objs.cubes):
             if objs.kinds[k] in (RC.F_RUG, RC.F_PICTURE, RC.F_MIRROR,
                                  RC.F_CABINET, RC.F_TOWEL_RACK,
-                                 RC.F_CUBICLE):
-                continue   # flat/wall/overhead decorations don't block
+                                 RC.F_CUBICLE, RC.F_CEIL_LIGHT,
+                                 RC.F_FLOOR_CLOTHES):
+                continue   # flat/wall/ceiling/scattered don't block
             room = i.rooms[objs.rooms[k]]
             if room.floor != fl:
                 continue
@@ -916,3 +923,173 @@ def test_city_birds_cycle_between_perches():
     # the full cycle occurs, including gliding descents
     assert {CT.BIRD_STANDING, CT.BIRD_TAKEOFF, CT.BIRD_FLYING,
             CT.BIRD_LANDING}.issubset(states), states
+
+
+def test_people_ride_elevators_and_stairs():
+    """ai_room_update behavior depth (round-2 verdict item 6): people use
+    STAIRS and ELEVATORS for floor changes — elevator trips wait for the
+    car, ride with the car's height, and exit at the destination."""
+    from w3d.city import floorplan as CF
+    from w3d.city import people as CP
+
+    i = CF.gen_interior((0.0, 0.0, 0.0, 0.6, 0.45, 0.4), 4, 0.08, seed=5)
+    assert len(i.elevators) == 1
+    g = CP.build_nav_graph(i)
+    assert g.elev_edges              # shaft produced elevator edges
+
+    # pick an elevator edge and route across it explicitly
+    (a, b), (ex, ey, eid) = next(iter(g.elev_edges.items()))
+    # a stairs edge = a waypoint edge whose rooms differ in floor
+    stair_pairs = [(p_, q_) for (p_, q_) in g.waypoints
+                   if g.centers[p_, 2] != g.centers[q_, 2]]
+    assert stair_pairs
+    sa, sb = stair_pairs[0]
+    st = CP.make_people(g, 2, seed=3)
+    rg = CP.RandGen(1, 2)
+    # person 0: elevator trip a->b; person 1: a stairs trip sa->sb
+    st = CP.assign_goals(st, g, [a, sa], rg, forced_dest=b,
+                         use_elevator_prob=0.0)
+    stairs_wps = g.expand([sa, sb], use_elevator=False)
+    manual = g.expand([a, b], use_elevator=True)
+    px = np.asarray(st.path_x).copy()
+    py = np.asarray(st.path_y).copy()
+    pf = np.asarray(st.path_f).copy()
+    pe = np.asarray(st.path_e).copy()
+    pl = np.asarray(st.path_len).copy()
+    for k, (wx, wy, wf, we) in enumerate(manual):
+        px[0, k], py[0, k], pf[0, k], pe[0, k] = wx, wy, wf, we
+    pl[0] = len(manual)
+    pe[1] = -1
+    for k, (wx, wy, wf, we) in enumerate(stairs_wps):
+        px[1, k], py[1, k], pf[1, k], pe[1, k] = wx, wy, wf, we
+    pl[1] = len(stairs_wps)
+    st = st._replace(path_x=jnp.asarray(px), path_y=jnp.asarray(py),
+                     path_f=jnp.asarray(pf), path_e=jnp.asarray(pe),
+                     path_len=jnp.asarray(pl))
+    assert (np.asarray(st.path_e)[0] >= 0).any()   # elevator path
+    assert (np.asarray(st.path_e)[1] < 0).all()    # stairs path
+
+    cars = [CF.ElevatorCar(z=float(g.centers[b, 2]))]  # car parked away
+    seen_acts = set()
+    floors0 = []
+    for _ in range(600):
+        for c in cars:
+            c.step()
+        calls = CP.elevator_calls(st, 1)
+        if calls[0] and cars[0].state == 0 \
+                and calls[0][0] != round(cars[0].z):
+            cars[0].call(calls[0][0])
+        st = CP.step_people(st, jnp.asarray([cars[0].z], jnp.float32))
+        seen_acts.add(int(st.activity[0]))
+        floors0.append(float(st.floor[0]))
+    # rider waited, rode, and arrived at the destination floor
+    assert CP.ACT_WAIT_ELEVATOR in seen_acts
+    assert CP.ACT_RIDE_ELEVATOR in seen_acts
+    fa, fb = float(g.centers[a, 2]), float(g.centers[b, 2])
+    assert abs(floors0[-1] - fb) < 0.01
+    # the ride passed through fractional floors (car motion, not a jump)
+    frac = [f for f in floors0 if 0.2 < abs(f - fa) and 0.2 < abs(f - fb)]
+    assert frac, "rider never tracked the car between floors"
+    # the stairs walker also reached its destination floor
+    assert abs(float(st.floor[1]) - float(g.centers[sb, 2])) < 0.01
+
+
+def test_people_sit_and_sleep():
+    """Arriving in a furnished room queues SIT (chair/couch) or SLEEP
+    (bed) with a timer, then the person resumes walking."""
+    from w3d.city import floorplan as CF
+    from w3d.city import people as CP
+    from w3d.city import room_content as RC
+    from w3d.utils.rng import RandGen
+
+    i = CF.gen_interior((0.0, 0.0, 0.0, 0.6, 0.45, 0.4), 2, 0.08, seed=5)
+    g = CP.build_nav_graph(i)
+    objs = RC.furnish_rooms(i, 0.08, seed=2)
+    kinds = set(int(k) for k in objs.kinds)
+    assert RC.F_BED in kinds or RC.F_CHAIR in kinds
+
+    # find a destination room containing a bed; fall back to a chair
+    dest = None
+    for k, r in zip(objs.kinds, objs.rooms):
+        if int(k) == RC.F_BED:
+            dest = int(r)
+            break
+    if dest is None:
+        for k, r in zip(objs.kinds, objs.rooms):
+            if int(k) in (RC.F_CHAIR, RC.F_COUCH):
+                dest = int(r)
+                break
+    assert dest is not None
+
+    st = CP.make_people(g, 1, seed=9)
+    rg = RandGen(3, 7)
+    # force the rest decision deterministic: patch rg draws by retrying
+    for attempt in range(20):
+        st2 = CP.assign_goals(st, g, [dest], rg, forced_dest=dest,
+                              room_objs=objs)
+        if int(st2.end_act[0]) > 0:
+            break
+    assert int(st2.end_act[0]) in (CP.ACT_SIT, CP.ACT_SLEEP)
+    acts = set()
+    for _ in range(50):
+        st2 = CP.step_people(st2)
+        acts.add(int(st2.activity[0]))
+    assert (CP.ACT_SIT in acts) or (CP.ACT_SLEEP in acts)
+    # timer runs down and the person resumes
+    for _ in range(500):
+        st2 = CP.step_people(st2)
+    assert int(st2.activity[0]) == CP.ACT_WALK
+
+
+def test_room_content_depth():
+    """Room object graphs approach reference density (round-2 verdict
+    item 6): furnished bedrooms carry the add_bedroom_objs graph — bed +
+    pillow, flanking nightstand with lamp, closet with EXPANDED nested
+    contents (hangers/clothes/boxes parented inside), dresser with
+    mirror, floor clothes — and every room gets a ceiling light."""
+    from w3d.city import floorplan as CF
+    from w3d.city import room_content as RC
+
+    i = CF.gen_interior((0.0, 0.0, 0.0, 1.2, 0.9, 0.4), 2, 0.08, seed=5)
+    objs = RC.furnish_rooms(i, 0.08, seed=2)
+    by_room = {}
+    for j, (k, r) in enumerate(zip(objs.kinds, objs.rooms)):
+        by_room.setdefault(r, []).append(j)
+
+    # every room has a ceiling light
+    for ri in range(len(i.rooms)):
+        kinds = {objs.kinds[j] for j in by_room.get(ri, [])}
+        assert RC.F_CEIL_LIGHT in kinds, ri
+
+    # find a fully-furnished bedroom
+    best = None
+    for ri, t in enumerate(objs.room_types):
+        if t != RC.R_BEDROOM:
+            continue
+        kinds = [objs.kinds[j] for j in by_room.get(ri, [])]
+        if RC.F_BED in kinds and RC.F_CLOSET in kinds:
+            best = ri
+            break
+    assert best is not None, "no bedroom with bed+closet placed"
+    idxs = by_room[best]
+    kinds = [objs.kinds[j] for j in idxs]
+    assert len(idxs) >= 10                    # within 2x of reference
+    assert RC.F_PILLOW in kinds               # expanded bed contents
+    # closet contents are NESTED (parented to the closet)
+    closet_j = idxs[kinds.index(RC.F_CLOSET)]
+    nested = [j for j in idxs if objs.parent[j] == closet_j]
+    assert any(objs.kinds[j] == RC.F_HANGER for j in nested)
+    # hangers can hold clothes (grandchild nesting)
+    hangers = [j for j in nested if objs.kinds[j] == RC.F_HANGER]
+    grand = [j for j in idxs if objs.parent[j] in hangers]
+    assert all(objs.kinds[j] == RC.F_CLOTHES for j in grand)
+
+    # a kitchen has the embedded counter run: sink + stove + cabinets
+    kitchens = [ri for ri, t in enumerate(objs.room_types)
+                if t == RC.R_KITCHEN]
+    found_run = False
+    for ri in kitchens:
+        kinds = {objs.kinds[j] for j in by_room.get(ri, [])}
+        if {RC.F_SINK, RC.F_STOVE, RC.F_CABINET} <= kinds:
+            found_run = True
+    assert found_run
