@@ -106,3 +106,34 @@ def mesh_shadows(zvals: jax.Array, light_dir: tuple,
     if not x_major:
         shadowed = jnp.swapaxes(shadowed, -1, -2)
     return shadowed, sh_out
+
+
+def carry_transform(carry: jax.Array, total_cols: int, light_dir: tuple,
+                    cell_w: float = 1.0) -> jax.Array:
+    """What a block of `total_cols` scan columns does to a PURE incoming
+    carry (no local maxima): `total_cols` per-step fractional lateral
+    rolls, then the downstream-frame potential shift -m*total_cols —
+    exactly mesh_shadows' carry path with z = -inf.
+
+    Used by the pod-scale sharded shadow scan (parallel/halo.py
+    mode="carry") to propagate edge vectors between devices without
+    re-running the full local scan.  With an axis-aligned light
+    (slope == 0) this is bit-identical to threading the carry through
+    mesh_shadows; with lateral drift the repeated interpolation matches
+    the local scan's own smoothing (same op sequence).
+    """
+    lx, ly, lz = light_dir
+    hmag = float(np.hypot(lx, ly))
+    if hmag < 1e-9:
+        return carry
+    m = lz / hmag * cell_w
+    x_major = abs(lx) >= abs(ly)
+    major = lx if x_major else ly
+    lat = (ly if x_major else lx)
+    slope = -lat / abs(major)
+    if slope == 0.0:
+        return carry - m * total_cols
+    def body(c, _):
+        return _fractional_roll(c, slope), None
+    c, _ = jax.lax.scan(body, carry, None, length=total_cols)
+    return c - m * total_cols

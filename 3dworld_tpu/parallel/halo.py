@@ -32,14 +32,25 @@ def halo_shift(x: jax.Array, axis_name: str, shift: int = 1):
 
 
 def make_sharded_shadow_scan(mesh: Mesh, light_dir: tuple, cell_w: float,
-                             axis: str = "tiles"):
+                             axis: str = "tiles", mode: str = "exact"):
     """Directional mesh shadows over a row of tiles sharded on `axis`.
 
     Input: zvals [T, n, n] sharded on the leading (tile) axis, tiles laid
-    out left-to-right along the light's major direction.  Each device runs
-    its local prefix-max shadow scan, then edge potentials (`sh_out`)
-    propagate downstream via ppermute — the carry operator is associative
-    (max with linear decay), so D-1 ring steps reach the fixpoint.
+    out left-to-right along the light's major direction.
+
+    mode="exact": each device runs its local prefix-max shadow scan,
+    then edge potentials (`sh_out`) propagate downstream via ppermute and
+    every round re-runs the local scan — D-1 rounds of full local work,
+    bit-identical to the sequential tile chain (fine at D=8).
+
+    mode="carry": pod-scale path — ONE local scan computes each shard's
+    own output potential, the D-1 propagation rounds then move only the
+    EDGE VECTORS (max + SH.carry_transform, the scan's pure-carry
+    operator), and ONE final local scan applies the settled incoming
+    carry: 2 local scans total instead of D.  Bit-identical to "exact"
+    for axis-aligned lights (no lateral drift); with drift the edge
+    interpolation runs on the max of carries instead of interleaved
+    (bounded-difference, tested).
     """
     nd = mesh.devices.size
     lx, ly, lz = light_dir
@@ -65,7 +76,7 @@ def make_sharded_shadow_scan(mesh: Mesh, light_dir: tuple, cell_w: float,
         out_specs=P(axis),
         check_vma=False,
     )
-    def run(zv_block, init_carry):
+    def run_exact(zv_block, init_carry):
         shadowed, sh_out = local(zv_block, init_carry)
         # propagate carries downstream: nd-1 ring steps over ICI
         down = -1 if reverse else 1     # shard index of the receiver
@@ -78,7 +89,48 @@ def make_sharded_shadow_scan(mesh: Mesh, light_dir: tuple, cell_w: float,
             shadowed, sh_out = local(zv_block, incoming)
         return shadowed
 
-    return run
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    def run_carry(zv_block, init_carry):
+        down = -1 if reverse else 1
+        upstream_idx = nd - 1 if reverse else 0
+        idx = jax.lax.axis_index(axis)
+        t_local, _n, n = zv_block.shape
+        total = t_local * n             # scan columns crossed per shard
+        # pass 1: own output potential (open upstream boundary; the
+        # caller's boundary carry applies only to the most-upstream
+        # shard, folded in below)
+        open_in = jnp.full_like(init_carry, SH.MESH_MIN_Z)
+        _shadowed, a_out = local(zv_block,
+                                 jnp.where(idx == upstream_idx,
+                                           init_carry, open_in))
+        # edge-only relaxation: out_k = max(A_k, T(in_k)) to fixpoint
+        out_edge = a_out
+        for _ in range(nd - 1):
+            incoming = halo_shift(out_edge, axis, shift=down)
+            incoming = jnp.where(idx == upstream_idx,
+                                 jnp.full_like(incoming, SH.MESH_MIN_Z),
+                                 incoming)
+            carried = SH.carry_transform(incoming, total, light_dir, cell_w)
+            out_edge = jnp.maximum(a_out, carried)
+        # settled incoming carry for this shard = T(upstream out)
+        incoming = halo_shift(out_edge, axis, shift=down)
+        incoming = jnp.where(idx == upstream_idx,
+                             jnp.full_like(incoming, SH.MESH_MIN_Z),
+                             incoming)
+        # pass 2: apply.  Upstream sh_out edges are already framed for
+        # their downstream neighbor (mesh_shadows re-frames), so the
+        # settled incoming edge feeds local() directly; the most-upstream
+        # shard keeps the caller's boundary carry.
+        sh_in = jnp.where(idx == upstream_idx, init_carry, incoming)
+        shadowed, _ = local(zv_block, sh_in)
+        return shadowed
+
+    return run_carry if mode == "carry" else run_exact
 
 
 def make_halo_context(mesh: Mesh, halo: int, axis: str = "tiles"):

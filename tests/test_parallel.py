@@ -86,3 +86,54 @@ def test_flagship_entry_step_over_8cpu_mesh():
     assert tiles.shape[0] == 8
     assert bool(jnp.isfinite(tiles).all())
     assert bool(jnp.isfinite(st.pz).all())
+
+
+def test_sharded_shadow_carry_mode_axis_aligned_bitwise():
+    """mode='carry' (pod-scale edge-only propagation, 2 local scans
+    instead of D) is BIT-identical to mode='exact' for axis-aligned
+    lights (no lateral drift: the pure-carry operator is exact)."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from w3d.parallel import halo as PH
+    from w3d.parallel import mesh as PMM
+    from w3d.ops import shadows as SH
+
+    devs = np.array(jax.devices()[:8])
+    hmesh = Mesh(devs, axis_names=("tiles",))
+    T, n = 16, 16
+    rng = np.random.default_rng(11)
+    z = jnp.asarray(rng.uniform(0.0, 2.0, (T, n, n)).astype(np.float32))
+    init = jnp.full((n,), SH.MESH_MIN_Z)
+    light = (-1.0, 0.0, 0.3)                      # axis-aligned
+    with hmesh:
+        zs = jax.device_put(z, PMM.shard_leading(hmesh))
+        a = PH.make_sharded_shadow_scan(hmesh, light, 0.0625)(zs, init)
+        b = PH.make_sharded_shadow_scan(hmesh, light, 0.0625,
+                                        mode="carry")(zs, init)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_shadow_carry_mode_drift_close():
+    """With lateral drift the carry mode's edge interpolation reorders
+    max/interp; the shadow masks still agree except at a small fraction
+    of boundary-grazing cells."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from w3d.parallel import halo as PH
+    from w3d.parallel import mesh as PMM
+    from w3d.ops import shadows as SH
+
+    devs = np.array(jax.devices()[:8])
+    hmesh = Mesh(devs, axis_names=("tiles",))
+    T, n = 16, 16
+    rng = np.random.default_rng(4)
+    z = jnp.asarray(rng.uniform(0.0, 2.0, (T, n, n)).astype(np.float32))
+    init = jnp.full((n,), SH.MESH_MIN_Z)
+    light = (-1.0, 0.35, 0.3)                     # lateral drift
+    with hmesh:
+        zs = jax.device_put(z, PMM.shard_leading(hmesh))
+        a = PH.make_sharded_shadow_scan(hmesh, light, 0.0625)(zs, init)
+        b = PH.make_sharded_shadow_scan(hmesh, light, 0.0625,
+                                        mode="carry")(zs, init)
+    diff = (np.asarray(a) != np.asarray(b)).mean()
+    assert diff < 0.02, diff
