@@ -28,6 +28,56 @@ from . import lmap as L
 from . import trace as TR
 
 
+def building_local_setup(interior, bbox, res: int = 32):
+    """Building-LOCAL lighting volume setup (the reference's
+    building-local lmap, building_lighting.cpp:837-1110): a WorldConst
+    sized to the building bbox (so the shared tracer's world->cell
+    mapping spans just this building at high resolution), the offset
+    that recenters the building at the origin, and the building's own
+    occluder set (interior wall segments — door cutouts already split
+    the walls, so light leaks room-to-room only through doorways — plus
+    per-floor floor/ceiling slabs).
+
+    Returns (world_local, offset, cobjs, mesh) ready for
+    BuildingIndirManager(world=world_local) with light positions
+    translated by -offset."""
+    from ..scene import cobj as SC
+
+    x1, y1, z1, x2, y2, z2 = bbox
+    cx, cy, cz = 0.5 * (x1 + x2), 0.5 * (y1 + y2), 0.5 * (z1 + z2)
+    hx, hy, hz = 0.5 * (x2 - x1), 0.5 * (y2 - y1), 0.5 * (z2 - z1)
+    nz = max(res // 2, 4)
+    lw = WorldConst(mesh_x=res, mesh_y=res, mesh_z=nz,
+                    x_scene=1.1 * hx + 1e-3, y_scene=1.1 * hy + 1e-3,
+                    z_scene=1.1 * hz + 1e-3)
+    off = (cx, cy, cz)
+
+    sp = SC.SceneParse()
+    lay = SC.CobjLayer(color=(0.7, 0.7, 0.7, 1.0))
+
+    def add_cube(a1, b1, c1, a2, b2, c2):
+        sp.cobjs.append(SC.RawCobj(
+            SC.COLL_CUBE, (a1 - cx, b1 - cy, c1 - cz),
+            (a2 - cx, b2 - cy, c2 - cz), layer=lay))
+
+    for (wx1, wy1, wz1, wx2, wy2, wz2) in interior.walls:
+        add_cube(wx1, wy1, wz1, wx2, wy2, wz2)
+    fh = interior.floor_height
+    zb = interior.z1
+    th = 0.02 * fh
+    for f in range(interior.num_floors + 1):
+        zf = zb + f * fh
+        add_cube(x1, y1, zf - th, x2, y2, zf)      # floor/ceiling slabs
+    # exterior shell so rays bounce indoors instead of escaping
+    add_cube(x1 - th, y1, z1, x1, y2, z2)
+    add_cube(x2, y1, z1, x2 + th, y2, z2)
+    add_cube(x1, y1 - th, z1, x2, y1, z2)
+    add_cube(x1, y2, z1, x2, y2 + th, z2)
+    cobjs = SC.pack_cobjs(sp)
+    mesh = jnp.full((lw.mesh_y, lw.mesh_x), -10.0 * lw.z_scene, jnp.float32)
+    return lw, off, cobjs, mesh
+
+
 @dataclass
 class BuildingIndirManager:
     """Queue-driven per-room-light indirect volumes."""
@@ -85,6 +135,30 @@ class BuildingIndirManager:
                               params=self.params, world=self.world)
         self.volumes[ix] = grid
         return ix
+
+    @classmethod
+    def for_building(cls, interior, bbox, res: int = 32,
+                     rays_per_light: int = 2048):
+        """Manager over a building-local volume with the interior's own
+        ceiling lights registered (positions recentred)."""
+        lw, off, cobjs, mesh = building_local_setup(interior, bbox, res)
+        mgr = cls(world=lw, rays_per_light=rays_per_light)
+        mgr.cobjs = cobjs
+        mgr.mesh = mesh
+        mgr.offset = off
+        for ix, (lx, ly, lz, _fl) in enumerate(
+                getattr(interior, "lights", ()) or ()):
+            mgr.register_light(ix, (lx - off[0], ly - off[1], lz - off[2]),
+                               (1.0, 0.95, 0.8))
+        return mgr
+
+    def process_all(self, seed: int = 0) -> int:
+        """Drain the queue against the building's own geometry."""
+        n = 0
+        while self.pending:
+            self.process_one(self.cobjs, self.mesh, seed=seed + n)
+            n += 1
+        return n
 
     def composite(self) -> L.LightGrid:
         """Sum of all enabled lights' cached volumes."""

