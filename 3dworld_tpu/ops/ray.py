@@ -77,9 +77,8 @@ def ray_cobjs_nearest(ox, oy, oz, dx, dy, dz, tmax, c: CobjSet,
     ncy = jnp.where(use_y, -jnp.sign(DY), 0.0)
     ncz = jnp.where(use_z, -jnp.sign(DZ), 0.0)
 
-    # --- sphere (also bounding-sphere approx for capsule/rot-cyl/torus) ---
-    is_sph_like = (c.shape == COLL_SPHERE) | (c.shape == COLL_CAPSULE) | \
-                  (c.shape == COLL_CYLINDER_ROT) | (c.shape == COLL_TORUS)
+    # --- sphere (also the torus bounding sphere for the Newton seed) ---
+    is_sph_like = (c.shape == COLL_SPHERE)
     mid = 0.5 * (c.p1 + c.p2)
     cx0 = jnp.where(c.shape == COLL_SPHERE, c.p1[:, 0], mid[:, 0])
     cy0 = jnp.where(c.shape == COLL_SPHERE, c.p1[:, 1], mid[:, 1])
@@ -88,6 +87,10 @@ def ray_cobjs_nearest(ox, oy, oz, dx, dy, dz, tmax, c: CobjSet,
     rs = jnp.where(c.shape == COLL_SPHERE, c.r1,
                    jnp.where(c.shape == COLL_TORUS, c.r1 + c.r2,
                              seg_half + jnp.maximum(c.r1, c.r2)))
+    # torus bounding sphere centers on p1 (ring center), not mid
+    cx0 = jnp.where(c.shape == COLL_TORUS, c.p1[:, 0], cx0)
+    cy0 = jnp.where(c.shape == COLL_TORUS, c.p1[:, 1], cy0)
+    cz0 = jnp.where(c.shape == COLL_TORUS, c.p1[:, 2], cz0)
     LX = OX - cx0
     LY = OY - cy0
     LZ = OZ - cz0
@@ -104,6 +107,165 @@ def ray_cobjs_nearest(ox, oy, oz, dx, dy, dz, tmax, c: CobjSet,
     hz = OZ + t_s * DZ - cz0
     hl = jnp.maximum(jnp.sqrt(hx * hx + hy * hy + hz * hz), _EPS)
     nsx, nsy, nsz = hx / hl, hy / hl, hz / hl
+
+    # --- capsule / rotated (tapered) cylinder: EXACT cone quadratic ---
+    # Axis A=p1, B=p2, unit u, length L; radius r(s) = r1 + (s/L)(r2-r1).
+    # Side surface: |P-A|^2 - s^2 = r(s)^2 with s = (P-A).u — a quadratic
+    # in ray t (the line_intersect_cylinder math of Math3d.cpp, done
+    # branchlessly).  Rot-cylinders add flat end discs; capsules add end
+    # spheres of radius r1/r2.
+    ux_ = c.p2[:, 0] - c.p1[:, 0]
+    uy_ = c.p2[:, 1] - c.p1[:, 1]
+    uz_ = c.p2[:, 2] - c.p1[:, 2]
+    Lax = jnp.sqrt(jnp.maximum(ux_ * ux_ + uy_ * uy_ + uz_ * uz_, _EPS))
+    ux_, uy_, uz_ = ux_ / Lax, uy_ / Lax, uz_ / Lax
+    kslope = (c.r2 - c.r1) / Lax
+    wx_ = OX - c.p1[:, 0]
+    wy_ = OY - c.p1[:, 1]
+    wz_ = OZ - c.p1[:, 2]
+    s_w = wx_ * ux_ + wy_ * uy_ + wz_ * uz_
+    s_d = DX * ux_ + DY * uy_ + DZ * uz_
+    one_k2 = 1.0 + kslope * kslope
+    Ac = a - s_d * s_d * one_k2
+    Bc = 2.0 * ((wx_ * DX + wy_ * DY + wz_ * DZ)
+                - s_w * s_d * one_k2 - c.r1 * kslope * s_d)
+    Cc = (wx_ * wx_ + wy_ * wy_ + wz_ * wz_) - s_w * s_w * one_k2 \
+        - 2.0 * c.r1 * kslope * s_w - c.r1 * c.r1
+    discc = Bc * Bc - 4.0 * Ac * Cc
+    sqc = jnp.sqrt(jnp.maximum(discc, 0.0))
+    Ac_s = jnp.where(jnp.abs(Ac) < _EPS, _EPS, Ac)
+    tc1 = (-Bc - sqc) / (2.0 * Ac_s)
+    tc2 = (-Bc + sqc) / (2.0 * Ac_s)
+
+    def side_t(tcand):
+        s_at = s_w + tcand * s_d
+        ok = (discc > 0.0) & (tcand > _EPS) & (s_at >= 0.0) & (s_at <= Lax)
+        return jnp.where(ok, tcand, _BIG)
+
+    t_side_rc = jnp.minimum(side_t(jnp.minimum(tc1, tc2)),
+                            side_t(jnp.maximum(tc1, tc2)))
+    # flat end discs (rot-cylinder check_ends)
+    s_d_s = jnp.where(jnp.abs(s_d) < _EPS, _EPS, s_d)
+    t_d0 = -s_w / s_d_s
+    t_dL = (Lax - s_w) / s_d_s
+
+    def disc_t(tcand, rad_end):
+        px_ = wx_ + tcand * DX
+        py_ = wy_ + tcand * DY
+        pz_ = wz_ + tcand * DZ
+        s_at = px_ * ux_ + py_ * uy_ + pz_ * uz_
+        r2d = px_ * px_ + py_ * py_ + pz_ * pz_ - s_at * s_at
+        ok = (tcand > _EPS) & (r2d <= rad_end * rad_end)
+        return jnp.where(ok, tcand, _BIG)
+
+    t_rcyl = jnp.minimum(t_side_rc,
+                         jnp.minimum(disc_t(t_d0, c.r1), disc_t(t_dL, c.r2)))
+    # capsule: side + end SPHERES (r1 at A, r2 at B)
+    def end_sphere_t(ex0, ey0, ez0, rr):
+        lx = OX - ex0
+        ly = OY - ey0
+        lz = OZ - ez0
+        bb = 2.0 * (lx * DX + ly * DY + lz * DZ)
+        cc2 = lx * lx + ly * ly + lz * lz - rr * rr
+        dd = bb * bb - 4.0 * a * cc2
+        tt = (-bb - jnp.sqrt(jnp.maximum(dd, 0.0))) / (2.0 * a)
+        return jnp.where((dd > 0.0) & (tt > _EPS), tt, _BIG)
+
+    t_caps = jnp.minimum(
+        t_side_rc,
+        jnp.minimum(end_sphere_t(c.p1[:, 0], c.p1[:, 1], c.p1[:, 2], c.r1),
+                    end_sphere_t(c.p2[:, 0], c.p2[:, 1], c.p2[:, 2], c.r2)))
+
+    def cone_normal(tbest):
+        px_ = wx_ + tbest * DX
+        py_ = wy_ + tbest * DY
+        pz_ = wz_ + tbest * DZ
+        s_at = px_ * ux_ + py_ * uy_ + pz_ * uz_
+        rad_at = c.r1 + kslope * s_at
+        coef = s_at + kslope * rad_at     # grad of the cone implicit
+        gx = px_ - coef * ux_
+        gy = py_ - coef * uy_
+        gz = pz_ - coef * uz_
+        gl = jnp.maximum(jnp.sqrt(gx * gx + gy * gy + gz * gz), _EPS)
+        return gx / gl, gy / gl, gz / gl
+
+    def rc_normal(tbest):
+        # side -> cone gradient; ends -> +-axis
+        on_side = jnp.abs(tbest - t_side_rc) < 1e-6
+        gx, gy, gz = cone_normal(tbest)
+        s_at = s_w + tbest * s_d
+        sgn = jnp.where(s_at > 0.5 * Lax, 1.0, -1.0)
+        return (jnp.where(on_side, gx, sgn * ux_),
+                jnp.where(on_side, gy, sgn * uy_),
+                jnp.where(on_side, gz, sgn * uz_))
+
+    nrcx, nrcy, nrcz = rc_normal(t_rcyl)
+
+    def caps_normal(tbest):
+        on_side = jnp.abs(tbest - t_side_rc) < 1e-6
+        gx, gy, gz = cone_normal(tbest)
+        # end-sphere normal from the nearer end center
+        s_at = s_w + tbest * s_d
+        near_b = s_at > 0.5 * Lax
+        exc = jnp.where(near_b, c.p2[:, 0], c.p1[:, 0])
+        eyc = jnp.where(near_b, c.p2[:, 1], c.p1[:, 1])
+        ezc = jnp.where(near_b, c.p2[:, 2], c.p1[:, 2])
+        sx_ = OX + tbest * DX - exc
+        sy_ = OY + tbest * DY - eyc
+        sz_ = OZ + tbest * DZ - ezc
+        sl_ = jnp.maximum(jnp.sqrt(sx_ * sx_ + sy_ * sy_ + sz_ * sz_), _EPS)
+        return (jnp.where(on_side, gx, sx_ / sl_),
+                jnp.where(on_side, gy, sy_ / sl_),
+                jnp.where(on_side, gz, sz_ / sl_))
+
+    ncpx, ncpy, ncpz = caps_normal(t_caps)
+
+    # --- torus: Newton refinement of the quartic from the bounding-
+    # sphere entry (line_torus_intersect semantics, Math3d.cpp:835+);
+    # axis = unit c.p2, ring radius r1, tube radius r2 ---
+    def torus_F_dF(tt):
+        qx_ = OX + tt * DX - c.p1[:, 0]
+        qy_ = OY + tt * DY - c.p1[:, 1]
+        qz_ = OZ + tt * DZ - c.p1[:, 2]
+        au = c.p2[:, 0]
+        av = c.p2[:, 1]
+        aw = c.p2[:, 2]
+        q2 = qx_ * qx_ + qy_ * qy_ + qz_ * qz_
+        qu = qx_ * au + qy_ * av + qz_ * aw
+        qd = qx_ * DX + qy_ * DY + qz_ * DZ
+        du = DX * au + DY * av + DZ * aw
+        K = q2 + c.r1 * c.r1 - c.r2 * c.r2
+        F = K * K - 4.0 * c.r1 * c.r1 * (q2 - qu * qu)
+        dF = 4.0 * K * qd - 4.0 * c.r1 * c.r1 * (2.0 * qd - 2.0 * qu * du)
+        return F, dF
+
+    is_tor = c.shape == COLL_TORUS
+    t_n = jnp.maximum(t_s, _EPS)          # seed at bounding-sphere entry
+    for _ in range(6):
+        Fv, dFv = torus_F_dF(t_n)
+        t_n = t_n - Fv / jnp.where(jnp.abs(dFv) < _EPS, _EPS, dFv)
+    Fv, _ = torus_F_dF(t_n)
+    scale4 = jnp.maximum(c.r1, _EPS) ** 4
+    tor_ok = sph_hit & (jnp.abs(Fv) < 1e-3 * scale4) & (t_n > _EPS)
+    t_torus = jnp.where(tor_ok, t_n, _BIG)
+
+    def torus_normal(tt):
+        qx_ = OX + tt * DX - c.p1[:, 0]
+        qy_ = OY + tt * DY - c.p1[:, 1]
+        qz_ = OZ + tt * DZ - c.p1[:, 2]
+        au = c.p2[:, 0]
+        av = c.p2[:, 1]
+        aw = c.p2[:, 2]
+        q2 = qx_ * qx_ + qy_ * qy_ + qz_ * qz_
+        qu = qx_ * au + qy_ * av + qz_ * aw
+        K = q2 + c.r1 * c.r1 - c.r2 * c.r2
+        gx = 4.0 * K * qx_ - 8.0 * c.r1 * c.r1 * (qx_ - qu * au)
+        gy = 4.0 * K * qy_ - 8.0 * c.r1 * c.r1 * (qy_ - qu * av)
+        gz = 4.0 * K * qz_ - 8.0 * c.r1 * c.r1 * (qz_ - qu * aw)
+        gl = jnp.maximum(jnp.sqrt(gx * gx + gy * gy + gz * gz), _EPS)
+        return gx / gl, gy / gl, gz / gl
+
+    ntx, nty, ntz = torus_normal(t_torus)
 
     # --- vertical cylinder: xy quadratic + z clip + caps ---
     rc = jnp.maximum(c.r1, c.r2)
@@ -171,16 +333,21 @@ def ray_cobjs_nearest(ox, oy, oz, dx, dy, dz, tmax, c: CobjSet,
     is_cube = c.shape == COLL_CUBE
     is_cyl = c.shape == COLL_CYLINDER
     is_poly = c.shape == COLL_POLYGON
-    t_all = jnp.select([is_cube, is_cyl, is_poly, is_sph_like],
-                       [t_cube, t_cyl, t_poly, t_sph], default=jnp.float32(_BIG))
+    is_caps = c.shape == COLL_CAPSULE
+    is_rcyl = c.shape == COLL_CYLINDER_ROT
+    preds = [is_cube, is_cyl, is_poly, is_caps, is_rcyl, is_tor,
+             is_sph_like]
+    t_all = jnp.select(preds,
+                       [t_cube, t_cyl, t_poly, t_caps, t_rcyl, t_torus,
+                        t_sph], default=jnp.float32(_BIG))
     t_all = jnp.where(c.shape == COLL_NULL, _BIG, t_all)
     t_all = jnp.where(t_all <= tmax[:, None], t_all, _BIG)
-    nx_all = jnp.select([is_cube, is_cyl, is_poly, is_sph_like],
-                        [ncx, ncyx, npx, nsx], default=jnp.float32(0.0))
-    ny_all = jnp.select([is_cube, is_cyl, is_poly, is_sph_like],
-                        [ncy, ncyy, npy, nsy], default=jnp.float32(0.0))
-    nz_all = jnp.select([is_cube, is_cyl, is_poly, is_sph_like],
-                        [ncz, ncyz, npz, nsz], default=jnp.float32(1.0))
+    nx_all = jnp.select(preds, [ncx, ncyx, npx, ncpx, nrcx, ntx, nsx],
+                        default=jnp.float32(0.0))
+    ny_all = jnp.select(preds, [ncy, ncyy, npy, ncpy, nrcy, nty, nsy],
+                        default=jnp.float32(0.0))
+    nz_all = jnp.select(preds, [ncz, ncyz, npz, ncpz, nrcz, ntz, nsz],
+                        default=jnp.float32(1.0))
 
     i = jnp.argmin(t_all, axis=-1)
     oh = (i[:, None] == jnp.arange(c.size, dtype=jnp.int32)[None, :]).astype(ox.dtype)
@@ -205,8 +372,17 @@ def ray_cobjs_nearest(ox, oy, oz, dx, dy, dz, tmax, c: CobjSet,
                                      jnp.where(bot_ok, t_bot, -_BIG)))
     tx_cyl = jnp.where(cyl_hit & (tx_cyl > -_BIG), tx_cyl, t_cyl)
     tx_poly = t_poly + jnp.maximum(c.r1, 0.0) / jnp.maximum(jnp.abs(denom), 0.1)
-    tx_all = jnp.select([is_cube, is_cyl, is_poly, is_sph_like],
-                        [tx_cube, tx_cyl, tx_poly, tx_sph],
+    # caps/rot-cyl exact far side; torus keeps the bounding-sphere far
+    # root (transmission-chord upper bound)
+    t_side_far = side_t(jnp.maximum(tc1, tc2))
+    tx_rcyl = jnp.maximum(
+        jnp.where(t_side_far < _BIG, t_side_far, -_BIG),
+        jnp.maximum(jnp.where(disc_t(t_d0, c.r1) < _BIG, t_d0, -_BIG),
+                    jnp.where(disc_t(t_dL, c.r2) < _BIG, t_dL, -_BIG)))
+    tx_rcyl = jnp.where(tx_rcyl > -_BIG, tx_rcyl, t_rcyl)
+    tx_all = jnp.select(preds,
+                        [tx_cube, tx_cyl, tx_poly, tx_sph, tx_rcyl,
+                         tx_sph, tx_sph],
                         default=jnp.float32(_BIG))
     t_exit = jnp.sum(jnp.maximum(tx_all, t_all) * oh, -1)
     return (hit, t_best,

@@ -19,9 +19,11 @@ import jax.numpy as jnp
 
 import w3d
 from w3d.city import plots as CP, roads as CR, traffic as CT
+from w3d.city import floorplan as CF, people as CPE
 
 NUM_CARS = 256
 NUM_PEDS = 512
+NUM_BLDG_PEOPLE = 256
 
 
 def main():
@@ -32,23 +34,35 @@ def main():
     sl0 = CT.build_stoplights(net, seed=0)
     spots = CT.gen_parking_spots(net.blocks)
     nav = CT.build_ped_nav(net)
+    # building AI rides in the SAME measured step (the reference's
+    # 4.65 ms covers cars+peds+building-AI together,
+    # display_world.cpp:1295-1309): per-frame ai movement of
+    # NUM_BLDG_PEOPLE across a few interiors (goal re-routing is the
+    # amortized host side, as in the reference)
+    interior = CF.gen_interior((0.0, 0.0, 0.0, 1.2, 0.9, 0.4), 3, 0.08,
+                               seed=5)
+    pgraph = CPE.build_nav_graph(interior)
+    bpeople0 = CPE.make_people(pgraph, NUM_BLDG_PEOPLE, seed=2)
+    elev_z = jnp.zeros((max(len(interior.elevators), 1),), jnp.float32)
     print(f"city: {len(net.segs)} segs, {len(net.isecs)} isecs, "
-          f"{len(net.blocks)} blocks, {NUM_CARS} cars, {NUM_PEDS} peds")
+          f"{len(net.blocks)} blocks, {NUM_CARS} cars, {NUM_PEDS} peds, "
+          f"{NUM_BLDG_PEOPLE} building people")
 
     def frame(carry, _):
-        sl, cars, peds, k = carry
+        sl, cars, peds, bp, k = carry
         k, k1, k2 = jax.random.split(k, 3)
         sl = CT.step_stoplights(sl)
         cars = CT.step_cars(cars, graph, k1, stoplights=sl)
         peds = CT.step_peds(peds, k2, nav=nav, stoplights=sl)
-        return (sl, cars, peds, k), None
+        bp = CPE.step_people(bp, elev_z)
+        return (sl, cars, peds, bp, k), None
 
     def runner(kframes):
         @jax.jit
         def run(carry):
             out, _ = jax.lax.scan(frame, carry, None, length=kframes)
-            sl, cars, peds, _ = out
-            return cars.t.sum() + peds.x.sum() + sl.ticks.sum()
+            sl, cars, peds, bp, _ = out
+            return cars.t.sum() + peds.x.sum() + sl.ticks.sum() + bp.x.sum()
         return run
 
     def timed(fn, reps=6):
@@ -57,7 +71,7 @@ def main():
             cars = CT.make_cars(NUM_CARS, graph, seed=r, spots=spots,
                                 parked_frac=0.3)
             peds = CT.make_peds(NUM_PEDS, net.blocks, seed=r + 50)
-            carry = (sl0, cars, peds, jax.random.PRNGKey(r))
+            carry = (sl0, cars, peds, bpeople0, jax.random.PRNGKey(r))
             t0 = time.perf_counter()
             float(fn(carry))
             if r >= 2:          # two warmups with distinct inputs

