@@ -5,7 +5,7 @@ The reference reads everything beyond .obj/.3ds through Assimp
 the common interchange formats get native stdlib readers, and
 `load_model` dispatches by extension across every supported format
 (.obj fast native parser, .3ds chunks, .gltf/.glb, .stl, .ply, .off,
-.dae COLLADA geometry).  Binary FBX (proprietary) is not covered.
+ .dae COLLADA geometry, binary .fbx via read_fbx).
 """
 
 from __future__ import annotations
@@ -184,8 +184,11 @@ def load_model(path: str) -> Model3d:
         return load_off(path)
     if ext == ".dae":
         return load_dae(path)
+    if ext == ".fbx":
+        from .read_fbx import load_fbx
+        return load_fbx(path)
     raise ValueError(f"unsupported model format '{ext}' "
-                     "(.obj/.3ds/.gltf/.glb/.stl/.ply/.off/.dae)")
+                     "(.obj/.3ds/.gltf/.glb/.stl/.ply/.off/.dae/.fbx)")
 
 
 def load_dae(path: str) -> Model3d:

@@ -561,7 +561,7 @@ def test_stl_ply_off_loaders_and_dispatcher(tmp_path):
     assert load_model(p_stl).faces.shape == (4, 3)
     assert load_model(p_off).faces.shape == (2, 3)
     try:
-        load_model(str(tmp_path / "x.fbx"))
+        load_model(str(tmp_path / "x.xyz"))
         assert False
     except ValueError:
         pass
@@ -597,3 +597,76 @@ def test_dae_collada_loader(tmp_path):
     assert len(m.positions) == 8          # geometry appended per-primitive
     assert m.faces.shape == (4, 3)        # 2 tris + quad fan (2)
     assert load_model(p).faces.shape == (4, 3)
+
+
+def test_fbx_binary_roundtrip():
+    """Binary FBX reader (round-2 verdict missing 5: FBX/Assimp-class
+    import): Kaydara node-record container, zlib 'd' arrays,
+    PolygonVertexIndex with ~end markers, normals/UV layers."""
+    from w3d.scene.read_fbx import write_fbx, load_fbx
+    from w3d.scene.read_mesh_formats import load_model
+    from w3d.scene.model3d import Model3d
+
+    verts = np.array([(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+                      (0.5, 0.5, 1)], np.float32)
+    faces = np.array([(0, 1, 2), (0, 2, 3), (0, 1, 4), (1, 2, 4),
+                      (2, 3, 4), (3, 0, 4)], np.int32)
+    norms = np.array([(0, 0, 1)] * 5, np.float32)
+    uvs = np.array([(0, 0), (1, 0), (1, 1), (0, 1), (0.5, 0.5)], np.float32)
+    m = Model3d(positions=verts, normals=norms, uvs=uvs, faces=faces,
+                face_normals=-np.ones((6, 3), np.int32),
+                face_uvs=-np.ones((6, 3), np.int32))
+    import tempfile, os
+    fn = os.path.join(tempfile.mkdtemp(), "mesh.fbx")
+    write_fbx(fn, m)
+    m2 = load_fbx(fn)
+    np.testing.assert_allclose(m2.positions, verts)
+    np.testing.assert_array_equal(m2.faces, faces)
+    np.testing.assert_allclose(m2.normals, norms)
+    np.testing.assert_allclose(m2.uvs, uvs)
+    assert load_model(fn).faces.shape == (6, 3)   # dispatcher route
+
+
+def test_fbx_ngon_triangulation():
+    """PolygonVertexIndex n-gons fan-triangulate (negative ~ marker ends
+    each polygon)."""
+    from w3d.scene.read_fbx import _tri_faces
+    # one quad 0,1,2,3 then one pentagon 4..8
+    poly = np.array([0, 1, 2, ~3, 4, 5, 6, 7, ~8], np.int64)
+    tris = _tri_faces(poly)
+    assert tris.shape == (2 + 3, 3)
+    np.testing.assert_array_equal(tris[0], (0, 1, 2))
+    np.testing.assert_array_equal(tris[1], (0, 2, 3))
+    np.testing.assert_array_equal(tris[2], (4, 5, 6))
+
+
+def test_fbx_ascii_rejected():
+    from w3d.scene.read_fbx import load_fbx
+    import tempfile, os
+    fn = os.path.join(tempfile.mkdtemp(), "a.fbx")
+    open(fn, "w").write("; FBX 7.4.0 project file\nFBXHeaderExtension: {}\n")
+    with pytest.raises(ValueError, match="ASCII FBX"):
+        load_fbx(fn)
+
+
+def test_dxt_block_compression():
+    """DXT1/DXT5 encode+decode (texture_utils.cpp's S3TC path) as
+    vectorized all-blocks array programs: low reconstruction error on
+    smooth content, exact on flat blocks."""
+    from w3d.export import textures as TX
+    x, y = np.meshgrid(np.arange(64), np.arange(64))
+    rgb = np.stack([x * 4, y * 4, (x + y) * 2], -1).astype(np.uint8)
+    c0, c1, idx, h, w = TX.dxt1_encode(rgb)
+    assert c0.shape == (16 * 16,) and idx.shape == (256, 16)
+    out = TX.dxt1_decode(c0, c1, idx, h, w)
+    assert np.abs(out.astype(int) - rgb.astype(int)).mean() < 6.0
+    # flat color reconstructs exactly at 565 precision
+    flat = np.full((8, 8, 3), 128, np.uint8)
+    d = TX.dxt1_decode(*TX.dxt1_encode(flat)[:3], 8, 8)
+    assert np.abs(d.astype(int) - 128).max() <= 4
+    # DXT5 alpha ramp
+    rgba = np.concatenate(
+        [rgb, ((x * y) % 256).astype(np.uint8)[..., None]], -1)
+    dec = TX.dxt5_decode(*TX.dxt5_encode(rgba))
+    assert np.abs(dec[..., 3].astype(int)
+                  - rgba[..., 3].astype(int)).mean() < 12.0
