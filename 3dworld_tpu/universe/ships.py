@@ -56,6 +56,12 @@ REAPER_BLOCK = 0.8         # damage fraction blocked by the shield lobe
 ABOMIN_EYE_RATE = 0.01     # eye open/close speed (state_val units/frame)
 
 
+# ship AI types (ship_config.cpp ai_strs order; u_ship::ai_action
+# behavior selection, u_ship.cpp:954)
+AI_IGNORE, AI_RETREAT, AI_ATT_WAIT, AI_ATT_ENEMY, AI_ATT_ALL, \
+    AI_SEEKING, AI_NONE = range(7)
+
+
 class FleetState(NamedTuple):
     """SoA ships (~ free_obj/u_ship state)."""
 
@@ -71,6 +77,8 @@ class FleetState(NamedTuple):
     shields: jax.Array
     cooldown: jax.Array
     alive: jax.Array
+    ai: jax.Array = None        # [N] AI_* behavior (default ATT_ENEMY)
+    attacked: jax.Array = None  # [N] bool: has taken damage (ATT_WAIT)
     # multipart state: facing dir (part placement + reaper shield aim)
     # and the per-class animation value (abomination eye open fraction,
     # multipart_ship state_val)
@@ -148,6 +156,11 @@ def step_fleet(f: FleetState, key, tbl=None,
     w_dam = oh @ tbl[:, 5]
     w_cool = oh @ tbl[:, 6]
 
+    ai = (f.ai if f.ai is not None
+          else jnp.full((n,), AI_ATT_ENEMY, jnp.int32))
+    attacked = (f.attacked if f.attacked is not None
+                else jnp.zeros((n,), bool))
+
     # nearest enemy via masked pairwise distances (ai_action target select)
     p_sq = f.px ** 2 + f.py ** 2 + f.pz ** 2
     G = (jnp.outer(f.px, f.px) + jnp.outer(f.py, f.py) + jnp.outer(f.pz, f.pz))
@@ -156,20 +169,30 @@ def step_fleet(f: FleetState, key, tbl=None,
     d2m = jnp.where(enemy, d2, jnp.inf)
     tgt = jnp.argmin(d2m, axis=1)
     has_tgt = jnp.isfinite(jnp.min(d2m, axis=1))
+    # behavior gating (u_ship::ai_action, u_ship.cpp:954): passive AIs
+    # never engage; ATT_WAIT engages only once attacked; RETREAT ships
+    # flee instead of closing when their shields are low
+    passive = (ai == AI_IGNORE) | (ai == AI_NONE)
+    waiting = (ai == AI_ATT_WAIT) & ~attacked
+    has_tgt = has_tgt & ~passive & ~waiting
     toh = jax.nn.one_hot(tgt, n, dtype=jnp.float32)
     tx = toh @ f.px
     ty = toh @ f.py
     tz = toh @ f.pz
 
-    # thrust toward target (u_ship::thrust), clamp speed
+    # thrust toward target (u_ship::thrust), clamp speed; retreating
+    # damaged ships thrust AWAY (ai_action retreat branch)
     dx = tx - f.px
     dy = ty - f.py
     dz = tz - f.pz
     d = jnp.sqrt(dx * dx + dy * dy + dz * dz) + 1e-9
+    sh_max = oh @ tbl[:, 3]
+    fleeing = (ai == AI_RETREAT) & (f.shields < 0.25 * sh_max + 1e-6)
     a = jnp.where(has_tgt & f.alive, accel, 0.0)
-    vx = f.vx + a * dx / d
-    vy = f.vy + a * dy / d
-    vz = f.vz + a * dz / d
+    adir = jnp.where(fleeing, -1.0, 1.0)
+    vx = f.vx + a * adir * dx / d
+    vy = f.vy + a * adir * dy / d
+    vz = f.vz + a * adir * dz / d
     sp = jnp.sqrt(vx * vx + vy * vy + vz * vz) + 1e-9
     scale = jnp.minimum(1.0, vmax / sp)
     vx, vy, vz = vx * scale, vy * scale, vz * scale
@@ -193,7 +216,8 @@ def step_fleet(f: FleetState, key, tbl=None,
     eye_ok = ~is_abomin | (sv > 0.1)
 
     # fire: in range + cooldown ready; damage applies shields-then-armor
-    in_range = has_tgt & (d < w_range) & (f.cooldown <= 0) & f.alive & eye_ok
+    in_range = has_tgt & ~fleeing & (d < w_range) & (f.cooldown <= 0) \
+        & f.alive & eye_ok
     dmg_dealt = jnp.where(in_range, w_dam, 0.0)
     # reaper shield lobe blocks most damage arriving from its aim
     # direction (USC_REAPER blocking shield, u_ship.cpp:2931-2960)
@@ -211,13 +235,14 @@ def step_fleet(f: FleetState, key, tbl=None,
     armor = f.armor - overflow
     alive = f.alive & (armor > 0)
     cooldown = jnp.where(in_range, w_cool, jnp.maximum(f.cooldown - 1.0, 0.0))
+    attacked = attacked | (dmg_in > 0.0)
     # shield regeneration up to the class max (us_class shield_re,
     # ship.h:507; ship_base.cpp regen path) — armor does not regen here
-    sh_max = oh @ tbl[:, 3]
     sh_re = oh @ tbl[:, 8]
     sh = jnp.minimum(sh + sh_re * alive.astype(jnp.float32), sh_max)
     return f._replace(px=px, py=py, pz=pz, vx=vx, vy=vy, vz=vz,
                       armor=armor, shields=sh, cooldown=cooldown, alive=alive,
+                      ai=ai, attacked=attacked,
                       dx=ndx, dy=ndy, dz=ndz, state_val=sv)
 
 
@@ -499,7 +524,7 @@ def fleet_from_defs(defs, key, fleets=None):
     tbl = SC.ship_class_table(defs)
     offs, nparts = SC.ship_part_geometry(defs, max_parts=MAX_PARTS)
     start = defs.globals.get("start_pos", (0.0, 0.0, 0.0))
-    cls_list, align_list, pos_list, spread_list = [], [], [], []
+    cls_list, align_list, pos_list, spread_list, ai_list = [], [], [], [], []
     use = defs.fleets if fleets is None else fleets
     for fl in use:
         total = fl.multiplier * sum(fl.counts)
@@ -509,6 +534,7 @@ def fleet_from_defs(defs, key, fleets=None):
             k = fl.multiplier * cnt
             cls_list.extend([cid] * k)
             align_list.extend([fl.align] * k)
+            ai_list.extend([fl.ai_type] * k)
         center = tuple(s + p for s, p in zip(start, fl.pos))
         pos_list.extend([center] * total)
         spread_list.extend([fl.rgen_dist] * total)
@@ -528,6 +554,8 @@ def fleet_from_defs(defs, key, fleets=None):
         cls=cls, align=jnp.asarray(align_list, jnp.int32),
         armor=oh @ tblj[:, 2], shields=oh @ tblj[:, 3],
         cooldown=jnp.zeros(n), alive=jnp.ones(n, bool),
+        ai=jnp.asarray(ai_list, jnp.int32),
+        attacked=jnp.zeros(n, bool),
         dx=jnp.ones(n), dy=jnp.zeros(n), dz=jnp.zeros(n),
         state_val=jnp.zeros(n),
     )

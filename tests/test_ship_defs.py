@@ -107,3 +107,36 @@ def test_fleet_sim_from_shipped_defs():
                         cx(f.pz, red) - cx(f.pz, ~red))
     assert gap(s) < gap(st)
     assert float(jnp.max(jnp.abs(s.vx) + jnp.abs(s.vy) + jnp.abs(s.vz))) > 0
+
+
+def test_fleet_ai_behaviors():
+    """u_ship::ai_action behavior selection from the parsed ai_type:
+    AI_IGNORE ships never engage, AI_ATT_WAIT engages only after taking
+    damage, AI_RETREAT flees when shields drop low."""
+    n = 4
+    tbl = jnp.asarray(USH.SHIP_CLASSES)
+    f = USH.make_fleet(jax.random.key(0), n, classes=[0, 0, 0, 0])
+    # two teams facing each other at close range
+    f = f._replace(
+        px=jnp.asarray([0.0, 0.1, 0.0, 0.1]),
+        py=jnp.asarray([0.0, 0.0, 1.0, 1.0]),
+        pz=jnp.zeros(n), vx=jnp.zeros(n), vy=jnp.zeros(n),
+        vz=jnp.zeros(n),
+        align=jnp.asarray([0, 1, 0, 1]),
+        ai=jnp.asarray([USH.AI_IGNORE, USH.AI_ATT_ENEMY,
+                        USH.AI_ATT_WAIT, USH.AI_RETREAT], jnp.int32),
+        attacked=jnp.zeros(n, bool),
+        shields=jnp.asarray([50.0, 50.0, 50.0, 1.0]),  # ship 3 low
+    )
+    f2 = USH.step_fleet(f, jax.random.key(1))
+    # AI_IGNORE (ship 0) did not move; ATT_ENEMY (ship 1) closed in
+    assert float(jnp.abs(f2.vx[0]) + jnp.abs(f2.vy[0])) < 1e-8
+    assert float(jnp.abs(f2.vx[1]) + jnp.abs(f2.vy[1])) > 0
+    # ATT_WAIT (ship 2) holds until damaged
+    assert float(jnp.abs(f2.vx[2]) + jnp.abs(f2.vy[2])) < 1e-8
+    f3 = f._replace(attacked=jnp.asarray([False, False, True, False]))
+    f4 = USH.step_fleet(f3, jax.random.key(2))
+    assert float(jnp.abs(f4.vx[2]) + jnp.abs(f4.vy[2])) > 0
+    # AI_RETREAT with low shields moves AWAY from its enemy (ship 2 at
+    # the same y): velocity x-component points away from x=0.0
+    assert float(f2.vx[3]) > 0
