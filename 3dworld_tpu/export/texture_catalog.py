@@ -282,22 +282,51 @@ def resolve_texture_name(name: str) -> str | None:
     return _ALIAS.get(name)
 
 
+# the reference repo ships its real texture tree; when present it is the
+# default asset source (Textures.cpp type-0 file textures)
+REFERENCE_ASSET_DIR = "/root/reference/textures"
+
+
+def _find_asset(name: str, asset_dir: str) -> str | None:
+    """Exact relative path first (incl. subdirectories like
+    bark/bark1.jpg), then basename with common extensions."""
+    if name.startswith("@"):
+        return None
+    p = os.path.join(asset_dir, name)
+    if os.path.exists(p):
+        return p
+    base = os.path.splitext(os.path.basename(name))[0]
+    for ext in ("png", "bmp", "jpg", "jpeg", "tga"):
+        p = os.path.join(asset_dir, f"{base}.{ext}")
+        if os.path.exists(p):
+            return p
+    return None
+
+
+@functools.lru_cache(maxsize=None)
 def get_reference_texture(name: str, n: int = _DEF_SIZE,
                           asset_dir: str | None = None) -> np.ndarray:
     """Any reference texture name (Textures.cpp table, incl. '@'
-    procedural ids and subdirectory files) -> [n, n, 3] uint8.  Asset
-    files override; bespoke procedural entries next; name-hashed
-    palettes cover the rest, so every reference texture id resolves."""
+    procedural ids and subdirectory files) -> [H, W, 3] uint8.
+
+    Resolution order matches the reference: the REAL shipped image file
+    (from `asset_dir`, defaulting to the reference's own textures/ tree
+    when present) wins; '@' generated ids and missing files fall to the
+    bespoke procedural entries; name-hashed palettes cover the rest, so
+    every reference texture id resolves."""
+    if asset_dir is None and os.path.isdir(REFERENCE_ASSET_DIR):
+        asset_dir = REFERENCE_ASSET_DIR
+    if asset_dir:
+        p = _find_asset(name, asset_dir)
+        if p is not None:
+            from . import heightmap_io as HIO
+            try:
+                return HIO.read_image_rgb(p)[..., :3]
+            except Exception:
+                pass        # unreadable/exotic format -> procedural
     key = resolve_texture_name(name)
     if key is not None:
-        return get_texture(key, n, asset_dir=asset_dir)
-    if asset_dir:
-        base = os.path.splitext(os.path.basename(name))[0]
-        for ext in ("png", "bmp", "jpg", "tga"):
-            p = os.path.join(asset_dir, f"{base}.{ext}")
-            if os.path.exists(p):
-                from . import heightmap_io as HIO
-                return HIO.read_image_rgb(p)[..., :3]
+        return get_texture(key, n)
     fam, kw = _auto_entry(name)
     img = fam(n, **kw)
     return np.asarray(jnp.clip(img * 255.0, 0, 255).astype(jnp.uint8))
