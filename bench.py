@@ -110,9 +110,40 @@ def bench_physics(jax):
     return 1.0 / dt
 
 
+def _preflight(attempts: int = 3, per_wait: int = 300) -> bool:
+    """The axon relay can wedge remotely (observed: a killed mid-compile
+    client left the pool claim stuck for hours).  Probe with a tiny
+    dispatch in a subprocess (the hang is unkillable in-process) and
+    retry before running the real benchmark."""
+    import subprocess
+    probe = ("import jax, jax.numpy as jnp;"
+             "print(float((jnp.ones((8,8))*2).sum()))")
+    for k in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               timeout=per_wait, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"# bench preflight: device not responding "
+              f"(attempt {k + 1}/{attempts})", file=sys.stderr)
+    return False
+
+
 def main():
     import jax
     import w3d  # noqa: F401
+
+    if not _preflight():
+        print(json.dumps({
+            "metric": "terrain_tiles_and_physics_speedup",
+            "value": 0.0, "vs_baseline": 0.0,
+            "unit": "geomean speedup vs conservative 1-core CPU estimate",
+            "error": "tpu relay unresponsive after preflight retries; "
+                     "see BENCH history for last good numbers",
+        }))
+        return
 
     tiles = bench_terrain(jax)
     phys = bench_physics(jax)
