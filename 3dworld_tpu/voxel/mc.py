@@ -180,3 +180,27 @@ def compact_triangles(vx, vy, vz, valid):
 
 def triangle_count(valid) -> int:
     return int(np.asarray(valid).sum())
+
+
+def marching_tets_lod(values: jax.Array, isolevel=0.0,
+                      lo_pos=(0.0, 0.0, 0.0), vsz=(1.0, 1.0, 1.0),
+                      levels: int = 3):
+    """LOD triangle lists (voxels.h:188 per-block LOD tri lists): level k
+    extracts the isosurface from the field SUBSAMPLED by stride 2^k —
+    the reference's coarser-cell extraction for distant blocks.  Returns
+    a list of (vx, vy, vz, valid) per level (level 0 = full res)."""
+    out = []
+    for k in range(levels):
+        st = 1 << k
+        sub = values[::st, ::st, ::st]
+        if min(sub.shape) < 2:
+            break
+        svsz = (vsz[0] * st, vsz[1] * st, vsz[2] * st)
+        out.append(marching_tets(sub, isolevel, lo_pos=lo_pos, vsz=svsz))
+    return out
+
+
+def lod_triangle_counts(lods) -> list:
+    """Triangle count per LOD level (coarser levels must not exceed
+    finer ones for well-formed fields)."""
+    return [int(valid.sum()) for (_x, _y, _z, valid) in lods]

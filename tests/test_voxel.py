@@ -266,3 +266,26 @@ def test_diagonal_contact_is_not_support():
     f = np.asarray(falling_mask(v, 0.0))
     assert not f[1, 2, 2]
     assert f[2, 3, 3]
+
+
+def test_marching_tets_lod_levels():
+    """LOD tri lists (voxels.h:188): strided extraction gives coarser,
+    cheaper isosurfaces of the same field that still bound the solid."""
+    from w3d.voxel.mc import marching_tets_lod, lod_triangle_counts
+    n = 17
+    zz, yy, xx = np.meshgrid(*(np.arange(n, dtype=np.float32),) * 3,
+                             indexing="ij")
+    # sphere of radius 5 at the center: field < 0 inside
+    v = jnp.asarray(np.sqrt((xx - 8) ** 2 + (yy - 8) ** 2
+                            + (zz - 8) ** 2) - 5.0)
+    lods = marching_tets_lod(v, 0.0, levels=3)
+    assert len(lods) == 3
+    counts = lod_triangle_counts(lods)
+    assert counts[0] > counts[1] > counts[2] > 0
+    # every level's surface vertices stay near radius 5
+    for (vx, vy, vz, valid) in lods:
+        m = np.asarray(valid)
+        r = np.sqrt((np.asarray(vx)[m] - 8) ** 2
+                    + (np.asarray(vy)[m] - 8) ** 2
+                    + (np.asarray(vz)[m] - 8) ** 2)
+        assert abs(r.mean() - 5.0) < 0.6
