@@ -241,3 +241,117 @@ def apply_tipping(cobjs: CobjSet, mesh_min_z: float) -> CobjSet:
         if d is not None:
             cobjs = tip_cube(cobjs, int(i), d, mesh_min_z)
     return cobjs
+
+
+# ---------------------------------------------------------------------------
+# hull-based rotate-to-rest (get_cobj_rot_axis, movable_cobj.cpp:599-615)
+# ---------------------------------------------------------------------------
+
+def support_points(cobjs: CobjSet, i: int, mesh_min_z: float):
+    """Support CONTACT POINTS under cobj i (the reference collects the
+    supported bottom points / overlap corners rather than a single
+    rect): corners of each supporting-top overlap region, in xy."""
+    import numpy as np
+    lo = np.minimum(np.asarray(cobjs.p1), np.asarray(cobjs.p2))
+    hi = np.maximum(np.asarray(cobjs.p1), np.asarray(cobjs.p2))
+    live = np.asarray(cobjs.shape) != COLL_NULL
+    pts = []
+    if lo[i, 2] <= mesh_min_z + 1e-3:       # resting on the ground
+        pts += [(lo[i, 0], lo[i, 1]), (hi[i, 0], lo[i, 1]),
+                (hi[i, 0], hi[i, 1]), (lo[i, 0], hi[i, 1])]
+    for j in range(cobjs.size):
+        if j == i or not live[j]:
+            continue
+        if abs(lo[i, 2] - hi[j, 2]) > 1e-3:
+            continue
+        x1 = max(lo[i, 0], lo[j, 0]); x2 = min(hi[i, 0], hi[j, 0])
+        y1 = max(lo[i, 1], lo[j, 1]); y2 = min(hi[i, 1], hi[j, 1])
+        if x2 <= x1 or y2 <= y1:
+            continue
+        pts += [(x1, y1), (x2, y1), (x2, y2), (x1, y2)]
+    return np.asarray(pts, np.float64).reshape(-1, 2)
+
+
+def convex_hull_2d(pts):
+    """Monotone-chain hull (convex_hull in the reference), CCW."""
+    import numpy as np
+    P = sorted(map(tuple, pts))
+    if len(P) <= 2:
+        return np.asarray(P, np.float64)
+    def half(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2 and (
+                (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])) <= 0:
+                out.pop()
+            out.append(p)
+        return out[:-1]
+    return np.asarray(half(P) + half(P[::-1]), np.float64)
+
+
+def _closest_on_segment(a, b, p):
+    import numpy as np
+    ab = b - a
+    t = float(np.clip(np.dot(p - a, ab) / max(np.dot(ab, ab), 1e-18), 0, 1))
+    return a + t * ab
+
+
+def get_cobj_rot_axis(cobjs: CobjSet, i: int, mesh_min_z: float):
+    """The reference's rotate-to-rest decision (get_cobj_rot_axis,
+    movable_cobj.cpp:599): convex hull of support points; COM inside the
+    hull -> stable (None); otherwise (pivot_point_xy, axis_xy) where the
+    axis is the horizontal lever perpendicular (gravity x lever), so
+    diagonal supports tip about DIAGONAL axes — not just +-x/+-y."""
+    import numpy as np
+    sp = support_points(cobjs, i, mesh_min_z)
+    if len(sp) == 0:
+        return None                      # free fall, not a tip
+    lo = np.minimum(np.asarray(cobjs.p1[i]), np.asarray(cobjs.p2[i]))
+    hi = np.maximum(np.asarray(cobjs.p1[i]), np.asarray(cobjs.p2[i]))
+    com = 0.5 * (lo[:2] + hi[:2])
+    if len(sp) == 1:
+        closest = sp[0]
+    elif len(sp) == 2:
+        closest = _closest_on_segment(sp[0], sp[1], com)
+    else:
+        hull = convex_hull_2d(sp)
+        if len(hull) >= 3:
+            inside = True
+            for k in range(len(hull)):
+                a = hull[k]
+                b = hull[(k + 1) % len(hull)]
+                cr = (b[0] - a[0]) * (com[1] - a[1]) \
+                    - (b[1] - a[1]) * (com[0] - a[0])
+                if cr < -1e-12:
+                    inside = False
+                    break
+            if inside:
+                return None              # COM over the support hull
+            closest = min((_closest_on_segment(hull[k],
+                                               hull[(k + 1) % len(hull)],
+                                               com)
+                           for k in range(len(hull))),
+                          key=lambda q: float(np.hypot(*(com - q))))
+        else:
+            closest = _closest_on_segment(hull[0], hull[-1], com)
+    lever = com - closest
+    ll = float(np.hypot(*lever))
+    if ll < 1e-9:
+        return None                      # perfect balance
+    # rot axis = gravity x lever (horizontal, perpendicular to the lever)
+    axis = np.array([-lever[1], lever[0]]) / ll
+    return (closest, axis)
+
+
+def check_unstable_hull(cobjs: CobjSet, i: int, mesh_min_z: float):
+    """Axis-aligned projection of the hull decision, for tip_cube: maps
+    the lever direction onto the dominant (+-1, dim) tip direction."""
+    import numpy as np
+    rv = get_cobj_rot_axis(cobjs, i, mesh_min_z)
+    if rv is None:
+        return None
+    closest, axis = rv
+    lever = np.array([axis[1], -axis[0]])   # inverse of axis = g x lever
+    dim = 0 if abs(lever[0]) >= abs(lever[1]) else 1
+    return (1 if lever[dim] > 0 else -1, dim)

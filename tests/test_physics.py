@@ -476,3 +476,47 @@ def test_frozen_water_ice_surface():
     # warm: floats at the water line, below the frozen resting height
     assert float(warm.pz[0]) < float(frozen.pz[0]) - 1e-3
     assert int(np.asarray(warm.flags)[0]) & PT.FL_IN_WATER
+
+
+def test_movable_hull_rotate_to_rest():
+    """get_cobj_rot_axis (movable_cobj.cpp:599): convex hull over
+    support contact points; COM inside the hull is stable, COM past a
+    hull edge tips about the lever-perpendicular axis — DIAGONAL
+    supports give diagonal axes, which the round-2 axis-aligned support
+    rect could not express."""
+    from w3d.physics import movable as MV
+    from w3d.scene import cobj as SC
+
+    def build(plank, supports):
+        sp = SC.SceneParse()
+        lay = SC.CobjLayer()
+        for (lo, hi) in supports:
+            sp.cobjs.append(SC.RawCobj(SC.COLL_CUBE, lo, hi, layer=lay))
+        sp.cobjs.append(SC.RawCobj(SC.COLL_CUBE, plank[0], plank[1],
+                                   layer=lay, movable=True))
+        return SC.pack_cobjs(sp), len(sp.cobjs) - 1
+
+    # plank fully supported by two diagonal posts + COM between them:
+    # the hull of the two contact rects CONTAINS the COM -> stable
+    plank = ((0.0, 0.0, 1.0), (1.0, 1.0, 1.1))
+    posts = [(((0.0, 0.0, 0.0), (0.3, 0.3, 1.0))),
+             (((0.7, 0.7, 0.0), (1.0, 1.0, 1.0)))]
+    c, i = build(plank, posts)
+    assert MV.get_cobj_rot_axis(c, i, mesh_min_z=-10.0) is None
+
+    # single CORNER post: COM hangs past the hull -> tips, and the axis
+    # is DIAGONAL (both components significant)
+    c2, i2 = build(plank, [(((0.0, 0.0, 0.0), (0.25, 0.25, 1.0)))])
+    rv = MV.get_cobj_rot_axis(c2, i2, mesh_min_z=-10.0)
+    assert rv is not None
+    closest, axis = rv
+    assert abs(axis[0]) > 0.3 and abs(axis[1]) > 0.3   # diagonal lever
+    # the pivot lies on the support corner region
+    assert closest[0] <= 0.25 + 1e-9 and closest[1] <= 0.25 + 1e-9
+    # axis-aligned projection still drives tip_cube
+    d = MV.check_unstable_hull(c2, i2, mesh_min_z=-10.0)
+    assert d is not None and d[0] == +1
+
+    # ground-resting cube: its own footprint supports it -> stable
+    c3, i3 = build(((0.0, 0.0, 0.0), (1.0, 1.0, 0.5)), [])
+    assert MV.get_cobj_rot_axis(c3, i3, mesh_min_z=0.0) is None
