@@ -288,3 +288,52 @@ def gen_prings(planet: Planet):
              for i in range(3)]
         bands.append((r1, r2, (c[0], c[1], c[2], alpha)))
     return spans[0][0], spans[-1][1], bands
+
+
+# ---------------------------------------------------------------------------
+# orbital motion (urev_body::do_update, Universe.cpp:1891-1912)
+# ---------------------------------------------------------------------------
+
+REV_RATE_CONST = 1.0      # REV_RATE_CONST/(0.14*TPS*aoR^1.5), Universe.cpp:1880
+TICKS_PER_SECOND = 40.0
+
+
+def rev_rate(orbit_r: float, parent_r: float) -> float:
+    """Kepler-style revolution rate (degrees/tick) ~ (a/R)^-1.5."""
+    aoR = max(orbit_r / max(parent_r, 1e-9), 1e-6)
+    return REV_RATE_CONST / (0.14 * TICKS_PER_SECOND * aoR * np.sqrt(aoR))
+
+
+def _phase0(seed: int) -> float:
+    return (seed % 360000) / 1000.0          # rev_ang0 = 360*rand2d()
+
+
+def planet_position(sy: System, p: Planet, time_ticks: float):
+    """World position of a planet at time t: circular orbit about the
+    star (do_update's absolute-angle evaluation — stable over long
+    runs)."""
+    ang = np.radians(_phase0(p.seed) + rev_rate(p.orbit_r, sy.star.radius)
+                     * time_ticks)
+    return (sy.pos[0] + p.orbit_r * np.cos(ang),
+            sy.pos[1] + p.orbit_r * np.sin(ang), sy.pos[2])
+
+
+def moon_position(sy: System, p: Planet, m: Moon, time_ticks: float):
+    px, py, pz = planet_position(sy, p, time_ticks)
+    ang = np.radians(_phase0(m.seed) + rev_rate(m.orbit_r, p.radius)
+                     * time_ticks)
+    return (px + m.orbit_r * np.cos(ang), py + m.orbit_r * np.sin(ang), pz)
+
+
+def system_body_positions(sy: System, time_ticks: float):
+    """[(kind, position, radius)] for every revolving body in a system
+    at time t — planets and their moons (uplanet::do_update chain,
+    Universe.cpp:1711-1720)."""
+    out = []
+    for p in sy.planets:
+        pp = planet_position(sy, p, time_ticks)
+        out.append(("planet", pp, p.radius))
+        for m in p.moons:
+            out.append(("moon", moon_position(sy, p, m, time_ticks),
+                        m.radius))
+    return out

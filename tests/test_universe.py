@@ -333,3 +333,45 @@ def test_fleet_hazard_avoidance():
     f3 = f._replace(px=jnp.asarray([9.8, 5.0, 0.05]))
     f4 = US.avoid_hazards(f3, stars, srad, bhole)
     assert float(f4.vx[0]) < 0.0      # away from the hole at x=10
+
+
+def test_orbital_motion():
+    """urev_body::do_update semantics: planets revolve about their star
+    with Kepler-scaled rates ((a/R)^-1.5 — inner planets faster), moons
+    revolve about their planets, radii stay constant, and the motion is
+    a deterministic function of time."""
+    cell = UG.gen_cell((0, 0, 0))
+    sy = next(s for g in cell.galaxies for s in g.systems
+              if len(s.planets) >= 2)
+    p0 = min(sy.planets, key=lambda p: p.orbit_r)
+    p1 = max(sy.planets, key=lambda p: p.orbit_r)
+    import numpy as np
+
+    def ang(p, t):
+        x, y, _ = UG.planet_position(sy, p, t)
+        return np.arctan2(y - sy.pos[1], x - sy.pos[0])
+
+    # radius constant over time
+    for t in (0.0, 500.0, 5000.0):
+        x, y, _ = UG.planet_position(sy, p0, t)
+        r = np.hypot(x - sy.pos[0], y - sy.pos[1])
+        assert abs(r - p0.orbit_r) < 1e-6 * max(p0.orbit_r, 1.0)
+    # inner planet sweeps MORE angle than the outer one
+    dt = 2000.0
+    d0 = abs(np.unwrap([ang(p0, 0.0), ang(p0, dt)])[1] - ang(p0, 0.0))
+    d1 = abs(np.unwrap([ang(p1, 0.0), ang(p1, dt)])[1] - ang(p1, 0.0))
+    assert UG.rev_rate(p0.orbit_r, sy.star.radius) > \
+        UG.rev_rate(p1.orbit_r, sy.star.radius)
+    # determinism
+    assert UG.planet_position(sy, p0, 123.0) == \
+        UG.planet_position(sy, p0, 123.0)
+    # moons orbit their planet
+    pm = next((p for p in sy.planets if p.moons), None)
+    if pm is not None:
+        m = pm.moons[0]
+        px = UG.planet_position(sy, pm, 777.0)
+        mx = UG.moon_position(sy, pm, m, 777.0)
+        d = np.sqrt(sum((a - b) ** 2 for a, b in zip(px, mx)))
+        assert abs(d - m.orbit_r) < 1e-6 * max(m.orbit_r, 1.0)
+    bodies = UG.system_body_positions(sy, 10.0)
+    assert len(bodies) >= len(sy.planets)
