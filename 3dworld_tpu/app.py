@@ -78,18 +78,32 @@ def run_tiled(frames: int, seed: int):
     # full live city over a flat region (gen_cities + traffic init)
     cw = CA.build_city(np.zeros((128, 128), np.float32), num_cities=1,
                        num_cars=64, num_peds=128, seed=seed)
+    # building AI in the same frame loop (the reference's city frame
+    # covers cars+peds+building people): one furnished tower with
+    # people riding its stairs/elevators
+    from .city import floorplan as CF
+    from .city import people as CPE
+    from .city import room_content as CRC
+    interior = CF.gen_interior((0.0, 0.0, 0.0, 1.2, 0.9, 0.4), 3, 0.08,
+                               seed=seed)
+    objs = CRC.furnish_rooms(interior, 0.08, seed=seed)
+    bsim = CPE.BuildingPeopleSim(interior, 48, seed=seed, room_objs=objs)
     w = TiledWorld(tile_mgr=tm, road_graph=cw.graph, cars=cw.cars,
                    peds=cw.peds, stoplights=cw.stoplights,
-                   ped_nav=cw.ped_nav)
+                   ped_nav=cw.ped_nav, building_people=[bsim])
     cam = 0.0
     for i in range(frames):
         t0 = time.perf_counter()
         created, deleted = w.step(cam, 0.0)
         cam += 0.8
+        bp = w.building_people[0].people if w.building_people else None
+        acts = (np.bincount(np.asarray(bp.activity), minlength=5).tolist()
+                if bp is not None else [])
         print(json.dumps({"frame": i, "mode": "tiled",
                           "tiles": len(tm.tiles),
                           "cars": int(w.cars.seg.shape[0]),
                           "peds": int(w.peds.x.shape[0]),
+                          "bldg_people_acts": acts,
                           "created": len(created), "deleted": len(deleted),
                           "ms": round((time.perf_counter() - t0) * 1e3, 1)}))
     return w
@@ -116,6 +130,13 @@ def run_universe(frames: int, seed: int):
 
 
 def main(argv=None):
+    # the axon sitecustomize pins JAX_PLATFORMS; honor an explicit
+    # override for headless/CPU runs (W3D_PLATFORM=cpu)
+    import os
+    plat = os.environ.get("W3D_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--config", default="scene_config/config_spheres.txt",
                     help="scene config (ground mode)")

@@ -127,13 +127,16 @@ class TiledWorld:
     peds: object = None
     stoplights: object = None
     ped_nav: object = None
+    building_people: list = field(default_factory=list)  # BuildingPeopleSim
     frame: int = 0
     key: object = field(default_factory=lambda: jax.random.key(0))
 
     def step(self, cam_x: float, cam_y: float):
         """display_inf_terrain: tile streaming + stoplight/car/ped
-        updates (the 3-thread OMP split becomes sequential jitted
-        dispatches; next_city_frame, city_gen.cpp:3801)."""
+        updates + building AI (the reference's 3-thread city frame
+        covers cars, peds AND building people together,
+        display_world.cpp:1295-1309; the OMP split becomes sequential
+        jitted dispatches; next_city_frame, city_gen.cpp:3801)."""
         from ..city import traffic as CT
 
         created, deleted = self.tile_mgr.update(cam_x, cam_y)
@@ -148,6 +151,8 @@ class TiledWorld:
                                      jax.random.fold_in(self.key, 1 << 20 | self.frame),
                                      nav=self.ped_nav,
                                      stoplights=self.stoplights)
+        for sim in self.building_people:
+            sim.step()       # walkers + elevator cars + re-routing
         self.frame += 1
         return created, deleted
 
