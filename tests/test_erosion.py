@@ -49,7 +49,9 @@ def test_erode_matches_oracle_statistically():
     assert abs(dout.std() - dref.std()) < 0.2 * dref.std() + 1e-6
     m = (np.abs(dref) > 1e-6) | (np.abs(dout) > 1e-6)
     c = np.corrcoef(dref[m], dout[m])[0, 1]
-    assert c > 0.8, f"erosion delta correlation too low: {c}"
+    # gate tightened after the live in-batch map reads (round 3): the
+    # batched kernel now tracks the C++-pinned oracle at ~0.93
+    assert c > 0.9, f"erosion delta correlation too low: {c}"
 
 
 def test_erode_small_batches_converge_to_oracle():
@@ -62,7 +64,8 @@ def test_erode_small_batches_converge_to_oracle():
         out = np.asarray(E.erode(jnp.asarray(hm), 100, PARAMS, batch_size=bs, max_steps=128))
         m = np.abs(ref - hm) > 1e-6
         outs[bs] = np.corrcoef(dref[m], (out - hm)[m])[0, 1]
-    assert outs[10] > 0.75
+    # tightened round 3 (live in-batch reads): bs=10 tracks at ~0.98
+    assert outs[10] > 0.95
 
 
 def test_erode_only_lowers_or_deposits_in_bounds():
@@ -179,9 +182,10 @@ def test_shipped_config_heightmap_erosion_fidelity():
         return sliding_window_view(ap, (k, k)).mean((2, 3))
 
     corr = np.corrcoef(smooth(d_ref).ravel(), smooth(d_got).ravel())[0, 1]
-    assert corr > 0.75, corr
+    # tightened round 3 (live in-batch reads): measured ~0.93 / 1.03
+    assert corr > 0.9, corr
     ratio = np.abs(d_got).sum() / np.abs(d_ref).sum()
-    assert 0.4 < ratio < 3.0, ratio
+    assert 0.7 < ratio < 1.4, ratio
     assert np.sign(d_got.mean()) == np.sign(d_ref.mean())
 
 
