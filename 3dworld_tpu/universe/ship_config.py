@@ -598,3 +598,20 @@ def ship_part_geometry(d: ShipDefs, max_parts: int = 8):
 
 def shipped_defs_path(name: str = "ship_defs.txt") -> str:
     return os.path.join("/root/reference/universe", name)
+
+
+def primary_fire_points(d: ShipDefs) -> np.ndarray:
+    """[NUM_US_CLASS, 3] firing-point offset of each class's primary
+    weapon (first $WEAP_PT of the highest-damage loadout entry), in
+    class-radius units, body frame (+x = facing).  Classes without
+    explicit points fire from the hull center (zeros)."""
+    out = np.zeros((NUM_US_CLASS, 3), np.float32)
+    for sid, c in d.sclasses.items():
+        best = primary_weapon(d, c)
+        if best is None:
+            continue
+        for (wid, _num, _ammo, pts) in c.weapons:
+            if wid == best.wclass and pts:
+                out[sid] = pts[0]
+                break
+    return out

@@ -141,7 +141,8 @@ def ship_parts(f: FleetState, tbl=None, part_offsets=None,
 @functools.partial(jax.jit, static_argnames=("abomin_id", "reaper_id"))
 def step_fleet(f: FleetState, key, tbl=None,
                abomin_id: int = CLS_ABOMINATION,
-               reaper_id: int = CLS_REAPER) -> FleetState:
+               reaper_id: int = CLS_REAPER,
+               fire_pts=None) -> FleetState:
     """One combat frame: target -> thrust -> move -> fire -> damage.
     `tbl` defaults to the built-in 7-class table; pass
     ship_config.ship_class_table(defs) for the full 40-class reference
@@ -215,8 +216,25 @@ def step_fleet(f: FleetState, key, tbl=None,
                   0.0, 1.0)
     eye_ok = ~is_abomin | (sv > 0.1)
 
-    # fire: in range + cooldown ready; damage applies shields-then-armor
-    in_range = has_tgt & ~fleeing & (d < w_range) & (f.cooldown <= 0) \
+    # fire: in range + cooldown ready; damage applies shields-then-armor.
+    # With per-class firing points ($WEAP_PT, parsed by ship_config),
+    # range is measured from the TRANSFORMED muzzle point (body-frame
+    # offset scaled by class radius, rotated to the facing dir) instead
+    # of the hull center — weapons mounted forward out-range rear mounts.
+    if fire_pts is not None:
+        fp = jnp.einsum("nc,cj->nj", oh, jnp.asarray(fire_pts))
+        rad_c = oh @ tbl[:, 7]
+        # body +x maps to the facing dir; lateral offsets stay small and
+        # are dropped (no roll state) — forward offset is what matters
+        fwd = fp[:, 0] * rad_c
+        mx_ = f.px + fwd * ndx
+        my_ = f.py + fwd * ndy
+        mz_ = f.pz + fwd * ndz
+        d_fire = jnp.sqrt((tx - mx_) ** 2 + (ty - my_) ** 2
+                          + (tz - mz_) ** 2) + 1e-9
+    else:
+        d_fire = d
+    in_range = has_tgt & ~fleeing & (d_fire < w_range) & (f.cooldown <= 0) \
         & f.alive & eye_ok
     dmg_dealt = jnp.where(in_range, w_dam, 0.0)
     # reaper shield lobe blocks most damage arriving from its aim

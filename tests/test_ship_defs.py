@@ -140,3 +140,36 @@ def test_fleet_ai_behaviors():
     # AI_RETREAT with low shields moves AWAY from its enemy (ship 2 at
     # the same y): velocity x-component points away from x=0.0
     assert float(f2.vx[3]) > 0
+
+
+def test_weapon_firing_points():
+    """$WEAP_PT firing points: the parsed muzzle offsets feed combat —
+    a forward-mounted weapon fires at a range where a center-mounted
+    one cannot reach."""
+    d = SC.parse_ship_defs(os.path.join(REF_DIR, "ship_defs_base.txt"))
+    fp = SC.primary_fire_points(d)
+    assert fp.shape == (SC.NUM_US_CLASS, 3)
+    assert (np.abs(fp).sum(1) > 0).any()     # some class has real points
+
+    tbl = SC.ship_class_table(d).copy()
+    cid = 0                                   # USC_FIGHTER
+    tbl[cid, 7] = 0.5                         # exaggerate radius
+    fp2 = np.zeros_like(fp)
+    fp2[cid] = (1.0, 0.0, 0.0)                # muzzle one radius forward
+    rng_ = tbl[cid, 4]
+    n = 2
+    f = USH.make_fleet(jax.random.key(0), n, classes=[cid, cid],
+                       tbl=tbl)
+    gap = rng_ + 0.3                          # beyond center-range
+    f = f._replace(px=jnp.asarray([0.0, gap]), py=jnp.zeros(n),
+                   pz=jnp.zeros(n), vx=jnp.zeros(n), vy=jnp.zeros(n),
+                   vz=jnp.zeros(n), align=jnp.asarray([0, 1]),
+                   dx=jnp.asarray([1.0, -1.0]), dy=jnp.zeros(n),
+                   dz=jnp.zeros(n), cooldown=jnp.zeros(n))
+    # center fire: out of range -> no damage
+    a = USH.step_fleet(f, jax.random.key(1), tbl=jnp.asarray(tbl))
+    assert float(jnp.sum(f.shields - a.shields)) == 0.0
+    # muzzle 0.5 forward: in range -> damage lands
+    b = USH.step_fleet(f, jax.random.key(1), tbl=jnp.asarray(tbl),
+                       fire_pts=jnp.asarray(fp2))
+    assert float(jnp.sum(f.shields - b.shields)) > 0.0
