@@ -109,13 +109,56 @@ def run_tiled(frames: int, seed: int):
     return w
 
 
-def run_universe(frames: int, seed: int):
+def run_universe(frames: int, seed: int,
+                 ship_defs: str = "/root/reference/universe/ship_defs.txt"):
+    import os
     import jax
     from .models.world import UniverseWorld
     from .universe.gen import UniverseState
+    from .universe import ships as USH
     from .universe.ships import make_fleet
-    w = UniverseWorld(state=UniverseState(),
-                      fleet=make_fleet(jax.random.key(seed), 64))
+
+    fleet = None
+    tbl = None
+    # honor config_universe.txt's ship_def_file when present
+    # (3DWorld.cpp binds "ship_def_file"; the shipped config points at
+    # universe/ship_defs_fight.txt)
+    ucfg = os.path.join(os.path.dirname(ship_defs), "config_universe.txt")
+    if os.path.exists(ucfg):
+        from .utils import config as C
+        try:
+            cfg = C.load_config(ucfg)
+            if cfg.ship_def_file:
+                cand = cfg.ship_def_file
+                if not os.path.exists(cand):
+                    cand = os.path.join(os.path.dirname(
+                        os.path.dirname(ship_defs)), cfg.ship_def_file)
+                if os.path.exists(cand):
+                    ship_defs = cand
+        except Exception:
+            pass
+    if os.path.exists(ship_defs):
+        # the reference config drive: ship classes/weapons/fleets from
+        # the shipped ship_def_file (ship_config.cpp)
+        from .universe import ship_config as SCfg
+        try:
+            defs = SCfg.parse_ship_defs(ship_defs)
+            fleet, tbl, _offs, _np = USH.fleet_from_defs(
+                defs, jax.random.key(seed))
+        except Exception as e:
+            print(json.dumps({"warn": f"ship defs gave no fleet: {e}"}))
+    if fleet is None:
+        # fleets live in the assault/teams variants; default combat sim
+        alt = os.path.join(os.path.dirname(ship_defs),
+                           "ship_defs_assault.txt")
+        if os.path.exists(alt):
+            from .universe import ship_config as SCfg
+            defs = SCfg.parse_ship_defs(alt)
+            fleet, tbl, _offs, _np = USH.fleet_from_defs(
+                defs, jax.random.key(seed))
+        else:
+            fleet = make_fleet(jax.random.key(seed), 64)
+    w = UniverseWorld(state=UniverseState(), fleet=fleet, fleet_tbl=tbl)
     pos = [0.0, 0.0, 0.0]
     for i in range(frames):
         t0 = time.perf_counter()

@@ -168,6 +168,7 @@ class UniverseWorld:
 
     state: object
     fleet: object = None
+    fleet_tbl: object = None      # 40-class table from parsed ship defs
     player_ship: object = None
     frame: int = 0
     key: object = field(default_factory=lambda: jax.random.key(1))
@@ -188,7 +189,14 @@ class UniverseWorld:
                           float(self.player_ship.pz))
         created, freed = self.state.update(player_pos)
         if self.fleet is not None:
-            self.fleet = USH.step_fleet(self.fleet,
-                                        jax.random.fold_in(self.key, self.frame))
+            if self.fleet_tbl is not None:
+                self.fleet = USH.step_fleet(
+                    self.fleet, jax.random.fold_in(self.key, self.frame),
+                    tbl=jnp.asarray(self.fleet_tbl),
+                    abomin_id=USH.USC_ABOMIN_ID,
+                    reaper_id=USH.USC_REAPER_ID)
+            else:
+                self.fleet = USH.step_fleet(
+                    self.fleet, jax.random.fold_in(self.key, self.frame))
         self.frame += 1
         return created, freed

@@ -557,6 +557,22 @@ def fleet_from_defs(defs, key, fleets=None):
         pos_list.extend([center] * total)
         spread_list.extend([fl.rgen_dist] * total)
     if not cls_list:
+        # $SHIP_ADD_INIT + $ALIGN rows (ship_config.cpp:525-560): spawn
+        # `num` instances of each alignment's counts distribution near
+        # the start position (the fight/colonize configs populate this
+        # way instead of $FLEET)
+        spawn_d = float(defs.globals.get("spawn_dist", 0.5)) or 0.5
+        for (mode, enabled, _dmax, a, num, counts) in defs.rand_spawns:
+            if mode != "$SHIP_ADD_INIT" or not enabled:
+                continue
+            for _rep in range(max(num, 1)):
+                for cid, cnt in enumerate(counts):
+                    cls_list.extend([cid] * cnt)
+                    align_list.extend([a] * cnt)
+                    ai_list.extend([3] * cnt)      # AI_ATT_ENEMY
+                    pos_list.extend([start] * cnt)
+                    spread_list.extend([4.0 * spawn_d] * cnt)
+    if not cls_list:
         raise ValueError("no fleets with ships in defs")
     n = len(cls_list)
     cls = jnp.asarray(cls_list, jnp.int32)

@@ -173,3 +173,20 @@ def test_weapon_firing_points():
     b = USH.step_fleet(f, jax.random.key(1), tbl=jnp.asarray(tbl),
                        fire_pts=jnp.asarray(fp2))
     assert float(jnp.sum(f.shields - b.shields)) > 0.0
+
+
+def test_ship_add_init_spawns():
+    """$SHIP_ADD_INIT + $ALIGN rows (the fight/colonize population path,
+    ship_config.cpp:525-560) build a fleet when no $FLEET is active —
+    the shipped config_universe.txt points at ship_defs_fight.txt which
+    populates this way (1500+ ships across alignments)."""
+    d = SC.parse_ship_defs(os.path.join(REF_DIR, "ship_defs_fight.txt"))
+    assert len(d.fleets) == 0 and len(d.rand_spawns) >= 8
+    st, tbl, _o, _n = USH.fleet_from_defs(d, jax.random.key(0))
+    assert st.px.shape[0] >= 1000
+    aligns = set(map(int, st.align))
+    assert len(aligns) >= 4
+    s = USH.step_fleet(st, jax.random.key(1), tbl=jnp.asarray(tbl),
+                       abomin_id=USH.USC_ABOMIN_ID,
+                       reaper_id=USH.USC_REAPER_ID)
+    assert bool(jnp.isfinite(s.px).all())
