@@ -110,12 +110,13 @@ def bench_physics(jax):
     return 1.0 / dt
 
 
-def _preflight(attempts: int = 3, per_wait: int = 300) -> bool:
+def _preflight(attempts: int = 6, per_wait: int = 300) -> bool:
     """The axon relay can wedge remotely (observed: a killed mid-compile
     client left the pool claim stuck for hours).  Probe with a tiny
     dispatch in a subprocess (the hang is unkillable in-process) and
     retry before running the real benchmark."""
     import subprocess
+    attempts = int(os.environ.get("BENCH_PREFLIGHT_ATTEMPTS", attempts))
     probe = ("import jax, jax.numpy as jnp;"
              "print(float((jnp.ones((8,8))*2).sum()))")
     for k in range(attempts):
