@@ -103,6 +103,10 @@ _PROPS.update({
     RC.F_CEIL_LIGHT:    (40.0, 10.0, False, False, 0.0),
     RC.F_LAVALAMP:      (60.0, 6.0, True, False, 0.0),
     RC.F_FLOOR_CLOTHES: (10.0, 1.0, True, False, 0.0),
+    RC.F_PILLAR:        (0.0, 0.0, False, False, 0.0),
+    RC.F_RAMP:          (0.0, 0.0, False, False, 0.0),
+    RC.F_OLD_CHAIR:     (20.0, 20.0, True, False, 0.0),
+    RC.F_CHEST:         (150.0, 60.0, False, False, 0.0),
 })
 MAX_CARRY_WEIGHT = 200.0  # lbs, reference player_inventory weight limit
 

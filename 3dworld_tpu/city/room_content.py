@@ -40,8 +40,8 @@ from ..utils.rng import RandGen
 # building_room_obj_expand.cpp hanger/box expansion; TYPE_LIGHT,
 # TYPE_LAVALAMP, floor clothes TYPE_TEESHIRT/TYPE_PANTS)
 (F_CLOSET, F_HANGER, F_CLOTHES, F_BOX, F_CEIL_LIGHT, F_LAVALAMP,
- F_FLOOR_CLOTHES) = range(51, 58)
-NUM_FURNITURE_KINDS = 58
+ F_FLOOR_CLOTHES, F_PILLAR, F_RAMP, F_OLD_CHAIR, F_CHEST) = range(51, 62)
+NUM_FURNITURE_KINDS = 62
 
 # per-room-type furniture recipes: (kind, count, against_wall, w, d, h)
 _RECIPES = {
@@ -522,6 +522,67 @@ def _gen_dining(out, pl, rg, ri, room, z0, fh, scale):
     _wall_picture(out, rg, ri, room, z0, fh)
 
 
+def _gen_attic(out, pl, rg, ri, room, z0, fh, scale):
+    """Attic contents (add_attic_objects): scattered storage boxes
+    (sometimes stacked), an old chair or wardrobe, a chest, dust-lamp —
+    clutter pushed toward the center where the roof has headroom."""
+    cx = 0.5 * (room.x1 + room.x2)
+    cy = 0.5 * (room.y1 + room.y2)
+    nb = 2 + rg.rand() % 5
+    for _ in range(nb):
+        bx = cx + (rg.randd() - 0.5) * 0.5 * (room.x2 - room.x1)
+        by = cy + (rg.randd() - 0.5) * 0.5 * (room.y2 - room.y1)
+        bw = (0.05 + 0.04 * rg.randd()) * scale
+        bi = out.add(ri, F_BOX, bx, by, z0, bx + bw, by + bw,
+                     z0 + 0.6 * bw)
+        if rg.rand() % 3 == 0:      # stacked box
+            out.add(ri, F_BOX, bx + 0.1 * bw, by + 0.1 * bw, z0 + 0.6 * bw,
+                    bx + 0.9 * bw, by + 0.9 * bw, z0 + 1.1 * bw, parent=bi)
+    for kind, w, h, p_ in ((F_OLD_CHAIR, 0.1, 0.14, 2),
+                           (F_CHEST, 0.16, 0.1, 2),
+                           (F_WARDROBE, 0.18, 0.3, 3)):
+        if rg.rand() % p_ == 0:
+            x = cx + (rg.randd() - 0.5) * 0.4 * (room.x2 - room.x1)
+            y = cy + (rg.randd() - 0.5) * 0.4 * (room.y2 - room.y1)
+            out.add(ri, kind, x, y, z0, x + w * scale, y + 0.8 * w * scale,
+                    z0 + h * scale)
+    out.add(ri, F_LAMP, cx, cy, z0 + 0.85 * fh, cx + 0.04 * scale,
+            cy + 0.04 * scale, z0 + 0.95 * fh)
+
+
+def _gen_parking(out, pl, rg, ri, room, z0, fh, scale):
+    """Parking garage structure (building_room_obj_place parking-garage
+    path): support PILLAR grid on ~3fh spacing, parking-space rows
+    along the long axis, an entry ramp at one end."""
+    rw = room.x2 - room.x1
+    rh = room.y2 - room.y1
+    sp = 3.0 * fh
+    nx_ = max(int(rw / sp), 2)      # >= one interior pillar row each way
+    ny_ = max(int(rh / sp), 2)
+    pw = 0.06 * scale
+    for ix in range(1, nx_):
+        for iy in range(1, ny_):
+            px_ = room.x1 + ix * rw / nx_
+            py_ = room.y1 + iy * rh / ny_
+            out.add(ri, F_PILLAR, px_ - pw / 2, py_ - pw / 2, z0,
+                    px_ + pw / 2, py_ + pw / 2, z0 + fh)
+    # parking spaces along the long axis walls
+    long_x = rw >= rh
+    ns = max(int((rw if long_x else rh) / (0.14 * scale)), 1)
+    for k in range(ns):
+        if long_x:
+            sx = room.x1 + k * rw / ns
+            out.add(ri, F_PARK_SPACE, sx, room.y1, z0, sx + 0.12 * scale,
+                    room.y1 + 0.2 * scale, z0 + 0.002)
+        else:
+            sy = room.y1 + k * rh / ns
+            out.add(ri, F_PARK_SPACE, room.x1, sy, z0, room.x1 + 0.2 * scale,
+                    sy + 0.12 * scale, z0 + 0.002)
+    # ramp at the +x end
+    out.add(ri, F_RAMP, room.x2 - 0.3 * scale, room.y1, z0,
+            room.x2, room.y1 + 0.15 * scale, z0 + 0.5 * fh)
+
+
 _COMPOSITE_GENS = {}
 
 
@@ -530,6 +591,7 @@ def _init_gens():
         R_BEDROOM: _gen_bedroom, R_BATHROOM: _gen_bathroom,
         R_KITCHEN: _gen_kitchen, R_LIVING: _gen_living,
         R_OFFICE: _gen_office, R_DINING: _gen_dining,
+        R_PARKING: _gen_parking,
     })
 
 
@@ -563,6 +625,9 @@ def furnish_rooms(interior, floor_height: float, seed: int,
                   if room.x1 - 1e-6 <= dx <= room.x2 + 1e-6
                   and room.y1 - 1e-6 <= dy <= room.y2 + 1e-6]
         pl = _Placer(rg, room, rdoors, door_clear)
+        if room.floor >= interior.num_floors:     # attic level
+            _gen_attic(out, pl, rg, ri, room, z0, fh, scale)
+            continue
         # every room gets a ceiling light (the reference's per-room
         # TYPE_LIGHT placement)
         lcx = 0.5 * (room.x1 + room.x2)

@@ -1132,3 +1132,34 @@ def test_basement_flood_floats_objects_and_fills_rooms():
     assert abs(z2 - bw.water_z) < 1e-9 and z1 == bz1
     # wading & oxygen behaviors still hold
     assert bw.wade_factor(bz1, 0.08) < 1.0
+
+
+def test_attic_and_parking_content():
+    """Attic clutter (add_attic_objects: boxes incl. stacked, old
+    furniture, lamp) and parking-garage structure (pillar grid, parking
+    space rows, ramp)."""
+    from w3d.city import floorplan as CF
+    from w3d.city import room_content as RC
+
+    i = CF.gen_interior((0.0, 0.0, 0.0, 1.0, 0.8, 0.3), 2, 0.08, seed=3,
+                        has_attic=True)
+    attic = [ri for ri, r in enumerate(i.rooms) if r.floor >= i.num_floors]
+    assert attic
+    objs = RC.furnish_rooms(i, 0.08, seed=5)
+    kinds = {k for k, r in zip(objs.kinds, objs.rooms) if r in set(attic)}
+    assert RC.F_BOX in kinds and RC.F_LAMP in kinds
+
+    # force a big room to parking and furnish it
+    i2 = CF.gen_interior((0.0, 0.0, 0.0, 1.2, 0.9, 0.2), 1, 0.08, seed=3)
+    objs2 = RC.furnish_rooms(i2, 0.08, seed=5)
+    objs2.room_types = [RC.R_PARKING] * len(i2.rooms)
+    objs3 = RC.RoomObjects()
+    objs3.room_types = objs2.room_types
+    rg = RC.RandGen(1, 2)
+    big = max(range(len(i2.rooms)), key=lambda ri: i2.rooms[ri].area)
+    room = i2.rooms[big]
+    pl = RC._Placer(rg, room, [], 0.04)
+    RC._gen_parking(objs3, pl, rg, big, room, 0.0, 0.08, 0.4)
+    ks = set(objs3.kinds)
+    assert {RC.F_PILLAR, RC.F_PARK_SPACE, RC.F_RAMP} <= ks
+    assert objs3.kinds.count(RC.F_PARK_SPACE) >= 3
