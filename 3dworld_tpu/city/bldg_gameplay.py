@@ -107,6 +107,8 @@ _PROPS.update({
     RC.F_RAMP:          (0.0, 0.0, False, False, 0.0),
     RC.F_OLD_CHAIR:     (20.0, 20.0, True, False, 0.0),
     RC.F_CHEST:         (150.0, 60.0, False, False, 0.0),
+    RC.F_PIPE:          (0.0, 0.0, False, False, 0.0),
+    RC.F_DUCT:          (0.0, 0.0, False, False, 0.0),
 })
 MAX_CARRY_WEIGHT = 200.0  # lbs, reference player_inventory weight limit
 

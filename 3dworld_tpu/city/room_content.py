@@ -40,8 +40,9 @@ from ..utils.rng import RandGen
 # building_room_obj_expand.cpp hanger/box expansion; TYPE_LIGHT,
 # TYPE_LAVALAMP, floor clothes TYPE_TEESHIRT/TYPE_PANTS)
 (F_CLOSET, F_HANGER, F_CLOTHES, F_BOX, F_CEIL_LIGHT, F_LAVALAMP,
- F_FLOOR_CLOTHES, F_PILLAR, F_RAMP, F_OLD_CHAIR, F_CHEST) = range(51, 62)
-NUM_FURNITURE_KINDS = 62
+ F_FLOOR_CLOTHES, F_PILLAR, F_RAMP, F_OLD_CHAIR, F_CHEST,
+ F_PIPE, F_DUCT) = range(51, 64)
+NUM_FURNITURE_KINDS = 64
 
 # per-room-type furniture recipes: (kind, count, against_wall, w, d, h)
 _RECIPES = {
@@ -244,6 +245,13 @@ def _surface_items(out, pl, rg, ri, kind, idx, x, y, z_top, w, d, scale):
                    y + (0.1 + 0.7 * rg.randd()) * d)
     elif kind == F_STOVE:
         on_top(F_PAN, 0.05, 0.05, 0.02, x + 0.25 * w, y + 0.25 * d)
+    elif kind == F_RACK:
+        # retail/storage rack contents (building_room_obj_expand)
+        n = 2 + rg.rand() % 4
+        for i in range(n):
+            k = (F_BOX, F_BOTTLE, F_PLATE)[rg.rand() % 3]
+            on_top(k, 0.04, 0.04, 0.04 if k == F_BOX else 0.02,
+                   x + (0.05 + 0.8 * i / n) * w, y + 0.25 * d)
     elif kind == F_NIGHTSTAND:
         on_top(F_LAVALAMP if rg.rand() % 4 == 0 else F_LAMP,
                0.04, 0.04, 0.08, x + 0.2 * w, y + 0.2 * d)
@@ -550,6 +558,38 @@ def _gen_attic(out, pl, rg, ri, room, z0, fh, scale):
             cy + 0.04 * scale, z0 + 0.95 * fh)
 
 
+def _ceiling_pipes(out, rg, ri, room, z0, fh, scale):
+    """Exposed ceiling pipe + duct runs (the reference's factory /
+    datacenter / basement pipe networks, building_room_geom machine +
+    pipe detail): 2-4 parallel pipes along the long axis plus one duct."""
+    rw = room.x2 - room.x1
+    rh = room.y2 - room.y1
+    long_x = rw >= rh
+    n = 2 + rg.rand() % 3
+    pr = 0.012 * scale
+    for k in range(n):
+        off = (0.2 + 0.6 * k / max(n - 1, 1))
+        zc = z0 + (0.88 + 0.04 * (k % 2)) * fh
+        if long_x:
+            y = room.y1 + off * rh
+            out.add(ri, F_PIPE, room.x1, y - pr, zc - pr,
+                    room.x2, y + pr, zc + pr)
+        else:
+            x = room.x1 + off * rw
+            out.add(ri, F_PIPE, x - pr, room.y1, zc - pr,
+                    x + pr, room.y2, zc + pr)
+    dr = 0.03 * scale
+    zc = z0 + 0.8 * fh
+    if long_x:
+        y = room.y1 + 0.5 * rh
+        out.add(ri, F_DUCT, room.x1, y - dr, zc - dr, room.x2, y + dr,
+                zc + dr)
+    else:
+        x = room.x1 + 0.5 * rw
+        out.add(ri, F_DUCT, x - dr, room.y1, zc - dr, x + dr, room.y2,
+                zc + dr)
+
+
 def _gen_parking(out, pl, rg, ri, room, z0, fh, scale):
     """Parking garage structure (building_room_obj_place parking-garage
     path): support PILLAR grid on ~3fh spacing, parking-space rows
@@ -636,6 +676,8 @@ def furnish_rooms(interior, floor_height: float, seed: int,
                 z0 + 0.97 * fh, lcx + 0.05 * scale, lcy + 0.05 * scale,
                 z0 + fh)
         gen = _COMPOSITE_GENS.get(rtype)
+        if rtype in (R_FACTORY, R_DATACENTER, R_UTILITY, R_SERVER):
+            _ceiling_pipes(out, rg, ri, room, z0, fh, scale)
         if gen is not None:
             gen(out, pl, rg, ri, room, z0, fh, scale)
             continue

@@ -733,7 +733,8 @@ def test_room_content_composite_generators():
             if objs.kinds[k] in (RC.F_RUG, RC.F_PICTURE, RC.F_MIRROR,
                                  RC.F_CABINET, RC.F_TOWEL_RACK,
                                  RC.F_CUBICLE, RC.F_CEIL_LIGHT,
-                                 RC.F_FLOOR_CLOTHES):
+                                 RC.F_FLOOR_CLOTHES, RC.F_PIPE,
+                                 RC.F_DUCT):
                 continue   # flat/wall/ceiling/scattered don't block
             room = i.rooms[objs.rooms[k]]
             if room.floor != fl:
@@ -1163,3 +1164,23 @@ def test_attic_and_parking_content():
     ks = set(objs3.kinds)
     assert {RC.F_PILLAR, RC.F_PARK_SPACE, RC.F_RAMP} <= ks
     assert objs3.kinds.count(RC.F_PARK_SPACE) >= 3
+
+
+def test_pipes_and_rack_contents():
+    """Factory/utility/server rooms carry exposed ceiling pipe + duct
+    runs; retail racks hold expanded contents."""
+    from w3d.city import floorplan as CF
+    from w3d.city import room_content as RC
+    i = CF.gen_interior((0.0, 0.0, 0.0, 1.2, 0.9, 0.4), 2, 0.08, seed=5)
+    objs = RC.furnish_rooms(i, 0.08, seed=2, is_office_bldg=True)
+    ks = set(objs.kinds)
+    has_industrial = any(t in (RC.R_FACTORY, RC.R_DATACENTER,
+                               RC.R_UTILITY, RC.R_SERVER)
+                         for t in objs.room_types)
+    if has_industrial:
+        assert RC.F_PIPE in ks and RC.F_DUCT in ks
+    # rack contents parented to their rack
+    racks = [j for j, k in enumerate(objs.kinds) if k == RC.F_RACK]
+    if racks:
+        kids = [j for j, p in enumerate(objs.parent) if p in racks]
+        assert kids
