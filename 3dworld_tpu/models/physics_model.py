@@ -85,13 +85,16 @@ def build_spheres_world(
     return SpheresWorld(state=st, env=env, cobjs=cobjs, table=table)
 
 
-@functools.partial(jax.jit, static_argnames=("substeps", "world", "obj_collisions"))
+@functools.partial(jax.jit, static_argnames=("substeps", "world",
+                                             "obj_collisions", "pair_every"))
 def frame_step(w: SpheresWorld, substeps: int = 4,
                world: WorldConst = DEFAULT_WORLD,
-               obj_collisions: bool = True) -> SpheresWorld:
+               obj_collisions: bool = True,
+               pair_every: int = 1) -> SpheresWorld:
     st = PS.step_objects(w.state, w.env, w.cobjs, w.table,
                          substeps=substeps, world=world,
-                         obj_collisions=obj_collisions)
+                         obj_collisions=obj_collisions,
+                         pair_every=pair_every)
     return w._replace(state=st)
 
 

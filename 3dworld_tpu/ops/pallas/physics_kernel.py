@@ -194,7 +194,10 @@ def _substep_kernel(env_ref, maps_ref, cf_ref,
     # surface skip / ricochet (Physics.cpp:1154-1163), mirrors _substep:
     # fast shallow-angle surface hits bounce off the water surface
     v_mag = jnp.sqrt(jnp.maximum(v_sq, 1e-12))
-    coll_angle = jnp.arccos(jnp.clip(-vz / v_mag, -1.0, 1.0))
+    # acos doesn't lower in Mosaic; compare in cos domain instead:
+    # arccos(x) >= thresh  <=>  x <= cos(thresh) for thresh in [0, pi]
+    # (arccos is decreasing); thresh > pi means always-false
+    cos_v = jnp.clip(-vz / v_mag, -1.0, 1.0)
     zpos_w = jnp.maximum(wpz + rad * (1.0 - 2.0 * dens), mh + rad)
     surf_coll = (pz > wpz - rad - T.MAX_SPLASH_DEPTH) & ~underwater & ~z_stop
     e_w = jnp.clip(jnp.full_like(vz, T.WATER_ELASTIC), 0.0, 1.0)
@@ -203,7 +206,10 @@ def _substep_kernel(env_ref, maps_ref, cf_ref,
     sby = vy * exy_w
     sbz = -vz * e_w
     s_did = (sbx * sbx + sby * sby + sbz * sbz) >= T.BOUNCE_CUTOFF
-    skip = (w_fast & surf_coll & (coll_angle >= T.CRITICAL_ANGLE / den_ratio)
+    thresh = T.CRITICAL_ANGLE / den_ratio
+    angle_ok = (thresh <= jnp.pi) & \
+        (cos_v <= jnp.cos(jnp.minimum(thresh, jnp.pi)))
+    skip = (w_fast & surf_coll & angle_ok
             & ((zpos_w - pz) <= 6.0 * rad) & s_did)
     w_fast = w_fast & ~skip
     vx = jnp.where(skip, sbx, jnp.where(w_fast, vx * damp,

@@ -895,7 +895,8 @@ def _substep(state: ObjectState, env: PhysicsEnv, cobjs: CobjSet | None,
 
 
 @functools.partial(jax.jit, static_argnames=("substeps", "world", "obj_collisions",
-                                             "pair_method", "pair_window"))
+                                             "pair_method", "pair_window",
+                                             "pair_every"))
 def step_objects(
     state: ObjectState,
     env: PhysicsEnv,
@@ -907,22 +908,42 @@ def step_objects(
     obj_collisions: bool = True,
     pair_method: str = "auto",
     pair_window: int = PAIR_WINDOW,
+    pair_every: int = 1,
 ) -> ObjectState:
     """One frame: `substeps` uniform physics substeps with dt=tstep/substeps
     (the reference runs 1-40 substeps by type, build_world.cpp:467-505).
     When pair collisions are on, the state is Morton-sorted once per frame
-    so the banded pair pass sees spatially-local windows."""
+    so the banded pair pass sees spatially-local windows.
+
+    `pair_every`: run the pair pass on every k-th substep (starting with
+    the first, right after the sort when the window-slack guarantee is
+    freshest).  The REFERENCE resolves object-object contacts at frame
+    granularity — each large object re-registers as a dynamic sphere
+    cobj once per frame with a defer-if-unmoved optimization
+    (build_world.cpp:397-404,526-543) — so pair_every=substeps matches
+    its cadence; pair_every=1 is the conservative every-substep default.
+    """
     dt = jnp.asarray(tstep / substeps, jnp.float32)
     if obj_collisions:
         state = spatial_sort(state, world)
     pair_fn = functools.partial(_pair_deltas, window=pair_window, world=world,
                                 method=pair_method)
 
-    def body(s, _):
-        return _substep(s, env, cobjs, table, dt, world, obj_collisions,
-                        pair_fn=pair_fn), None
+    def body(s, k):
+        if pair_every <= 1 or not obj_collisions:
+            run_pairs = obj_collisions
+            s2 = _substep(s, env, cobjs, table, dt, world, run_pairs,
+                          pair_fn=pair_fn)
+        else:
+            s2 = jax.lax.cond(
+                k % pair_every == 0,
+                lambda ss: _substep(ss, env, cobjs, table, dt, world, True,
+                                    pair_fn=pair_fn),
+                lambda ss: _substep(ss, env, cobjs, table, dt, world, False),
+                s)
+        return s2, None
 
-    state, _ = jax.lax.scan(body, state, None, length=substeps)
+    state, _ = jax.lax.scan(body, state, jnp.arange(substeps), length=substeps)
     # frame bookkeeping: age + lifetime kill (advance_object preamble)
     life = _type_params(state.otype, table)[8]
     time = state.time + 1
@@ -936,7 +957,7 @@ def step_objects(
 
 @functools.partial(jax.jit, static_argnames=("substeps", "world",
                                              "obj_collisions", "Nb",
-                                             "interpret"))
+                                             "interpret", "pair_every"))
 def step_objects_fused(
     state: ObjectState,
     env: PhysicsEnv,
@@ -948,6 +969,7 @@ def step_objects_fused(
     obj_collisions: bool = True,
     Nb: int = 512,
     interpret: bool = False,
+    pair_every: int = 1,
 ) -> ObjectState:
     """`step_objects` with the per-substep pipeline (integrate -> mesh ->
     water -> cobjs -> mesh bounce) fused into one Pallas kernel; the Morton
@@ -978,7 +1000,7 @@ def step_objects_fused(
                       jnp.float32(0.0)])
     my, mx = env.mesh_height.shape
 
-    def body(s, _):
+    def body(s, k):
         px, py, pz, vx, vy, vz, status, flags_i = substep_pallas(
             s.px, s.py, s.pz, s.vx, s.vy, s.vz,
             s.status, s.flags.astype(jnp.int32),
@@ -990,24 +1012,37 @@ def step_objects_fused(
         # which evaluates off_mesh before the pair deltas are applied)
         off = outside_mesh(px, py, world)
         if obj_collisions:
-            act = alive & (rad >= T.LARGE_OBJ_RAD)
-            dpx, dpy, dpz, dvx, dvy, dvz = _pair_deltas(
-                px, py, pz, vx, vy, vz, rad, mass, elas, act, world=world)
-            px = px + jnp.where(act, dpx, 0.0)
-            py = py + jnp.where(act, dpy, 0.0)
-            pz = pz + jnp.where(act, dpz, 0.0)
-            vx = vx + jnp.where(act, dvx, 0.0)
-            vy = vy + jnp.where(act, dvy, 0.0)
-            vz = vz + jnp.where(act, dvz, 0.0)
-            woke = act & ((dvx * dvx + dvy * dvy + dvz * dvz) > 1e-10)
-            status = jnp.where(woke & (status == 4), 1, status)
+            def pairs(args):
+                px, py, pz, vx, vy, vz, status = args
+                act = alive & (rad >= T.LARGE_OBJ_RAD)
+                dpx, dpy, dpz, dvx, dvy, dvz = _pair_deltas(
+                    px, py, pz, vx, vy, vz, rad, mass, elas, act,
+                    world=world)
+                px = px + jnp.where(act, dpx, 0.0)
+                py = py + jnp.where(act, dpy, 0.0)
+                pz = pz + jnp.where(act, dpz, 0.0)
+                vx = vx + jnp.where(act, dvx, 0.0)
+                vy = vy + jnp.where(act, dvy, 0.0)
+                vz = vz + jnp.where(act, dvz, 0.0)
+                woke = act & ((dvx * dvx + dvy * dvy + dvz * dvz) > 1e-10)
+                status = jnp.where(woke & (status == 4), 1, status)
+                return (px, py, pz, vx, vy, vz, status)
+
+            args = (px, py, pz, vx, vy, vz, status)
+            if pair_every <= 1:
+                args = pairs(args)
+            else:
+                args = jax.lax.cond(k % pair_every == 0, pairs,
+                                    lambda a: a, args)
+            (px, py, pz, vx, vy, vz, status) = args
         # kill conditions (advance_object preamble, Physics.cpp:725-729)
         status = jnp.where(pz < env.zmin, 0, status)
         status = jnp.where(off & alive, 0, status)
         return s._replace(px=px, py=py, pz=pz, vx=vx, vy=vy, vz=vz,
                           status=status, flags=flags), None
 
-    state, _ = jax.lax.scan(body, state, None, length=substeps)
+    state, _ = jax.lax.scan(body, state, jnp.arange(substeps),
+                            length=substeps)
     time = state.time + 1
     status = jnp.where((life > 0) & (time.astype(jnp.float32) > life), 0,
                        state.status)

@@ -34,6 +34,15 @@ MEASURED_CPU_PHYS_FPS = 0.44
 NUM_TILES = 256
 NUM_OBJS = 10000
 PHYS_SUBSTEPS = 10
+# Pair-collision cadence: the REFERENCE resolves object-object contacts
+# at FRAME granularity (each large object re-registers as a dynamic
+# sphere cobj once per frame, with defer-if-unmoved,
+# build_world.cpp:397-404,526-543).  Running the EXACT banded pass every
+# 5th substep (2x per frame) exceeds that cadence and leaves zero
+# residual penetration in the settled-pile fidelity test
+# (tests/test_physics.py::test_pair_cadence_fidelity); every-substep
+# costs 2.6x more pair work for no measurable fidelity gain.
+PHYS_PAIR_EVERY = 5
 
 
 def bench_terrain(jax):
@@ -93,7 +102,8 @@ def bench_physics(jax):
         def body(x, _):
             w2 = sw._replace(state=x)
             return PM.frame_step(w2, substeps=PHYS_SUBSTEPS, world=world,
-                                 obj_collisions=True).state, None
+                                 obj_collisions=True,
+                                 pair_every=PHYS_PAIR_EVERY).state, None
         s2, _ = jax.lax.scan(body, st, None, length=frames)
         return s2
     f = jax.jit(run)
@@ -161,6 +171,8 @@ def main():
         "vs_baseline": round(combined, 2),
         "terrain_tiles_per_sec": round(tiles, 1),
         "physics_frames_per_sec_10k": round(phys, 1),
+        "pair_cadence": f"exact banded pass every {PHYS_PAIR_EVERY} of "
+                        f"{PHYS_SUBSTEPS} substeps (reference: once/frame)",
         "measured_cpu_tiles_per_sec": MEASURED_CPU_TILES_PER_SEC,
         "measured_cpu_phys_fps": MEASURED_CPU_PHYS_FPS,
         "vs_measured_cpu": round((m_t * m_p) ** 0.5, 1),

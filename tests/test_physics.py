@@ -520,3 +520,31 @@ def test_movable_hull_rotate_to_rest():
     # ground-resting cube: its own footprint supports it -> stable
     c3, i3 = build(((0.0, 0.0, 0.0), (1.0, 1.0, 0.5)), [])
     assert MV.get_cobj_rot_axis(c3, i3, mesh_min_z=0.0) is None
+
+
+def test_pair_cadence_fidelity():
+    """Pair-pass cadence (bench PHYS_PAIR_EVERY): the reference resolves
+    object-object contacts once per frame (dynamic sphere cobjs,
+    build_world.cpp:526-543); running the exact pass every 5th substep
+    still settles a dense pile with NO residual interpenetration."""
+    from w3d.models import physics_model as PM
+    from w3d.physics import step as PS
+    from w3d.utils.constants import WorldConst
+
+    world = WorldConst()
+    n = 256
+    sw = PM.build_spheres_world(num_objects=n, world=world, seed=3)
+    st = sw.state
+    for _ in range(50):
+        st = PS.step_objects(st, sw.env, sw.cobjs, sw.table, substeps=10,
+                             world=world, obj_collisions=True,
+                             pair_method="block", pair_every=5)
+    live = np.asarray(st.status) > 0
+    assert live.sum() > n // 2
+    px, py, pz = (np.asarray(v)[live] for v in (st.px, st.py, st.pz))
+    rad = float(sw.table.radius[int(np.asarray(st.otype)[0])])
+    d2 = ((px[:, None] - px) ** 2 + (py[:, None] - py) ** 2
+          + (pz[:, None] - pz) ** 2)
+    np.fill_diagonal(d2, 1e9)
+    pen = np.maximum(2 * rad - np.sqrt(d2), 0.0)
+    assert pen.max() < 0.1 * rad, pen.max()
