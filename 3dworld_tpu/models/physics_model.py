@@ -86,15 +86,17 @@ def build_spheres_world(
 
 
 @functools.partial(jax.jit, static_argnames=("substeps", "world",
-                                             "obj_collisions", "pair_every"))
+                                             "obj_collisions", "pair_every",
+                                             "water"))
 def frame_step(w: SpheresWorld, substeps: int = 4,
                world: WorldConst = DEFAULT_WORLD,
                obj_collisions: bool = True,
-               pair_every: int = 1) -> SpheresWorld:
+               pair_every: int = 1,
+               water: bool = True) -> SpheresWorld:
     st = PS.step_objects(w.state, w.env, w.cobjs, w.table,
                          substeps=substeps, world=world,
                          obj_collisions=obj_collisions,
-                         pair_every=pair_every)
+                         pair_every=pair_every, water=water)
     return w._replace(state=st)
 
 

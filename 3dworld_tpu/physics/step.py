@@ -667,7 +667,7 @@ def _type_params(otype, table: T.ObjTypeTable):
 
 def _substep(state: ObjectState, env: PhysicsEnv, cobjs: CobjSet | None,
              table: T.ObjTypeTable, tstep, world: WorldConst,
-             obj_collisions: bool, pair_fn=None):
+             obj_collisions: bool, pair_fn=None, water: bool = True):
     rad, air, fric, grav, elas, dens, tv, mass, _life = _type_params(state.otype, table)
 
     alive = state.status > 0
@@ -728,74 +728,82 @@ def _substep(state: ObjectState, env: PhysicsEnv, cobjs: CobjSet | None,
     on_mesh = ~off_mesh & ((pz - rad) <= mh)
 
     # --- water (check_water_collision core, Physics.cpp:1082-1180);
-    # per-object level from water_matrix when a per-cell map exists ---
-    if env.water_height is not None:
+    # per-object level from water_matrix when a per-cell map exists.
+    # `water=False` (scene declared disable_water, 3DWorld.cpp kwmb)
+    # skips the whole water+ice block statically ---
+    if not water:
+        wpz = env.water_plane_z
+        touches_water = jnp.zeros_like(alive)
+        status = state.status
+        v_sq = vx * vx + vy * vy + vz * vz
+    elif env.water_height is not None:
         wh, _, _, _ = sample_mesh(env.water_height, px, py, world)
         wpz = jnp.maximum(env.water_plane_z, wh)
     else:
         wpz = env.water_plane_z
-    over_water = ~off_mesh & (wpz > mh)
-    touches_water = over_water & ((pz - rad) < wpz) & alive
-    # frozen water becomes an ice SURFACE (check_water_collision ice
-    # branch, Physics.cpp:1198-1218): objects sit on it, bounce if
-    # elastic enough, else stick (XYZ_STOPPED | IS_ON_ICE, status 4)
-    frozen = env.temperature <= T.W_FREEZE_POINT
-    ice_touch = touches_water & frozen
-    touches_water = touches_water & ~frozen
-    v_sq = vx * vx + vy * vy + vz * vz
-    fast = v_sq >= T.BOUNCE_CUTOFF
-    den_ratio = T.WATER_DENSITY / (dens + T.WATER_DENSITY)
-    damp = 1.0 - T.WATER_DAMPING * den_ratio
-    floats = dens < T.WATER_DENSITY
-    w_fast = touches_water & fast
-    w_slow = touches_water & ~fast
-    # surface skip / ricochet (check_water_collision, Physics.cpp:1154-1163):
-    # fast shallow-angle surface hits bounce off the water instead of
-    # entering; coll_angle = acos(-vz/|v|) vs CRITICAL_ANGLE/den_ratio
-    v_mag = jnp.sqrt(jnp.maximum(v_sq, 1e-12))
-    coll_angle = jnp.arccos(jnp.clip(-vz / v_mag, -1.0, 1.0))
-    zpos_w = jnp.maximum(wpz + rad * (1.0 - 2.0 * dens), mh + rad)
-    surf_coll = (pz > wpz - rad - T.MAX_SPLASH_DEPTH) & ~underwater & ~z_stop
-    sbx, sby, sbz, s_did = bounce_velocity(vx, vy, vz, 0.0, 0.0, 1.0,
-                                           T.WATER_ELASTIC, air_eff)
-    skip = (w_fast & surf_coll & (coll_angle >= T.CRITICAL_ANGLE / den_ratio)
-            & ((zpos_w - pz) <= 6.0 * rad) & s_did)
-    w_fast = w_fast & ~skip
-    vx = jnp.where(skip, sbx, jnp.where(w_fast, vx * damp,
-                                        jnp.where(w_slow, 0.0, vx)))
-    vy = jnp.where(skip, sby, jnp.where(w_fast, vy * damp,
-                                        jnp.where(w_slow, 0.0, vy)))
-    vz = jnp.where(skip, sbz, jnp.where(w_fast, jnp.where(floats, 0.0, vz * damp),
-                                        jnp.where(w_slow, 0.0, vz)))
-    touches_water = touches_water & ~skip
-    ground_z = mh + rad
-    slow_pos_z = jnp.where(floats, jnp.maximum(wpz + rad * (1.0 - 2.0 * dens), ground_z),
-                           ground_z)
-    pz = jnp.where(w_slow, slow_pos_z, pz)
-    flags = jnp.where(w_fast & ~floats, flags | (T.FL_IN_WATER | T.FL_UNDERWATER), flags)
-    flags = jnp.where(w_slow & floats, flags | (T.FL_FLOATING | T.FL_IN_WATER), flags)
-    status = jnp.where(w_slow, jnp.where(floats, 1, 3), state.status)
-    # underwater ground contact: stop at the bottom (Physics.cpp:1146-1151)
-    hit_bottom = touches_water & (pz <= ground_z + 1e-5)
-    pz = jnp.where(hit_bottom, ground_z, pz)
-    vx = jnp.where(hit_bottom, 0.0, vx)
-    vy = jnp.where(hit_bottom, 0.0, vy)
-    vz = jnp.where(hit_bottom, 0.0, vz)
-    status = jnp.where(hit_bottom, 3, status)
+    if water:
+        over_water = ~off_mesh & (wpz > mh)
+        touches_water = over_water & ((pz - rad) < wpz) & alive
+        # frozen water becomes an ice SURFACE (check_water_collision ice
+        # branch, Physics.cpp:1198-1218): objects sit on it, bounce if
+        # elastic enough, else stick (XYZ_STOPPED | IS_ON_ICE, status 4)
+        frozen = env.temperature <= T.W_FREEZE_POINT
+        ice_touch = touches_water & frozen
+        touches_water = touches_water & ~frozen
+        v_sq = vx * vx + vy * vy + vz * vz
+        fast = v_sq >= T.BOUNCE_CUTOFF
+        den_ratio = T.WATER_DENSITY / (dens + T.WATER_DENSITY)
+        damp = 1.0 - T.WATER_DAMPING * den_ratio
+        floats = dens < T.WATER_DENSITY
+        w_fast = touches_water & fast
+        w_slow = touches_water & ~fast
+        # surface skip / ricochet (check_water_collision, Physics.cpp:1154-1163):
+        # fast shallow-angle surface hits bounce off the water instead of
+        # entering; coll_angle = acos(-vz/|v|) vs CRITICAL_ANGLE/den_ratio
+        v_mag = jnp.sqrt(jnp.maximum(v_sq, 1e-12))
+        coll_angle = jnp.arccos(jnp.clip(-vz / v_mag, -1.0, 1.0))
+        zpos_w = jnp.maximum(wpz + rad * (1.0 - 2.0 * dens), mh + rad)
+        surf_coll = (pz > wpz - rad - T.MAX_SPLASH_DEPTH) & ~underwater & ~z_stop
+        sbx, sby, sbz, s_did = bounce_velocity(vx, vy, vz, 0.0, 0.0, 1.0,
+                                               T.WATER_ELASTIC, air_eff)
+        skip = (w_fast & surf_coll & (coll_angle >= T.CRITICAL_ANGLE / den_ratio)
+                & ((zpos_w - pz) <= 6.0 * rad) & s_did)
+        w_fast = w_fast & ~skip
+        vx = jnp.where(skip, sbx, jnp.where(w_fast, vx * damp,
+                                            jnp.where(w_slow, 0.0, vx)))
+        vy = jnp.where(skip, sby, jnp.where(w_fast, vy * damp,
+                                            jnp.where(w_slow, 0.0, vy)))
+        vz = jnp.where(skip, sbz, jnp.where(w_fast, jnp.where(floats, 0.0, vz * damp),
+                                            jnp.where(w_slow, 0.0, vz)))
+        touches_water = touches_water & ~skip
+        ground_z = mh + rad
+        slow_pos_z = jnp.where(floats, jnp.maximum(wpz + rad * (1.0 - 2.0 * dens), ground_z),
+                               ground_z)
+        pz = jnp.where(w_slow, slow_pos_z, pz)
+        flags = jnp.where(w_fast & ~floats, flags | (T.FL_IN_WATER | T.FL_UNDERWATER), flags)
+        flags = jnp.where(w_slow & floats, flags | (T.FL_FLOATING | T.FL_IN_WATER), flags)
+        status = jnp.where(w_slow, jnp.where(floats, 1, 3), state.status)
+        # underwater ground contact: stop at the bottom (Physics.cpp:1146-1151)
+        hit_bottom = touches_water & (pz <= ground_z + 1e-5)
+        pz = jnp.where(hit_bottom, ground_z, pz)
+        vx = jnp.where(hit_bottom, 0.0, vx)
+        vy = jnp.where(hit_bottom, 0.0, vy)
+        vz = jnp.where(hit_bottom, 0.0, vz)
+        status = jnp.where(hit_bottom, 3, status)
 
-    # --- ice surface (frozen): sit at wpz + radius; bounce only for
-    # elasticity >= ICE_BOUNCE_ELAS, otherwise stuck to the ice ---
-    ibx, iby, ibz, idid = bounce_velocity(vx, vy, vz, 0.0, 0.0, 1.0,
-                                          elas, air_eff)
-    stick = ice_touch & ((elas < T.ICE_BOUNCE_ELAS) | ~idid)
-    bounce_ice = ice_touch & ~stick
-    pz = jnp.where(ice_touch, wpz + rad + 1e-5, pz)
-    vx = jnp.where(stick, 0.0, jnp.where(bounce_ice, ibx, vx))
-    vy = jnp.where(stick, 0.0, jnp.where(bounce_ice, iby, vy))
-    vz = jnp.where(stick, 0.0, jnp.where(bounce_ice, ibz, vz))
-    status = jnp.where(stick, 4, jnp.where(bounce_ice, 1, status))
-    flags = jnp.where(stick, flags | (T.FL_Z_STOPPED | T.FL_XY_STOPPED
-                                      | T.FL_IS_ON_ICE), flags)
+        # --- ice surface (frozen): sit at wpz + radius; bounce only for
+        # elasticity >= ICE_BOUNCE_ELAS, otherwise stuck to the ice ---
+        ibx, iby, ibz, idid = bounce_velocity(vx, vy, vz, 0.0, 0.0, 1.0,
+                                              elas, air_eff)
+        stick = ice_touch & ((elas < T.ICE_BOUNCE_ELAS) | ~idid)
+        bounce_ice = ice_touch & ~stick
+        pz = jnp.where(ice_touch, wpz + rad + 1e-5, pz)
+        vx = jnp.where(stick, 0.0, jnp.where(bounce_ice, ibx, vx))
+        vy = jnp.where(stick, 0.0, jnp.where(bounce_ice, iby, vy))
+        vz = jnp.where(stick, 0.0, jnp.where(bounce_ice, ibz, vz))
+        status = jnp.where(stick, 4, jnp.where(bounce_ice, 1, status))
+        flags = jnp.where(stick, flags | (T.FL_Z_STOPPED | T.FL_XY_STOPPED
+                                          | T.FL_IS_ON_ICE), flags)
 
     # --- static cobj collisions ---
     cobj_hit = jnp.zeros_like(alive)
@@ -896,7 +904,7 @@ def _substep(state: ObjectState, env: PhysicsEnv, cobjs: CobjSet | None,
 
 @functools.partial(jax.jit, static_argnames=("substeps", "world", "obj_collisions",
                                              "pair_method", "pair_window",
-                                             "pair_every"))
+                                             "pair_every", "water"))
 def step_objects(
     state: ObjectState,
     env: PhysicsEnv,
@@ -909,6 +917,7 @@ def step_objects(
     pair_method: str = "auto",
     pair_window: int = PAIR_WINDOW,
     pair_every: int = 1,
+    water: bool = True,
 ) -> ObjectState:
     """One frame: `substeps` uniform physics substeps with dt=tstep/substeps
     (the reference runs 1-40 substeps by type, build_world.cpp:467-505).
@@ -933,13 +942,14 @@ def step_objects(
         if pair_every <= 1 or not obj_collisions:
             run_pairs = obj_collisions
             s2 = _substep(s, env, cobjs, table, dt, world, run_pairs,
-                          pair_fn=pair_fn)
+                          pair_fn=pair_fn, water=water)
         else:
             s2 = jax.lax.cond(
                 k % pair_every == 0,
                 lambda ss: _substep(ss, env, cobjs, table, dt, world, True,
-                                    pair_fn=pair_fn),
-                lambda ss: _substep(ss, env, cobjs, table, dt, world, False),
+                                    pair_fn=pair_fn, water=water),
+                lambda ss: _substep(ss, env, cobjs, table, dt, world, False,
+                                    water=water),
                 s)
         return s2, None
 

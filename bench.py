@@ -101,9 +101,13 @@ def bench_physics(jax):
     def run(st):
         def body(x, _):
             w2 = sw._replace(state=x)
+            # water=False: config_spheres declares disable_water, so the
+            # water/ice block compiles out (the reference skips its water
+            # checks the same way when water is disabled)
             return PM.frame_step(w2, substeps=PHYS_SUBSTEPS, world=world,
                                  obj_collisions=True,
-                                 pair_every=PHYS_PAIR_EVERY).state, None
+                                 pair_every=PHYS_PAIR_EVERY,
+                                 water=False).state, None
         s2, _ = jax.lax.scan(body, st, None, length=frames)
         return s2
     f = jax.jit(run)
