@@ -120,8 +120,18 @@ def _bilinear_onehots(g, n):
 def sample_mesh(mesh: jax.Array, x, y, world: WorldConst):
     """Bilinear (height, normal-xyz) sample at world (x, y) for a batch —
     interpolate_mesh_zval + surface-normal lookup fused into one one-hot
-    matmul over [mesh | dz/dx | dz/dy] stacked maps."""
+    matmul over [mesh | dz/dx | dz/dy] stacked maps.
+
+    On TPU with a native-layout mesh and a big enough batch, the sampling
+    runs as a VMEM-resident Pallas kernel (ops/pallas/sample_kernel) —
+    the XLA form's [N, 3*mx] intermediate round-trips ~25 MB of HBM per
+    call (~126 us at N=10K, ~90% of the integrate substep)."""
     my, mx = mesh.shape
+    if x.ndim == 1 and _on_tpu():
+        from ..ops.pallas import sample_kernel as SK
+        if SK.supported(mesh.shape, x.shape[0]):
+            return SK.sample_mesh_pallas(mesh, x, y, world.dx_inv,
+                                         world.dy_inv)
     gx = x * world.dx_inv + mx // 2
     gy = y * world.dy_inv + my // 2
     dzdx = (jnp.roll(mesh, -1, 1) - jnp.roll(mesh, 1, 1)) * (0.5 * world.dx_inv)
@@ -271,6 +281,57 @@ def spatial_sort(state: ObjectState, world: WorldConst,
             state.status, state.flags, state.otype, state.time, state.health]
     sorted_all = jax.lax.sort([k] + cols, num_keys=1)
     return ObjectState(*sorted_all[1:])
+
+
+# gap schedule for the comb repair: halving gaps catch rank drifts up to
+# ~REPAIR_GAPS[0] in one sweep; the trailing 1s finish local inversions
+REPAIR_GAPS = (64, 32, 16, 8, 4, 2, 1, 1, 1)
+
+
+def spatial_sort_repair(state: ObjectState, world: WorldConst,
+                        gaps: tuple = REPAIR_GAPS) -> ObjectState:
+    """`spatial_sort` for an almost-sorted population.
+
+    Comb-style gap compare-exchange sweeps — pure elementwise
+    rolls/selects — then a global sortedness check that falls back to
+    the real sort under `lax.cond` when the sweeps didn't converge, so
+    the banded pair pass's EXACT window guarantee always sees a fully
+    sorted order whichever branch ran.
+
+    MEASURED NEGATIVE RESULT (round 3, v5e, bench scene): NOT used by
+    `step_objects`.  Rank drift per frame in the live 10K pile is far
+    beyond any cheap gap schedule — convection moves 1-30% of objects
+    >64 ranks, and every off-mesh/lifetime kill teleports a key to +inf
+    (~N-rank displacement), so the fallback fired nearly every frame
+    and the frame got 0.26 ms SLOWER.  Kept (tested) for calm scenes:
+    profitable when objects neither die nor cross ~gaps[0] ranks
+    between frames."""
+    k = jnp.where(state.status > 0, state.px, jnp.float32(jnp.inf))
+    cols = [state.px, state.py, state.pz, state.vx, state.vy, state.vz,
+            state.status, state.flags, state.otype, state.time, state.health]
+    n = k.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def phase(k, cols, g, parity):
+        # brick pattern: element i leads the (i, i+g) pair when its
+        # g-block index has `parity`; lead/trail masks never overlap
+        lead = ((idx // g) % 2 == parity) & (idx + g < n)
+        kf = jnp.roll(k, -g)
+        swap_lead = lead & (k > kf)
+        swap_trail = jnp.roll(swap_lead, g)
+
+        def ex(c):
+            return jnp.where(swap_lead, jnp.roll(c, -g),
+                             jnp.where(swap_trail, jnp.roll(c, g), c))
+        return ex(k), [ex(c) for c in cols]
+
+    for g in gaps:
+        k, cols = phase(k, cols, g, 0)
+        k, cols = phase(k, cols, g, 1)
+    repaired = ObjectState(*cols)
+    ok = jnp.all(k[:-1] <= k[1:])
+    return jax.lax.cond(ok, lambda s: s,
+                        lambda s: spatial_sort(s, world), repaired)
 
 
 def grid_pair_collisions(px, py, pz, vx, vy, vz, radius, mass, elas, active,

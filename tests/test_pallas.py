@@ -150,3 +150,60 @@ def test_pallas_pairs_matches_xla():
                                interpret=True)
     for a, b in zip(ref2, out2):
         assert float(jnp.abs(a - b).max()) < 1e-6
+
+
+def test_pallas_sample_mesh_matches_xla():
+    """VMEM sample kernel (interpret) vs step.sample_mesh: heights are
+    bitwise equal (same weights, same y-first contraction order); the
+    normals differ only by rsqrt reduction-tree ulps.  Covers interior,
+    border-clamped, and off-mesh coordinates."""
+    import numpy as np
+    import jax.numpy as jnp
+    from w3d.physics import step as PS
+    from w3d.ops.pallas.sample_kernel import sample_mesh_pallas
+    from w3d.utils.constants import WorldConst
+
+    w = WorldConst()
+    rng = np.random.default_rng(11)
+    mesh = jnp.asarray(rng.standard_normal((w.mesh_y, w.mesh_x))
+                       .astype(np.float32))
+    n = 1500
+    x = jnp.asarray(rng.uniform(-1.4 * w.x_scene, 1.4 * w.x_scene, n)
+                    .astype(np.float32))
+    y = jnp.asarray(rng.uniform(-1.4 * w.y_scene, 1.4 * w.y_scene, n)
+                    .astype(np.float32))
+    ref = PS.sample_mesh(mesh, x, y, w)
+    out = sample_mesh_pallas(mesh, x, y, w.dx_inv, w.dy_inv, interpret=True)
+    assert jnp.array_equal(ref[0], out[0])          # heights bitwise
+    for a, b in zip(ref[1:], out[1:]):              # normals to ulps
+        assert float(jnp.abs(a - b).max()) < 1e-6
+
+
+def test_spatial_sort_repair_matches_full_sort():
+    """Comb repair == full sort on (a) a random population (cond
+    fallback) and (b) a slightly-drifted sorted one (repair path); the
+    result key order is globally sorted either way — the banded pair
+    pass's EXACT window bound depends on it."""
+    import numpy as np
+    import jax.numpy as jnp
+    from w3d.models import physics_model as PM
+    from w3d.physics import step as PS
+    from w3d.utils.constants import WorldConst
+
+    w = WorldConst()
+    sw = PM.build_spheres_world(num_objects=1200, world=w)
+
+    def same(a, b):
+        return all(bool(jnp.array_equal(getattr(a, f), getattr(b, f)))
+                   for f in a._fields)
+
+    assert same(PS.spatial_sort(sw.state, w),
+                PS.spatial_sort_repair(sw.state, w))
+    srt = PS.spatial_sort(sw.state, w)
+    drift = jnp.asarray(np.random.default_rng(5)
+                        .uniform(-2e-3, 2e-3, 1200).astype(np.float32))
+    pert = srt._replace(px=srt.px + drift)
+    rep = PS.spatial_sort_repair(pert, w)
+    assert same(PS.spatial_sort(pert, w), rep)
+    k = jnp.where(rep.status > 0, rep.px, jnp.inf)
+    assert bool(jnp.all(k[:-1] <= k[1:]))
