@@ -838,8 +838,12 @@ def _substep(state: ObjectState, env: PhysicsEnv, cobjs: CobjSet | None,
                                             jnp.where(w_slow, 0.0, vz)))
         touches_water = touches_water & ~skip
         ground_z = mh + rad
-        slow_pos_z = jnp.where(floats, jnp.maximum(wpz + rad * (1.0 - 2.0 * dens), ground_z),
-                               ground_z)
+        # floating placement adds SMALL_NUMBER=0.001 (Physics.cpp:1128,
+        # `pos.z = zpos + SMALL_NUMBER`; pinned by tests/test_cpp_golden.py)
+        slow_pos_z = jnp.where(
+            floats,
+            jnp.maximum(wpz + rad * (1.0 - 2.0 * dens), ground_z) + 0.001,
+            ground_z)
         pz = jnp.where(w_slow, slow_pos_z, pz)
         flags = jnp.where(w_fast & ~floats, flags | (T.FL_IN_WATER | T.FL_UNDERWATER), flags)
         flags = jnp.where(w_slow & floats, flags | (T.FL_FLOATING | T.FL_IN_WATER), flags)
@@ -912,7 +916,10 @@ def _substep(state: ObjectState, env: PhysicsEnv, cobjs: CobjSet | None,
     vy = jnp.where(md, by, jnp.where(mesh_coll, vy * damp_m, vy))
     vz = jnp.where(md, bz, jnp.where(mesh_coll, vz * damp_m, vz))
     status = jnp.where(md, 1, jnp.where(mesh_coll, 2, status))
-    flags = jnp.where(mesh_coll, flags | T.FL_COLLIDED, flags)
+    # mesh contact does NOT set the collided flag: only cobj collisions
+    # do (collision_detect.cpp:1561, build_world.cpp:292) — the wind
+    # gate reengages via |vz| < 1e-6 instead (pinned bitwise against the
+    # compiled reference in tests/test_cpp_golden.py)
 
     # --- on-ground rolling (surface_advance, Physics.cpp:980-1037):
     # grounded objects roll downhill along the surface normal's xy

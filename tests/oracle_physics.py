@@ -17,7 +17,16 @@ framework's bilinear sampler so the comparison isolates the INTEGRATION
 semantics (the reference uses per-vertex quad normals; the framework
 defines central-difference normals — an intentional redesign).
 
-All arithmetic in np.float32 to match the TPU path.
+All arithmetic in np.float32 to match the TPU path, except where the
+reference itself promotes to double (the `double gscale` gravity chain,
+Physics.cpp:800-810), mirrored here in float64.
+
+VALIDATED AGAINST THE COMPILED REFERENCE: tests/test_cpp_golden.py
+builds Physics.cpp with stub surroundings (tests/cpp/physics_harness.cpp)
+and pins this oracle bit-for-bit on flat-mesh dry + water scenarios, and
+to bounded drift on slopes (the normal-model redesign).  That pass found
+and fixed two transcription bugs: OBJ_COLLIDED was wrongly set on mesh
+contact, and SMALL_NUMBER was transcribed as 1e-5 instead of 0.001.
 """
 
 from __future__ import annotations
@@ -31,7 +40,7 @@ import w3d
 from w3d.physics import types as T
 
 F = np.float32
-SMALL = F(1e-5)                      # SMALL_NUMBER (3DWorld.h)
+SMALL = F(0.001)                     # SMALL_NUMBER (3DWorld.h:62)
 
 # flags (physics_objects.h)
 FL_Z_STOPPED = T.FL_Z_STOPPED
@@ -295,12 +304,18 @@ def advance_object(o: OracleObj, env: OracleEnv, tp: TypeParams, mesh,
         else:
             vtot = (vtot + wind).astype(F)
         if not (o.flags & FL_Z_STOPPED):
-            gscale = F(1.0)
+            # `double gscale` in the reference (Physics.cpp:800) promotes
+            # the whole gravity chain to float64 before the f32 store;
+            # pinned bitwise by tests/test_cpp_golden.py
+            gscale = np.float64(1.0)
             if (o.flags & FL_IN_WATER) and tp.density > T.WATER_DENSITY:
-                gscale = F((tp.density - T.WATER_DENSITY) / tp.density)
+                dens = F(tp.density)
+                gscale = np.float64(F((dens - F(T.WATER_DENSITY)) / dens))
             if -o.vel[2] < tp.terminal_vel:
-                o.vel[2] = F(o.vel[2] - env.base_gravity * gscale * T.GRAVITY
-                             * tstep * tp.gravity)
+                o.vel[2] = F(np.float64(o.vel[2])
+                             - np.float64(env.base_gravity) * gscale
+                             * np.float64(F(T.GRAVITY)) * np.float64(tstep)
+                             * np.float64(F(tp.gravity)))
                 o.vel[2] = F(-min(-float(o.vel[2]), tp.terminal_vel))
             if (abs(air_factor * wind[2]) > abs(o.vel[2])
                     or ((wind[2] < 0) != (o.vel[2] < 0))):
@@ -334,15 +349,18 @@ def advance_object(o: OracleObj, env: OracleEnv, tp: TypeParams, mesh,
             o.flags &= ~ALL_COLL_STOPPED
             return
         if val == 2:        # mesh surface, no cobj collision
+            # NOTE: the reference does NOT set OBJ_COLLIDED on mesh
+            # contact — only cobj collisions set it
+            # (collision_detect.cpp:1561, build_world.cpp:292); the
+            # `collided` wind gate therefore reengages only via
+            # |vz| < 1e-6.  Pinned bitwise by tests/test_cpp_golden.py.
             if object_bounce(o, 0, None, tp, radius, mesh, world):
                 o.status = 1
-                o.flags |= FL_COLLIDED
                 return
             stopped = (friction >= T.STICK_THRESHOLD
                        or (o.flags & FL_XY_STOPPED)
                        or o.mag_sq() < T.BOUNCE_CUTOFF)
             o.vel *= F(0.0 if stopped else 0.95)
-            o.flags |= FL_COLLIDED
         o.status = val
     else:                   # on the ground (Physics.cpp:901-938)
         if _outside(o.pos[0], o.pos[1], world):

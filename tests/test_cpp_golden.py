@@ -107,3 +107,162 @@ def test_guarded_oracle_matches_cpp_before_nan(harness, tmp_path):
     cpp = _run_cpp(harness, hm, 5, tmp=str(tmp_path))
     py = erode_reference(hm.copy(), 5, ErosionParams(), min_zval=-1.0)
     np.testing.assert_allclose(cpp, py, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# physics: dwobject::advance_object vs tests/oracle_physics.py
+# ---------------------------------------------------------------------------
+
+# flag-bit mapping: reference physics_objects.h:492-505 -> physics/types.py
+# (the repo renumbers flag bits; values are semantic, the numbering is not)
+_REF2REPO_FLAGS = ((0x01, 8), (0x04, 4), (0x08, 32), (0x10, 64), (0x40, 16),
+                   (0x0400, 2), (0x0800, 1))
+
+
+def _map_ref_flags(f):
+    f = f.astype(np.int64)
+    out = np.zeros_like(f)
+    for rb, pb in _REF2REPO_FLAGS:
+        out |= np.where((f & rb) != 0, pb, 0)
+    return out
+
+
+@pytest.fixture(scope="session")
+def phys_harness(tmp_path_factory):
+    out = tmp_path_factory.mktemp("cppbin") / "physics_harness"
+    subprocess.run(
+        ["g++", "-O2", "-std=c++17", "-ffp-contract=off",
+         "-I", os.path.join(CPP_DIR, "glstub"), "-I", REF_SRC,
+         os.path.join(CPP_DIR, "physics_harness.cpp"),
+         os.path.join(REF_SRC, "Physics.cpp"),
+         "-o", str(out)],
+        check=True, capture_output=True)
+    return str(out)
+
+
+def _run_phys(harness, mesh, pos, vel, steps, tp, env_o, tstep, tmp):
+    """Drive the compiled reference integrator; returns [steps, n, 8]
+    (pos3, vel3, status, flags-mapped-to-repo-bits)."""
+    import w3d  # noqa: F401
+    from w3d.utils.constants import WorldConst
+    world = WorldConst()
+    ys, xs = mesh.shape
+    n = pos.shape[0]
+    fm = os.path.join(tmp, "ph_mesh.f32")
+    fo = os.path.join(tmp, "ph_obj.f32")
+    ft = os.path.join(tmp, "ph_traj.f32")
+    mesh.astype(np.float32).tofile(fm)
+    obj = np.zeros((n, 8), np.float32)
+    obj[:, 0:3] = pos
+    obj[:, 3:6] = vel
+    obj[:, 6] = 1
+    obj.tofile(fo)
+    env = dict(os.environ,
+               PH_TSTEP=str(tstep), PH_WPZ=str(env_o.water_plane_z),
+               PH_ZMIN=str(env_o.zmin),
+               PH_BASE_GRAVITY=str(env_o.base_gravity),
+               PH_WIND_X=str(float(env_o.wind[0])),
+               PH_WIND_Y=str(float(env_o.wind[1])),
+               PH_WIND_Z=str(float(env_o.wind[2])),
+               PH_RADIUS=str(tp.radius), PH_AIR=str(tp.air_factor),
+               PH_FRICTION=str(tp.friction), PH_ELAS=str(tp.elasticity),
+               PH_GRAV=str(tp.gravity), PH_DENS=str(tp.density),
+               PH_TERMV=str(tp.terminal_vel), PH_LIFE=str(tp.lifetime),
+               PH_XSS=str(world.x_scene), PH_YSS=str(world.y_scene))
+    subprocess.run([harness, fm, str(xs), str(ys), str(steps), fo, str(n), ft],
+                   check=True, env=env)
+    out = np.fromfile(ft, np.float32).reshape(steps, n, 8)
+    out[:, :, 7] = _map_ref_flags(out[:, :, 7]).astype(np.float32)
+    return out
+
+
+def _run_oracle(mesh, pos, vel, steps, tp, env_o, tstep):
+    import oracle_physics as OP
+    from w3d.utils.constants import WorldConst
+    world = WorldConst()
+    n = pos.shape[0]
+    objs = [OP.OracleObj(pos=pos[i].copy(), vel=vel[i].copy(), status=1)
+            for i in range(n)]
+    out = np.zeros((steps, n, 8), np.float32)
+    for s in range(steps):
+        for i, o in enumerate(objs):
+            if o.status != 0:
+                OP.advance_object(o, env_o, tp, mesh, world, tstep=tstep)
+            out[s, i, 0:3] = o.pos
+            out[s, i, 3:6] = o.vel
+            out[s, i, 6] = o.status
+            out[s, i, 7] = o.flags
+    return out
+
+
+def _phys_setup(dens=0.6, elas=0.8, wpz=-10.0, seed=5, n=16):
+    import oracle_physics as OP
+    from w3d.physics import types as T
+    tp = OP.TypeParams(radius=0.04, air_factor=0.05, friction=0.01,
+                       gravity=1.0, elasticity=elas, density=dens,
+                       terminal_vel=10.0, lifetime=1000000)
+    env_o = OP.OracleEnv(wind=np.zeros(3, np.float32), water_plane_z=wpz,
+                         base_gravity=1.0, zmin=-4.0)
+    rng = np.random.default_rng(seed)
+    pos = np.stack([rng.uniform(-2, 2, n), rng.uniform(-2, 2, n),
+                    rng.uniform(0.6, 2.0, n)], 1).astype(np.float32)
+    vel = rng.normal(0, 0.5, (n, 3)).astype(np.float32)
+    return tp, env_o, pos, vel, float(T.DEF_TIMESTEP)
+
+
+def test_physics_oracle_bitwise_dry(phys_harness, tmp_path):
+    """Airborne fall -> mesh bounce -> damped settle on a flat mesh:
+    bit-for-bit against the compiled reference integrator (200 steps x 16
+    objects; the flat mesh removes the declared normal-model redesign, so
+    every gravity/terminal/air/bounce/status transition must agree)."""
+    from w3d.utils.constants import WorldConst
+    world = WorldConst()
+    mesh = np.zeros((world.mesh_y, world.mesh_x), np.float32)
+    tp, env_o, pos, vel, ts = _phys_setup()
+    cpp = _run_phys(phys_harness, mesh, pos, vel, 200, tp, env_o, ts,
+                    str(tmp_path))
+    py = _run_oracle(mesh, pos, vel, 200, tp, env_o, ts)
+    assert np.array_equal(cpp.view(np.int32), py.view(np.int32))
+
+
+@pytest.mark.parametrize("dens", [0.6, 1.0, 1.5])
+def test_physics_oracle_bitwise_water(phys_harness, tmp_path, dens):
+    """check_water_collision float/neutral/sink branches, flat mesh under
+    a flat water plane at z=0.5: bit-for-bit (incl. Z_STOPPED under-surface
+    gravity, FLOATING placement at zpos+SMALL_NUMBER, underwater ground
+    stop, and the fast-entry damping/skip logic)."""
+    from w3d.utils.constants import WorldConst
+    world = WorldConst()
+    mesh = np.zeros((world.mesh_y, world.mesh_x), np.float32)
+    tp, env_o, pos, vel, ts = _phys_setup(dens=dens, wpz=0.5, seed=11, n=12)
+    cpp = _run_phys(phys_harness, mesh, pos, vel, 300, tp, env_o, ts,
+                    str(tmp_path))
+    py = _run_oracle(mesh, pos, vel, 300, tp, env_o, ts)
+    assert np.array_equal(cpp.view(np.int32), py.view(np.int32))
+
+
+def test_physics_oracle_slope_rolling_tracks(phys_harness, tmp_path):
+    """Rolling on a gaussian hill (elasticity 0, no bounces): the repo's
+    interpolated central-difference normals are a declared redesign vs the
+    reference's per-cell quad-blend normals (oracle_physics docstring), so
+    trajectories drift smoothly instead of matching bitwise — assert
+    bounded drift and an identical status machine."""
+    from w3d.utils.constants import WorldConst
+    world = WorldConst()
+    xs, ys = world.mesh_x, world.mesh_y
+    gx, gy = np.meshgrid(np.arange(xs), np.arange(ys))
+    mesh = (0.3 * np.exp(-(((gx - xs / 2) * world.dx) ** 2
+                           + ((gy - ys / 2) * world.dy) ** 2) / 1.2)
+            ).astype(np.float32)
+    tp, env_o, _, _, ts = _phys_setup(elas=0.0, seed=4, n=12)
+    rng = np.random.default_rng(4)
+    pos = np.stack([rng.uniform(-1, 1, 12), rng.uniform(-1, 1, 12),
+                    rng.uniform(0.5, 0.8, 12)], 1).astype(np.float32)
+    vel = np.zeros((12, 3), np.float32)
+    cpp = _run_phys(phys_harness, mesh, pos, vel, 200, tp, env_o, ts,
+                    str(tmp_path))
+    py = _run_oracle(mesh, pos, vel, 200, tp, env_o, ts)
+    assert np.array_equal(cpp[:, :, 6], py[:, :, 6])        # status machine
+    err = np.abs(cpp[:, :, :3] - py[:, :, :3]).max(axis=(1, 2))
+    assert float(err[49]) < 0.01                            # 50 steps
+    assert float(err.max()) < 0.1                           # 200 steps
