@@ -109,6 +109,12 @@ _PROPS.update({
     RC.F_CHEST:         (150.0, 60.0, False, False, 0.0),
     RC.F_PIPE:          (0.0, 0.0, False, False, 0.0),
     RC.F_DUCT:          (0.0, 0.0, False, False, 0.0),
+    # institutional kinds (schools/hospitals/jails)
+    RC.F_CHALKBOARD:    (80.0, 30.0, False, False, 0.0),
+    RC.F_CURTAIN:       (30.0, 4.0, True, False, 0.0),
+    RC.F_LOCKER:        (90.0, 60.0, False, False, 0.0),
+    RC.F_OPERATING_TABLE: (4000.0, 350.0, False, False, 0.0),
+    RC.F_CELL_WALL:     (0.0, 0.0, False, False, 0.0),
 })
 MAX_CARRY_WEIGHT = 200.0  # lbs, reference player_inventory weight limit
 

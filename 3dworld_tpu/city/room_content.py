@@ -21,7 +21,8 @@ from ..utils.rng import RandGen
 (R_HALL, R_BEDROOM, R_BATHROOM, R_KITCHEN, R_LIVING, R_OFFICE, R_DINING,
  R_STORAGE, R_LIBRARY, R_RETAIL, R_SERVER, R_LAUNDRY, R_UTILITY,
  R_CONFERENCE, R_CLASSROOM, R_CAFETERIA, R_GAME, R_JAIL, R_HOSPITAL,
- R_FACTORY, R_DATACENTER, R_RESTAURANT, R_PARKING) = range(23)
+ R_FACTORY, R_DATACENTER, R_RESTAURANT, R_PARKING,
+ R_OPERATING, R_WAITING) = range(25)
 
 # furniture kinds
 (F_BED, F_TOILET, F_SINK, F_TUB, F_COUNTER, F_FRIDGE, F_STOVE, F_TABLE,
@@ -42,7 +43,18 @@ from ..utils.rng import RandGen
 (F_CLOSET, F_HANGER, F_CLOTHES, F_BOX, F_CEIL_LIGHT, F_LAVALAMP,
  F_FLOOR_CLOTHES, F_PILLAR, F_RAMP, F_OLD_CHAIR, F_CHEST,
  F_PIPE, F_DUCT) = range(51, 64)
-NUM_FURNITURE_KINDS = 64
+# institutional kinds (building_school.cpp, building_hospital.cpp,
+# building_jail.cpp): chalkboards behind teacher desks, privacy curtains
+# between hospital beds, school hallway lockers, operating tables,
+# solid jail-cell partition walls (bars are F_JAIL_BARS above)
+(F_CHALKBOARD, F_CURTAIN, F_LOCKER, F_OPERATING_TABLE,
+ F_CELL_WALL) = range(64, 69)
+NUM_FURNITURE_KINDS = 69
+
+# building types (building_defs.h:137 BTYPE_*; the subset with distinct
+# interior content models here — apartment/hotel collapse to house-like
+# bedrooms on upper floors, handled by the office/house split)
+BT_HOUSE, BT_OFFICE, BT_SCHOOL, BT_HOSPITAL, BT_JAIL = range(5)
 
 # per-room-type furniture recipes: (kind, count, against_wall, w, d, h)
 _RECIPES = {
@@ -119,18 +131,67 @@ class RoomObjects:
         return len(self.cubes) - 1
 
 
-def assign_room_types(interior, rg: RandGen, is_office_bldg: bool = False):
-    """Type assignment heuristics (~ assign_special_room_types): hallways
-    stay halls; ground floor gets kitchen/living; small rooms become
-    bathrooms; office buildings get offices/server rooms."""
+def assign_room_types(interior, rg: RandGen, is_office_bldg: bool = False,
+                      btype: int | None = None, fh: float = 0.1):
+    """Type assignment heuristics (~ assign_special_room_types +
+    the per-building-type room preference tables of building_school/
+    hospital/jail.cpp `room_pref_t`): hallways stay halls; ground floor
+    gets kitchen/living (houses) or entry/waiting/cafeteria
+    (institutions); small rooms become bathrooms; the institutional
+    types fill remaining rooms with their signature room kind
+    (classroom / hospital bed room / jail cell block)."""
+    if btype is None:
+        btype = BT_OFFICE if is_office_bldg else BT_HOUSE
     types = []
-    per_floor_kitchen = {}
+    per_floor_first = {}
     for r in interior.rooms:
         if r.is_hallway:
             types.append(R_HALL)
             continue
         area = r.area
-        if is_office_bldg:
+        first = not per_floor_first.get(r.floor)
+        per_floor_first[r.floor] = True
+        if btype == BT_SCHOOL:
+            # schools: mostly classrooms; per floor one special room
+            # (cafeteria on the ground floor, library above, admin
+            # office), small rooms become bathrooms.  Classrooms need
+            # >= 3 x 1.8 floor-spacings (add_classroom_objs size gate,
+            # building_school.cpp:17)
+            w_ = r.x2 - r.x1
+            h_ = r.y2 - r.y1
+            fits = (max(w_, h_) >= 3.0 * fh and min(w_, h_) >= 1.8 * fh)
+            if area < 0.02:
+                types.append(R_BATHROOM)
+            elif first:
+                types.append(R_CAFETERIA if r.floor == 0 else
+                             (R_LIBRARY if r.floor == 1 else R_OFFICE))
+            else:
+                types.append(R_CLASSROOM if fits else R_OFFICE)
+            continue
+        if btype == BT_HOSPITAL:
+            # hospitals: waiting room at the entrance, one operating
+            # room per upper floor (first large room), bed rooms
+            # otherwise (add_hospital_room_objs fills them with beds)
+            if area < 0.02:
+                types.append(R_BATHROOM)
+            elif r.floor == 0 and first:
+                types.append(R_WAITING)
+            elif r.floor > 0 and first and area > 0.03:
+                types.append(R_OPERATING)
+            else:
+                types.append(R_HOSPITAL)
+            continue
+        if btype == BT_JAIL:
+            # prisons: entry with reception desk, a security office and
+            # cafeteria on the ground floor, cell blocks elsewhere
+            if r.floor == 0 and first:
+                types.append(R_OFFICE)       # entry/reception
+            elif r.floor == 0 and area > 0.04:
+                types.append(R_CAFETERIA)
+            else:
+                types.append(R_JAIL)
+            continue
+        if btype == BT_OFFICE:
             roll = rg.rand() % 16
             types.append({0: R_SERVER, 1: R_STORAGE, 2: R_CONFERENCE,
                           3: R_CLASSROOM, 4: R_CAFETERIA, 5: R_DATACENTER,
@@ -139,8 +200,8 @@ def assign_room_types(interior, rg: RandGen, is_office_bldg: bool = False):
             continue
         if area < 0.02:
             types.append(R_BATHROOM)
-        elif r.floor == 0 and not per_floor_kitchen.get(0):
-            per_floor_kitchen[0] = True
+        elif r.floor == 0 and not per_floor_first.get("kitchen"):
+            per_floor_first["kitchen"] = True
             types.append(R_KITCHEN)
         elif r.floor == 0 and area > 0.04:
             types.append(R_LIVING if rg.rand_bool() else R_DINING)
@@ -623,6 +684,332 @@ def _gen_parking(out, pl, rg, ri, room, z0, fh, scale):
             room.x2, room.y1 + 0.15 * scale, z0 + 0.5 * fh)
 
 
+def _axis_helpers(room, dim):
+    """(u along dim, v along !dim) -> world (x1, y1, x2, y2)."""
+    lo = (room.x1, room.y1)
+    hi = (room.x2, room.y2)
+
+    def mk(u1, v1, u2, v2):
+        if dim == 0:
+            return (min(u1, u2), min(v1, v2), max(u1, u2), max(v1, v2))
+        return (min(v1, v2), min(u1, u2), max(v1, v2), max(u1, u2))
+    return lo, hi, mk
+
+
+def _door_on_wall(pl, room, dim, dr):
+    wall = ((room.x1, room.x2) if dim == 0 else (room.y1, room.y2))[dr]
+    for (dx, dy) in pl.doors:
+        if abs((dx if dim == 0 else dy) - wall) < pl.clear:
+            return True
+    return False
+
+
+def _gen_classroom(out, pl, rg, ri, room, z0, fh, scale):
+    """add_classroom_objs (building_school.cpp:11-130): teacher desk
+    fronting a door-free wall with a chalkboard behind it, then a grid
+    of student desks, each with a chair facing the front and papers on
+    some desks."""
+    w, h = room.x2 - room.x1, room.y2 - room.y1
+    dim = 0 if w >= h else 1            # long dim; front is a short wall
+    valid = [not _door_on_wall(pl, room, dim, d) for d in (0, 1)]
+    if not (valid[0] or valid[1]):
+        return
+    fdir = 0 if valid[0] and (not valid[1] or rg.rand_bool()) else 1
+    lo, hi, mk = _axis_helpers(room, dim)
+    fw = (lo, hi)[fdir][dim]            # front wall u coordinate
+    ds = 1.0 if fdir == 0 else -1.0     # into the room along u
+    vc = 0.5 * (lo[1 - dim] + hi[1 - dim])
+    # facing rotations along u: toward the front wall
+    face_front = (2 if fdir == 0 else 0) if dim == 0 else (3 if fdir == 0 else 1)
+    face_back = (face_front + 2) % 4
+    # sizes follow add_classroom_objs (building_school.cpp:42-46), in
+    # floor-spacing units: teacher desk 0.8x0.38x0.23 fh, student desks
+    # 0.48x0.34x0.25 fh with ~0.3 fh clearance
+    x1, y1, x2, y2 = 0, 0, 0, 0
+    cb_w = min(1.5 * fh, 0.8 * (hi[1 - dim] - lo[1 - dim]))
+    x1, y1, x2, y2 = mk(fw, vc - 0.5 * cb_w, fw + ds * 0.02 * fh,
+                        vc + 0.5 * cb_w)
+    out.add(ri, F_CHALKBOARD, x1, y1, z0 + 0.35 * fh, x2, y2,
+            z0 + 0.8 * fh, rot=face_back)
+    # teacher desk + chair, centered, near the front
+    td_u1 = fw + ds * 0.3 * fh
+    td_w = 0.8 * fh
+    x1, y1, x2, y2 = mk(td_u1, vc - 0.5 * td_w, td_u1 + ds * 0.38 * fh,
+                        vc + 0.5 * td_w)
+    if not pl.blocks_door(x1, y1, x2, y2):
+        pl.commit(x1, y1, x2, y2)
+        ti = out.add(ri, F_DESK, x1, y1, z0, x2, y2, z0 + 0.23 * fh,
+                     rot=face_back)
+        _surface_items(out, pl, rg, ri, F_DESK, ti, x1, y1,
+                       z0 + 0.23 * fh, x2 - x1, y2 - y1, scale)
+        cu = td_u1 - ds * 0.28 * fh     # teacher chair between wall/desk
+        x1, y1, x2, y2 = mk(cu, vc - 0.14 * fh, cu + ds * 0.26 * fh,
+                            vc + 0.14 * fh)
+        if not pl.overlaps(x1, y1, x2, y2):
+            pl.commit(x1, y1, x2, y2)
+            out.add(ri, F_CHAIR, x1, y1, z0, x2, y2, z0 + 0.4 * fh,
+                    rot=face_back)
+    # student desk grid facing the front
+    desk_w, desk_d = 0.48 * fh, 0.34 * fh
+    u_start = fw + ds * 1.1 * fh
+    u_end = (hi, lo)[fdir][dim] - ds * 0.25 * fh
+    v1 = lo[1 - dim] + 0.25 * fh
+    v2 = hi[1 - dim] - 0.25 * fh
+    du, dv = desk_d + 0.45 * fh, desk_w + 0.3 * fh
+    nrows = max(0, min(8, int(abs(u_end - u_start) / du)))
+    ncols = max(0, min(8, int((v2 - v1) / dv)))
+    for r_i in range(nrows):
+        for c_i in range(ncols):
+            u = u_start + ds * du * r_i
+            v = v1 + dv * c_i + 0.02 * fh
+            x1, y1, x2, y2 = mk(u, v, u + ds * desk_d, v + desk_w)
+            if pl.blocks_door(x1, y1, x2, y2) or pl.overlaps(x1, y1, x2, y2):
+                continue
+            pl.commit(x1, y1, x2, y2)
+            di = out.add(ri, F_DESK, x1, y1, z0, x2, y2, z0 + 0.25 * fh,
+                         rot=face_front)
+            if rg.randd() < 0.7:
+                out.add(ri, F_PAPER, x1 + 0.005, y1 + 0.005,
+                        z0 + 0.25 * fh, x1 + 0.005 + 0.2 * fh,
+                        y1 + 0.005 + 0.26 * fh, z0 + 0.255 * fh,
+                        parent=di)
+            cu = u + ds * (desk_d + 0.02 * fh)
+            x1, y1, x2, y2 = mk(cu, v + 0.08 * fh,
+                                cu + ds * 0.26 * fh, v + 0.36 * fh)
+            if not (pl.overlaps(x1, y1, x2, y2)
+                    or pl.blocks_door(x1, y1, x2, y2)):
+                pl.commit(x1, y1, x2, y2)
+                out.add(ri, F_CHAIR, x1, y1, z0, x2, y2,
+                        z0 + 0.4 * fh, rot=face_front)
+
+
+def _gen_hospital_room(out, pl, rg, ri, room, z0, fh, scale):
+    """add_hospital_room_objs (building_hospital.cpp:124-200): a row of
+    hospital beds with heads against one wall, all sharing an
+    orientation, privacy curtains hung between adjacent beds, a
+    nightstand per bed, and a TV on the opposite wall."""
+    w, h = room.x2 - room.x1, room.y2 - room.y1
+    dim = 0 if w >= h else 1            # beds spread along the long dim
+    hdir = 0 if not _door_on_wall(pl, room, 1 - dim, 0) else 1
+    lo, hi, mk = _axis_helpers(room, dim)
+    head_v = (lo, hi)[hdir][1 - dim]    # heads against this v wall
+    vs = 1.0 if hdir == 0 else -1.0
+    bed_w, bed_len = 0.55 * fh, 1.1 * fh
+    max_beds = max(1, min(16, int(0.25 * (w * h) / (fh * fh))))
+    u1 = lo[dim] + 0.25 * fh
+    u2 = hi[dim] - 0.25 * fh
+    pitch = bed_w + 0.5 * fh
+    nbeds = max(0, min(max_beds, int((u2 - u1 + 0.5 * fh) / pitch)))
+    rot = (1 if hdir == 0 else 3) if dim == 0 else (0 if hdir == 0 else 2)
+    placed_u = []
+    for i in range(nbeds):
+        u = u1 + pitch * i
+        x1, y1, x2, y2 = mk(u, head_v, u + bed_w, head_v + vs * bed_len)
+        if pl.blocks_door(x1, y1, x2, y2) or pl.overlaps(x1, y1, x2, y2):
+            continue
+        pl.commit(x1, y1, x2, y2)
+        out.add(ri, F_HOSPITAL_BED, x1, y1, z0, x2, y2, z0 + 0.45 * fh,
+                rot=rot)
+        nu = u + bed_w + 0.02 * fh
+        x1, y1, x2, y2 = mk(nu, head_v, nu + 0.25 * fh,
+                            head_v + vs * 0.25 * fh)
+        if not (pl.overlaps(x1, y1, x2, y2) or pl.blocks_door(x1, y1, x2, y2)):
+            pl.commit(x1, y1, x2, y2)
+            ni = out.add(ri, F_NIGHTSTAND, x1, y1, z0, x2, y2,
+                         z0 + 0.4 * fh)
+            _surface_items(out, pl, rg, ri, F_NIGHTSTAND, ni, x1, y1,
+                           z0 + 0.4 * fh, x2 - x1, y2 - y1, scale)
+        placed_u.append(u)
+    # curtains hung between adjacent beds (ceiling-mounted, near-floor)
+    for ua, ub in zip(placed_u, placed_u[1:]):
+        cu = 0.5 * (ua + bed_w + ub)
+        x1, y1, x2, y2 = mk(cu - 0.02 * fh, head_v, cu + 0.02 * fh,
+                            head_v + vs * (bed_len + 0.15 * fh))
+        out.add(ri, F_CURTAIN, x1, y1, z0 + 0.15 * fh, x2, y2,
+                z0 + 0.92 * fh)
+    if placed_u:                        # TV on the opposite wall
+        tv_v = (hi, lo)[hdir][1 - dim]
+        uc = 0.5 * (u1 + u2)
+        x1, y1, x2, y2 = mk(uc - 0.3 * fh, tv_v - vs * 0.06 * fh,
+                            uc + 0.3 * fh, tv_v)
+        out.add(ri, F_TV, x1, y1, z0 + 0.5 * fh, x2, y2,
+                z0 + 0.85 * fh, rot=rot)
+
+
+def _gen_operating_room(out, pl, rg, ri, room, z0, fh, scale):
+    """add_operating_room_objs (building_hospital.cpp:508+): central
+    operating table under a surgical light, counters along the walls,
+    and a scrub sink."""
+    cx = 0.5 * (room.x1 + room.x2)
+    cy = 0.5 * (room.y1 + room.y2)
+    tw, td = 0.22 * scale, 0.12 * scale
+    x1, y1 = cx - 0.5 * tw, cy - 0.5 * td
+    pl.commit(x1, y1, x1 + tw, y1 + td)
+    out.add(ri, F_OPERATING_TABLE, x1, y1, z0, x1 + tw, y1 + td,
+            z0 + 0.13 * scale)
+    out.add(ri, F_CEIL_LIGHT, cx - 0.04 * scale, cy - 0.04 * scale,
+            z0 + 0.8 * fh, cx + 0.04 * scale, cy + 0.04 * scale,
+            z0 + 0.85 * fh)
+    for _ in range(2):
+        p = pl.try_place(0.25 * scale, 0.08 * scale, True)
+        if p:
+            x, y, rot = p
+            out.add(ri, F_COUNTER, x, y, z0, x + 0.25 * scale,
+                    y + 0.08 * scale, z0 + 0.14 * scale, rot=rot)
+    p = pl.try_place(0.07 * scale, 0.06 * scale, True)
+    if p:
+        x, y, rot = p
+        out.add(ri, F_SINK, x, y, z0, x + 0.07 * scale, y + 0.06 * scale,
+                z0 + 0.13 * scale, rot=rot)
+
+
+def _gen_jail_cells(out, pl, rg, ri, room, z0, fh, scale):
+    """add_prison_jail_cell_objs / populate_jail_cell
+    (building_jail.cpp:380-460, 1100-1260): a row of cells along one
+    long wall, fronted by bars with a door gap per cell; each cell gets
+    a bed along its partition wall and a toilet + sink on the back
+    wall; the strip in front of the bars is the cell-block hall."""
+    w, h = room.x2 - room.x1, room.y2 - room.y1
+    dim = 0 if w >= h else 1            # cells along the long dim
+    bdir = 0 if not _door_on_wall(pl, room, 1 - dim, 0) else 1
+    lo, hi, mk = _axis_helpers(room, dim)
+    back_v = (lo, hi)[bdir][1 - dim]
+    vs = 1.0 if bdir == 0 else -1.0
+    depth = min(1.6 * fh, 0.55 * (h if dim == 0 else w))
+    front_v = back_v + vs * depth
+    cell_w = 1.2 * fh
+    u1 = lo[dim]
+    ncells = max(0, int((hi[dim] - lo[dim]) / cell_w))
+    bed_rot = (1 if bdir == 0 else 3) if dim == 0 else (0 if bdir == 0 else 2)
+    for i in range(ncells):
+        cu1 = u1 + i * cell_w
+        cu2 = cu1 + cell_w
+        x1, y1, x2, y2 = mk(cu1, back_v, cu2, front_v)
+        if pl.blocks_door(x1, y1, x2, y2) or pl.overlaps(x1, y1, x2, y2):
+            continue
+        pl.commit(x1, y1, x2, y2)
+        # partition wall on the cell's high-u side (full height)
+        if i + 1 < ncells:
+            x1, y1, x2, y2 = mk(cu2 - 0.02 * fh, back_v, cu2 + 0.02 * fh,
+                                front_v)
+            out.add(ri, F_CELL_WALL, x1, y1, z0, x2, y2, z0 + fh)
+        # front bars with a door gap on the hinge side (alternating,
+        # like the reference's per-room hinge_side = room_id & 1)
+        gap_w = 0.45 * fh
+        gap_lo = cu1 + (0.1 * fh if (i & 1) else cell_w - gap_w - 0.1 * fh)
+        for (ba, bb) in ((cu1, gap_lo), (gap_lo + gap_w, cu2)):
+            if bb - ba < 0.02 * fh:
+                continue
+            x1, y1, x2, y2 = mk(ba, front_v - vs * 0.02 * fh, bb,
+                                front_v + vs * 0.02 * fh)
+            out.add(ri, F_JAIL_BARS, x1, y1, z0, x2, y2, z0 + fh)
+        # bed along the partition, head at the back wall
+        x1, y1, x2, y2 = mk(cu1 + 0.08 * fh, back_v,
+                            cu1 + 0.53 * fh, back_v + vs * 1.0 * fh)
+        out.add(ri, F_BED, x1, y1, z0, x2, y2, z0 + 0.3 * fh,
+                rot=bed_rot)
+        # toilet + sink on the back wall, opposite corner from the bed
+        x1, y1, x2, y2 = mk(cu2 - 0.4 * fh, back_v,
+                            cu2 - 0.1 * fh, back_v + vs * 0.3 * fh)
+        out.add(ri, F_TOILET, x1, y1, z0, x2, y2, z0 + 0.3 * fh,
+                rot=bed_rot)
+        x1, y1, x2, y2 = mk(cu2 - 0.75 * fh, back_v,
+                            cu2 - 0.5 * fh, back_v + vs * 0.22 * fh)
+        out.add(ri, F_SINK, x1, y1, z0, x2, y2, z0 + 0.4 * fh,
+                rot=bed_rot)
+
+
+def _gen_cafeteria(out, pl, rg, ri, room, z0, fh, scale):
+    """School/prison cafeteria: rows of long tables with chairs on both
+    sides, a serving counter on a short wall, and a vending machine."""
+    w, h = room.x2 - room.x1, room.y2 - room.y1
+    dim = 0 if w >= h else 1
+    lo, hi, mk = _axis_helpers(room, dim)
+    t_len = min(2.2 * fh, 0.6 * (hi[dim] - lo[dim]))
+    t_w = 0.55 * fh
+    pitch = t_w + 0.9 * fh
+    v1 = lo[1 - dim] + 0.55 * fh
+    nrows = max(0, int(((hi[1 - dim] - 0.55 * fh) - v1 + 0.9 * fh) / pitch))
+    uc = 0.5 * (lo[dim] + hi[dim])
+    for r_i in range(nrows):
+        v = v1 + pitch * r_i
+        x1, y1, x2, y2 = mk(uc - 0.5 * t_len, v, uc + 0.5 * t_len, v + t_w)
+        if pl.blocks_door(x1, y1, x2, y2) or pl.overlaps(x1, y1, x2, y2):
+            continue
+        pl.commit(x1, y1, x2, y2)
+        ti = out.add(ri, F_TABLE, x1, y1, z0, x2, y2, z0 + 0.3 * fh)
+        _surface_items(out, pl, rg, ri, F_TABLE, ti, x1, y1,
+                       z0 + 0.3 * fh, x2 - x1, y2 - y1, scale)
+        for side in (0, 1):
+            cv = v - 0.32 * fh if side == 0 else v + t_w + 0.02 * fh
+            rot = ((1 if side == 0 else 3) if dim == 0 else
+                   (0 if side == 0 else 2))
+            nch = max(1, int(t_len / (0.55 * fh)))
+            for ci in range(nch):
+                cu = uc - 0.5 * t_len + (0.1 + 0.55 * ci) * fh
+                x1, y1, x2, y2 = mk(cu, cv, cu + 0.3 * fh,
+                                    cv + 0.3 * fh)
+                if not (pl.overlaps(x1, y1, x2, y2)
+                        or pl.blocks_door(x1, y1, x2, y2)):
+                    pl.commit(x1, y1, x2, y2)
+                    out.add(ri, F_CHAIR, x1, y1, z0, x2, y2,
+                            z0 + 0.4 * fh, rot=rot)
+    p = pl.try_place(1.4 * fh, 0.4 * fh, True)
+    if p:
+        x, y, rot = p
+        ci = out.add(ri, F_COUNTER, x, y, z0, x + 1.4 * fh,
+                     y + 0.4 * fh, z0 + 0.35 * fh, rot=rot)
+        _surface_items(out, pl, rg, ri, F_COUNTER, ci, x, y,
+                       z0 + 0.35 * fh, 1.4 * fh, 0.4 * fh, scale)
+    p = pl.try_place(0.5 * fh, 0.35 * fh, True)
+    if p:
+        x, y, rot = p
+        out.add(ri, F_VENDING, x, y, z0, x + 0.5 * fh, y + 0.35 * fh,
+                z0 + 0.8 * fh, rot=rot)
+
+
+def _gen_waiting(out, pl, rg, ri, room, z0, fh, scale):
+    """Hospital waiting room: chairs in rows along the walls, a low
+    table with magazines, and a plant."""
+    for _ in range(10):
+        p = pl.try_place(0.08 * scale, 0.08 * scale, True)
+        if p:
+            x, y, rot = p
+            out.add(ri, F_CHAIR, x, y, z0, x + 0.08 * scale,
+                    y + 0.08 * scale, z0 + 0.12 * scale, rot=rot)
+    p = pl.try_place(0.15 * scale, 0.12 * scale, False)
+    if p:
+        x, y, _ = p
+        ti = out.add(ri, F_TABLE, x, y, z0, x + 0.15 * scale,
+                     y + 0.12 * scale, z0 + 0.1 * scale)
+        out.add(ri, F_PAPER, x + 0.02, y + 0.02, z0 + 0.1 * scale,
+                x + 0.06, y + 0.07, z0 + 0.102 * scale, parent=ti)
+    p = pl.try_place(0.06 * scale, 0.06 * scale, False)
+    if p:
+        x, y, _ = p
+        out.add(ri, F_PLANT, x, y, z0, x + 0.06 * scale, y + 0.06 * scale,
+                z0 + 0.25 * scale)
+
+
+def _hall_lockers(out, pl, rg, ri, room, z0, fh, scale):
+    """School hallway lockers (building_school.cpp locker rows): banks
+    of lockers along both long walls, skipping doorways."""
+    w, h = room.x2 - room.x1, room.y2 - room.y1
+    dim = 0 if w >= h else 1
+    lo, hi, mk = _axis_helpers(room, dim)
+    lk_w, lk_d = 0.3 * fh, 0.12 * fh
+    for side in (0, 1):
+        v = (lo, hi)[side][1 - dim]
+        vs = 1.0 if side == 0 else -1.0
+        n = int((hi[dim] - lo[dim] - 0.5 * fh) / lk_w)
+        for i in range(n):
+            u = lo[dim] + 0.25 * fh + i * lk_w
+            x1, y1, x2, y2 = mk(u, v, u + lk_w, v + vs * lk_d)
+            if pl.blocks_door(x1, y1, x2, y2):
+                continue
+            out.add(ri, F_LOCKER, x1, y1, z0, x2, y2, z0 + 0.6 * fh)
+
+
 _COMPOSITE_GENS = {}
 
 
@@ -632,6 +1019,9 @@ def _init_gens():
         R_KITCHEN: _gen_kitchen, R_LIVING: _gen_living,
         R_OFFICE: _gen_office, R_DINING: _gen_dining,
         R_PARKING: _gen_parking,
+        R_CLASSROOM: _gen_classroom, R_HOSPITAL: _gen_hospital_room,
+        R_OPERATING: _gen_operating_room, R_JAIL: _gen_jail_cells,
+        R_CAFETERIA: _gen_cafeteria, R_WAITING: _gen_waiting,
     })
 
 
@@ -639,14 +1029,17 @@ _init_gens()
 
 
 def furnish_rooms(interior, floor_height: float, seed: int,
-                  is_office_bldg: bool = False) -> RoomObjects:
+                  is_office_bldg: bool = False,
+                  btype: int | None = None) -> RoomObjects:
     """Place furniture in every room: composite per-type generators for
-    the rich room types (bedroom/bathroom/kitchen/living/office/dining —
-    oriented furniture groups, surface items, wall decorations, doorway
-    clearance), recipe tables for the rest."""
+    the rich room types (bedroom/bathroom/kitchen/living/office/dining
+    plus the institutional classroom/hospital/operating/jail/cafeteria/
+    waiting rooms — oriented furniture groups, surface items, wall
+    decorations, doorway clearance), recipe tables for the rest."""
     rg = RandGen(seed + 31, seed * 5 + 17)
     out = RoomObjects()
-    out.room_types = assign_room_types(interior, rg, is_office_bldg)
+    out.room_types = assign_room_types(interior, rg, is_office_bldg, btype,
+                                       fh=floor_height)
     # recipe dims are in units of 2.5 floor heights (a bed ~ 1.1 fh wide),
     # so furniture fits rooms whose min span is MIN_ROOM_F=1.4 fh
     scale = floor_height / 0.2
@@ -678,6 +1071,8 @@ def furnish_rooms(interior, floor_height: float, seed: int,
         gen = _COMPOSITE_GENS.get(rtype)
         if rtype in (R_FACTORY, R_DATACENTER, R_UTILITY, R_SERVER):
             _ceiling_pipes(out, rg, ri, room, z0, fh, scale)
+        if btype == BT_SCHOOL and rtype == R_HALL:
+            _hall_lockers(out, pl, rg, ri, room, z0, fh, scale)
         if gen is not None:
             gen(out, pl, rg, ri, room, z0, fh, scale)
             continue
@@ -708,6 +1103,14 @@ def furnish_buildings(buildings, params, seed: int = 1):
             continue
         office = (len(b.parts) > 0 and (b.parts[0][5] - b.parts[0][2])
                   > 4 * params.floor_height)
+        # a fraction of office-class buildings become institutional
+        # types (the reference assigns BTYPE_SCHOOL/HOSPITAL/PRISON at
+        # city building gen; city gen configs set the mix)
+        btype = BT_OFFICE if office else BT_HOUSE
+        if office:
+            roll = (seed * 131 + bi * 29) % 8
+            btype = {0: BT_SCHOOL, 1: BT_HOSPITAL,
+                     2: BT_JAIL}.get(roll, BT_OFFICE)
         results.append(furnish_rooms(b.interior, params.floor_height,
-                                     seed + 7 * bi, office))
+                                     seed + 7 * bi, office, btype=btype))
     return results

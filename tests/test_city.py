@@ -1184,3 +1184,91 @@ def test_pipes_and_rack_contents():
     if racks:
         kids = [j for j, p in enumerate(objs.parent) if p in racks]
         assert kids
+
+
+def test_institutional_buildings():
+    """Special building types (building_school.cpp, building_hospital.cpp,
+    building_jail.cpp): schools get classrooms with a chalkboard on a
+    door-free wall, a teacher desk, and a grid of student desks each
+    with a chair; hospitals get bed rooms with same-orientation beds and
+    privacy curtains between adjacent beds plus an operating room;
+    prisons get cell blocks where every cell has front bars, a bed, a
+    toilet, and a sink."""
+    import numpy as np
+    from w3d.city import floorplan as CF, room_content as RC
+
+    i = CF.gen_interior((0.0, 0.0, 0.0, 2.0, 1.6, 0.4), 4, 0.1, seed=5)
+
+    # --- school ---
+    objs = RC.furnish_rooms(i, 0.1, seed=9, btype=RC.BT_SCHOOL)
+    kinds = np.asarray(objs.kinds)
+    rooms = np.asarray(objs.rooms)
+    assert RC.R_CLASSROOM in objs.room_types
+    class_rooms = [ri for ri, rt in enumerate(objs.room_types)
+                   if rt == RC.R_CLASSROOM]
+    best = max(class_rooms,
+               key=lambda ri: int(((rooms == ri)
+                                   & (kinds == RC.F_DESK)).sum()))
+    n_desks = int(((rooms == best) & (kinds == RC.F_DESK)).sum())
+    n_chairs = int(((rooms == best) & (kinds == RC.F_CHAIR)).sum())
+    n_boards = int(((rooms == best) & (kinds == RC.F_CHALKBOARD)).sum())
+    assert n_desks >= 6          # teacher + a grid of student desks
+    assert n_chairs >= 0.7 * n_desks
+    assert n_boards == 1
+    # chalkboard hangs on a wall of its room (touches the boundary)
+    bi = [k for k in range(len(objs.kinds))
+          if objs.rooms[k] == best and objs.kinds[k] == RC.F_CHALKBOARD][0]
+    room = i.rooms[best]
+    x1, y1, _, x2, y2, _ = objs.cubes[bi]
+    assert (min(abs(x1 - room.x1), abs(x2 - room.x2),
+                abs(y1 - room.y1), abs(y2 - room.y2)) < 0.03)
+    # hallways have locker banks
+    assert RC.F_LOCKER in kinds
+
+    # --- hospital ---
+    objs = RC.furnish_rooms(i, 0.1, seed=9, btype=RC.BT_HOSPITAL)
+    kinds = np.asarray(objs.kinds)
+    rooms = np.asarray(objs.rooms)
+    assert RC.R_OPERATING in objs.room_types
+    assert int((kinds == RC.F_OPERATING_TABLE).sum()) >= 1
+    hosp_rooms = [ri for ri, rt in enumerate(objs.room_types)
+                  if rt == RC.R_HOSPITAL]
+    per_room_beds = {ri: int(((rooms == ri)
+                              & (kinds == RC.F_HOSPITAL_BED)).sum())
+                     for ri in hosp_rooms}
+    multi = [ri for ri, nb in per_room_beds.items() if nb >= 2]
+    assert multi, "no hospital room with >= 2 beds"
+    for ri in multi:   # curtains hang between adjacent beds
+        n_curt = int(((rooms == ri) & (kinds == RC.F_CURTAIN)).sum())
+        assert n_curt >= per_room_beds[ri] - 1
+        # all beds in a room share one orientation
+        rots = {objs.rot[k] for k in range(len(objs.kinds))
+                if objs.rooms[k] == ri
+                and objs.kinds[k] == RC.F_HOSPITAL_BED}
+        assert len(rots) == 1
+
+    # --- jail ---
+    objs = RC.furnish_rooms(i, 0.1, seed=9, btype=RC.BT_JAIL)
+    kinds = np.asarray(objs.kinds)
+    rooms = np.asarray(objs.rooms)
+    jail_rooms = [ri for ri, rt in enumerate(objs.room_types)
+                  if rt == RC.R_JAIL]
+    assert jail_rooms
+    cells_found = 0
+    for ri in jail_rooms:
+        in_room = rooms == ri
+        n_beds = int((in_room & (kinds == RC.F_BED)).sum())
+        n_toilets = int((in_room & (kinds == RC.F_TOILET)).sum())
+        n_sinks = int((in_room & (kinds == RC.F_SINK)).sum())
+        n_bars = int((in_room & (kinds == RC.F_JAIL_BARS)).sum())
+        # every cell has exactly one bed, toilet, and sink, and at least
+        # one bars segment in front
+        assert n_beds == n_toilets == n_sinks
+        if n_beds:
+            assert n_bars >= n_beds
+        cells_found += n_beds
+    assert cells_found >= 2
+
+    # determinism: same seed reproduces the same furniture exactly
+    a = RC.furnish_rooms(i, 0.1, seed=9, btype=RC.BT_JAIL)
+    assert a.cubes == objs.cubes and a.kinds == objs.kinds
