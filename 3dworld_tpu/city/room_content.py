@@ -22,7 +22,7 @@ from ..utils.rng import RandGen
  R_STORAGE, R_LIBRARY, R_RETAIL, R_SERVER, R_LAUNDRY, R_UTILITY,
  R_CONFERENCE, R_CLASSROOM, R_CAFETERIA, R_GAME, R_JAIL, R_HOSPITAL,
  R_FACTORY, R_DATACENTER, R_RESTAURANT, R_PARKING,
- R_OPERATING, R_WAITING) = range(25)
+ R_OPERATING, R_WAITING, R_HOTEL, R_WAREHOUSE) = range(27)
 
 # furniture kinds
 (F_BED, F_TOILET, F_SINK, F_TUB, F_COUNTER, F_FRIDGE, F_STOVE, F_TABLE,
@@ -52,9 +52,9 @@ from ..utils.rng import RandGen
 NUM_FURNITURE_KINDS = 69
 
 # building types (building_defs.h:137 BTYPE_*; the subset with distinct
-# interior content models here — apartment/hotel collapse to house-like
-# bedrooms on upper floors, handled by the office/house split)
-BT_HOUSE, BT_OFFICE, BT_SCHOOL, BT_HOSPITAL, BT_JAIL = range(5)
+# interior content models here)
+(BT_HOUSE, BT_OFFICE, BT_SCHOOL, BT_HOSPITAL, BT_JAIL, BT_APARTMENT,
+ BT_HOTEL, BT_WAREHOUSE) = range(8)
 
 # per-room-type furniture recipes: (kind, count, against_wall, w, d, h)
 _RECIPES = {
@@ -190,6 +190,31 @@ def assign_room_types(interior, rg: RandGen, is_office_bldg: bool = False,
                 types.append(R_CAFETERIA)
             else:
                 types.append(R_JAIL)
+            continue
+        if btype == BT_HOTEL:
+            # hotels: each non-hall room is a hotel room (the reference
+            # carves living/bed/bath sub-rooms per unit,
+            # building_floorplan.cpp:1483-1560; condensed here to a
+            # furnished hotel room with a bathroom corner)
+            types.append(R_BATHROOM if area < 0.015 else R_HOTEL)
+            continue
+        if btype == BT_APARTMENT:
+            # apartments: rooms cycle unit roles — living w/ kitchenette,
+            # bedroom, bathroom (building_floorplan.cpp make_small_apt)
+            k = len(types) % 3
+            types.append(R_BATHROOM if area < 0.015 else
+                         (R_LIVING, R_BEDROOM, R_KITCHEN)[k])
+            continue
+        if btype == BT_WAREHOUSE:
+            # warehouses: the big open rooms get shelf-rack rows
+            # (building_factory.cpp RTYPE_WAREHOUSE + add_shelf_rack
+            # rows); small rooms become the office/bathroom block
+            if area < 0.015:
+                types.append(R_BATHROOM)
+            elif area < 0.03:
+                types.append(R_OFFICE)
+            else:
+                types.append(R_WAREHOUSE)
             continue
         if btype == BT_OFFICE:
             roll = rg.rand() % 16
@@ -991,6 +1016,105 @@ def _gen_waiting(out, pl, rg, ri, room, z0, fh, scale):
                 z0 + 0.25 * scale)
 
 
+def _gen_hotel_room(out, pl, rg, ri, room, z0, fh, scale):
+    """Hotel room (building_floorplan.cpp:1483+ three-room hotel unit,
+    condensed): bed with nightstand, desk + chair, wall TV opposite the
+    bed, and a bathroom corner (toilet + sink) away from the door."""
+    p = pl.try_place(0.55 * fh, 1.0 * fh, True)
+    if p:
+        x, y, rot = p
+        out.add(ri, F_BED, x, y, z0, x + 0.55 * fh, y + 1.0 * fh,
+                z0 + 0.3 * fh, rot=rot)
+        nx, ny = x + 0.57 * fh, y
+        if nx + 0.25 * fh <= room.x2 and not pl.overlaps(
+                nx, ny, nx + 0.25 * fh, ny + 0.25 * fh):
+            pl.commit(nx, ny, nx + 0.25 * fh, ny + 0.25 * fh)
+            ni = out.add(ri, F_NIGHTSTAND, nx, ny, z0, nx + 0.25 * fh,
+                         ny + 0.25 * fh, z0 + 0.4 * fh)
+            _surface_items(out, pl, rg, ri, F_NIGHTSTAND, ni, nx, ny,
+                           z0 + 0.4 * fh, 0.25 * fh, 0.25 * fh, scale)
+        # TV on the opposite wall from the bed
+        tv_rot = (rot + 2) % 4
+        r = room
+        if rot == 0:
+            tx1, ty1 = r.x2 - 0.06 * fh, 0.5 * (r.y1 + r.y2) - 0.3 * fh
+            tx2, ty2 = r.x2, ty1 + 0.6 * fh
+        elif rot == 2:
+            tx1, ty1 = r.x1, 0.5 * (r.y1 + r.y2) - 0.3 * fh
+            tx2, ty2 = r.x1 + 0.06 * fh, ty1 + 0.6 * fh
+        elif rot == 1:
+            tx1, ty1 = 0.5 * (r.x1 + r.x2) - 0.3 * fh, r.y2 - 0.06 * fh
+            tx2, ty2 = tx1 + 0.6 * fh, r.y2
+        else:
+            tx1, ty1 = 0.5 * (r.x1 + r.x2) - 0.3 * fh, r.y1
+            tx2, ty2 = tx1 + 0.6 * fh, r.y1 + 0.06 * fh
+        out.add(ri, F_TV, tx1, ty1, z0 + 0.5 * fh, tx2, ty2,
+                z0 + 0.85 * fh, rot=tv_rot)
+    p = pl.try_place(0.5 * fh, 0.3 * fh, True)
+    if p:
+        x, y, rot = p
+        di = out.add(ri, F_DESK, x, y, z0, x + 0.5 * fh, y + 0.3 * fh,
+                     z0 + 0.25 * fh, rot=rot)
+        _surface_items(out, pl, rg, ri, F_DESK, di, x, y, z0 + 0.25 * fh,
+                       0.5 * fh, 0.3 * fh, scale)
+    # bathroom corner: toilet + sink against a wall
+    p = pl.try_place(0.3 * fh, 0.3 * fh, True)
+    if p:
+        x, y, rot = p
+        out.add(ri, F_TOILET, x, y, z0, x + 0.3 * fh, y + 0.3 * fh,
+                z0 + 0.3 * fh, rot=rot)
+    p = pl.try_place(0.25 * fh, 0.22 * fh, True)
+    if p:
+        x, y, rot = p
+        out.add(ri, F_SINK, x, y, z0, x + 0.25 * fh, y + 0.22 * fh,
+                z0 + 0.4 * fh, rot=rot)
+
+
+def _gen_warehouse(out, pl, rg, ri, room, z0, fh, scale):
+    """Warehouse shelf racks (building_retail.cpp add_shelf_rack rows +
+    building_factory.cpp RTYPE_WAREHOUSE): tall rack rows spanning the
+    long dim with forklift aisles between them, boxes stacked on each
+    shelf level, and loose pallet boxes near the walls."""
+    w, h = room.x2 - room.x1, room.y2 - room.y1
+    dim = 0 if w >= h else 1
+    lo, hi, mk = _axis_helpers(room, dim)
+    rack_len = (hi[dim] - lo[dim]) - 1.2 * fh
+    if rack_len < 1.0 * fh:
+        return
+    rack_w, aisle = 0.5 * fh, 0.9 * fh
+    pitch = rack_w + aisle
+    v1 = lo[1 - dim] + 0.6 * fh
+    v2 = hi[1 - dim] - 0.6 * fh
+    nrows = max(0, int((v2 - v1 + aisle) / pitch))
+    rack_h = 0.85 * fh
+    u1 = lo[dim] + 0.6 * fh
+    for r_i in range(nrows):
+        v = v1 + pitch * r_i
+        x1, y1, x2, y2 = mk(u1, v, u1 + rack_len, v + rack_w)
+        if pl.blocks_door(x1, y1, x2, y2) or pl.overlaps(x1, y1, x2, y2):
+            continue
+        pl.commit(x1, y1, x2, y2)
+        rk = out.add(ri, F_RACK, x1, y1, z0, x2, y2, z0 + rack_h)
+        # boxes on each of 3 shelf levels along the rack
+        nbox = max(1, int(rack_len / (0.45 * fh)))
+        for lvl in range(3):
+            bz = z0 + (0.06 + 0.27 * lvl) * fh
+            for b in range(nbox):
+                if rg.randd() < 0.35:
+                    continue        # partially stocked
+                bu = u1 + (0.05 + 0.45 * b) * fh
+                bx1, by1, bx2, by2 = mk(bu, v + 0.05 * fh,
+                                        bu + 0.35 * fh, v + rack_w - 0.05 * fh)
+                out.add(ri, F_BOX, bx1, by1, bz, bx2, by2, bz + 0.2 * fh,
+                        parent=rk)
+    for _ in range(4):                  # loose pallet boxes by the walls
+        p = pl.try_place(0.4 * fh, 0.4 * fh, True)
+        if p:
+            x, y, _ = p
+            out.add(ri, F_BOX, x, y, z0, x + 0.4 * fh, y + 0.4 * fh,
+                    z0 + 0.35 * fh)
+
+
 def _hall_lockers(out, pl, rg, ri, room, z0, fh, scale):
     """School hallway lockers (building_school.cpp locker rows): banks
     of lockers along both long walls, skipping doorways."""
@@ -1022,6 +1146,7 @@ def _init_gens():
         R_CLASSROOM: _gen_classroom, R_HOSPITAL: _gen_hospital_room,
         R_OPERATING: _gen_operating_room, R_JAIL: _gen_jail_cells,
         R_CAFETERIA: _gen_cafeteria, R_WAITING: _gen_waiting,
+        R_HOTEL: _gen_hotel_room, R_WAREHOUSE: _gen_warehouse,
     })
 
 
@@ -1108,9 +1233,10 @@ def furnish_buildings(buildings, params, seed: int = 1):
         # city building gen; city gen configs set the mix)
         btype = BT_OFFICE if office else BT_HOUSE
         if office:
-            roll = (seed * 131 + bi * 29) % 8
-            btype = {0: BT_SCHOOL, 1: BT_HOSPITAL,
-                     2: BT_JAIL}.get(roll, BT_OFFICE)
+            roll = (seed * 131 + bi * 29) % 12
+            btype = {0: BT_SCHOOL, 1: BT_HOSPITAL, 2: BT_JAIL,
+                     3: BT_HOTEL, 4: BT_APARTMENT,
+                     5: BT_WAREHOUSE}.get(roll, BT_OFFICE)
         results.append(furnish_rooms(b.interior, params.floor_height,
                                      seed + 7 * bi, office, btype=btype))
     return results

@@ -1272,3 +1272,56 @@ def test_institutional_buildings():
     # determinism: same seed reproduces the same furniture exactly
     a = RC.furnish_rooms(i, 0.1, seed=9, btype=RC.BT_JAIL)
     assert a.cubes == objs.cubes and a.kinds == objs.kinds
+
+
+def test_apartment_hotel_warehouse():
+    """BTYPE_APARTMENT/HOTEL/WAREHOUSE (building_defs.h:137,
+    building_floorplan.cpp:1483+ unit carving, building_factory.cpp
+    warehouse + building_retail.cpp shelf racks): hotel rooms each get
+    bed/TV/toilet/sink; apartment floors cycle living/bedroom/kitchen
+    unit roles; warehouses get tall stocked rack rows with aisles."""
+    import numpy as np
+    from w3d.city import floorplan as CF, room_content as RC
+
+    i = CF.gen_interior((0.0, 0.0, 0.0, 2.0, 1.6, 0.4), 4, 0.1, seed=5)
+
+    # --- hotel ---
+    objs = RC.furnish_rooms(i, 0.1, seed=9, btype=RC.BT_HOTEL)
+    kinds = np.asarray(objs.kinds)
+    rooms = np.asarray(objs.rooms)
+    hotel_rooms = [ri for ri, rt in enumerate(objs.room_types)
+                   if rt == RC.R_HOTEL]
+    assert len(hotel_rooms) >= 5
+    full = 0
+    for ri in hotel_rooms:
+        ks = set(kinds[rooms == ri].tolist())
+        if {RC.F_BED, RC.F_TV, RC.F_TOILET, RC.F_SINK} <= ks:
+            full += 1
+    assert full >= 0.5 * len(hotel_rooms)
+
+    # --- apartment: unit roles present on every floor ---
+    objs = RC.furnish_rooms(i, 0.1, seed=9, btype=RC.BT_APARTMENT)
+    per_floor = {}
+    for ri, rt in enumerate(objs.room_types):
+        per_floor.setdefault(i.rooms[ri].floor, set()).add(rt)
+    for fl in range(i.num_floors):
+        assert {RC.R_LIVING, RC.R_BEDROOM,
+                RC.R_KITCHEN} <= per_floor.get(fl, set())
+
+    # --- warehouse ---
+    objs = RC.furnish_rooms(i, 0.1, seed=9, btype=RC.BT_WAREHOUSE)
+    kinds = np.asarray(objs.kinds)
+    rooms = np.asarray(objs.rooms)
+    parent = np.asarray(objs.parent)
+    wh_rooms = [ri for ri, rt in enumerate(objs.room_types)
+                if rt == RC.R_WAREHOUSE]
+    assert wh_rooms
+    racks = np.where(kinds == RC.F_RACK)[0]
+    assert len(racks) >= 2
+    # racks are tall (warehouse shelving, not retail gondolas)
+    heights = [objs.cubes[k][5] - objs.cubes[k][2] for k in racks]
+    assert min(heights) > 0.07
+    # racks are stocked: boxes parented onto them
+    boxes_on_racks = int(((kinds == RC.F_BOX)
+                          & np.isin(parent, racks)).sum())
+    assert boxes_on_racks >= 6
