@@ -254,3 +254,24 @@ def mall_atrium_opening(bounds, floor_height: float):
         hw = 0.5 * CONCOURSE_FRACT * (x2 - x1) * 0.8
         hh = 0.5 * ATRIUM_FRACT * (y2 - y1)
     return (cx - hw, cy - hh, cx + hw, cy + hh)
+
+
+# reference store types cycled per mall store (building_names_signs.cpp
+# store_type_strs: clothing/food/book/retail/furniture)
+STORE_TYPES = ("clothing", "food", "book", "retail", "furniture")
+
+
+def store_names(interior, seed: int):
+    """Per-store (category, sign name) for every mall store room, drawn
+    from the shipped text_data/store_names.txt categories
+    (building_names_signs.cpp choose_store_name)."""
+    from ..utils.names import choose_store_name
+    rg = RandGen(seed + 19, 2 * seed + 5)
+    out = []
+    for r in interior.rooms:
+        if r.is_hallway:
+            out.append(None)
+            continue
+        cat = STORE_TYPES[rg.rand() % len(STORE_TYPES)]
+        out.append((cat, choose_store_name(cat, rg)))
+    return out

@@ -471,3 +471,11 @@ def _put(st: PeopleState, idx, sub: PeopleState) -> PeopleState:
         a[idx] = np.asarray(g)
         out.append(jnp.asarray(a))
     return PeopleState(*out)
+
+
+def person_name(person_id: int) -> str:
+    """Display name for a person, seeded by their id like the
+    reference's ssn-seeded person_name_gen (pedestrians.cpp:130-151);
+    gender alternates by id as the reference's person gen rolls it."""
+    from ..utils.names import gen_person_name
+    return gen_person_name(int(person_id), bool(person_id & 1))

@@ -1240,3 +1240,52 @@ def furnish_buildings(buildings, params, seed: int = 1):
         results.append(furnish_rooms(b.interior, params.floor_height,
                                      seed + 7 * bi, office, btype=btype))
     return results
+
+
+# room-type door-sign nouns (get_room_name, building_names_signs.cpp:155;
+# numbered like add_numbered_door_sign)
+_SIGN_NOUNS = {R_CLASSROOM: "Classroom", R_HOTEL: "Room",
+               R_HOSPITAL: "Room", R_OFFICE: "Office",
+               R_CONFERENCE: "Conference Room", R_OPERATING: "OR",
+               R_JAIL: "Cell Block", R_CAFETERIA: "Cafeteria",
+               R_LIBRARY: "Library", R_WAITING: "Waiting Room"}
+
+
+def label_objects(interior, objs: RoomObjects, seed: int):
+    """Text labels: book titles from the shipped book_titles.txt and
+    numbered door signs per labeled room type (building_names_signs.cpp
+    add_numbered_door_sign / TYPE_BOOK title assignment).  Drawn from a
+    separate RNG stream so placement stays byte-identical."""
+    from ..utils.names import choose_book_title
+    rg = RandGen(seed + 41, 3 * seed + 13)
+    labels = {}
+    for idx, kind in enumerate(objs.kinds):
+        if kind == F_BOOK:
+            labels[idx] = choose_book_title(rg)
+    signs = {}
+    counters = {}
+    for ri, rt in enumerate(objs.room_types):
+        noun = _SIGN_NOUNS.get(rt)
+        if noun is None:
+            continue
+        floor = interior.rooms[ri].floor
+        n = counters.get((rt, floor), 0) + 1
+        counters[(rt, floor)] = n
+        signs[ri] = (f"{noun} {100 * (floor + 1) + n}"
+                     if rt in (R_HOTEL, R_HOSPITAL) else f"{noun} {n}")
+    return labels, signs
+
+
+def building_name(btype: int, seed: int) -> str:
+    """Business name on the building sign (choose_business_name)."""
+    from ..utils.names import choose_business_name
+    kind = {BT_HOUSE: "house", BT_OFFICE: "office", BT_SCHOOL: "school",
+            BT_HOSPITAL: "hospital", BT_JAIL: "prison",
+            BT_APARTMENT: "apartment", BT_HOTEL: "hotel",
+            BT_WAREHOUSE: "warehouse"}[btype]
+    rg = RandGen(seed + 23, seed * 7 + 3)
+    if kind == "house":
+        from ..utils.names import gen_person_name
+        return gen_person_name(seed, bool(seed & 1), False, True) \
+            + " Residence"
+    return choose_business_name(rg, kind)

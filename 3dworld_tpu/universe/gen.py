@@ -337,3 +337,28 @@ def system_body_positions(sy: System, time_ticks: float):
             out.append(("moon", moon_position(sy, p, m, time_ticks),
                         m.radius))
     return out
+
+
+# ---------------------------------------------------------------------------
+# body names (Universe_name.cpp named_obj::gen_name; names derive from
+# each body's own seed so lazy cell paging names bodies deterministically
+# without touching the generation RNG stream)
+# ---------------------------------------------------------------------------
+
+def planet_name(p: Planet) -> str:
+    from ..utils.names import gen_random_name
+    return gen_random_name(RandGen(p.seed + 77, p.seed + 911), 0, True)
+
+
+def moon_name(m: Moon) -> str:
+    from ..utils.names import gen_random_name
+    return gen_random_name(RandGen(m.seed + 77, m.seed + 911), 0, True)
+
+
+def system_name(sy: System) -> str:
+    """The system and its star share a name, like the reference's
+    ustar/usystem naming."""
+    from ..utils.names import gen_random_name
+    s1 = gen_rand_seed1(sy.pos)
+    s2 = gen_rand_seed2(sy.pos)
+    return gen_random_name(RandGen(s1 + 77, s2 + 911), 0, True)
