@@ -62,6 +62,26 @@ def main():
     print(f"reference spheres budget (20M local + 1M global rays) at this "
           f"rate: {21e6/rays_s:.2f} s")
 
+    # dense directional sweep (lighting/sweep.py): same direct+bounce
+    # integral, no Monte Carlo — report the full-volume solve time
+    from w3d.lighting import sweep as SW
+
+    def run_sweep(seed):
+        return SW.compute_sky_lighting_sweep(
+            grid, co, mesh, ndirs=32 + 0 * seed, world=world)
+    _force(run_sweep(1))
+    t0 = time.perf_counter()
+    _force(run_sweep(2))
+    dts = time.perf_counter() - t0
+    print(f"dense sweep (32 dirs + bounce, {grid.shape} volume): "
+          f"{dts*1e3:.0f} ms/solve")
+    # the MC path needs ~16 rays/cell for comparable noise on the sky
+    # term; rays-equivalent throughput:
+    ncells = grid.shape[0] * grid.shape[1] * grid.shape[2]
+    eq_rays = 16 * ncells
+    print(f"equivalent-ray throughput: {eq_rays/dts/1e6:.1f} M rays/s "
+          f"({eq_rays/1e6:.1f}M-ray-equivalent in {dts*1e3:.0f} ms)")
+
 
 def _force(g):
     try:
