@@ -362,3 +362,9 @@ def system_name(sy: System) -> str:
     s1 = gen_rand_seed1(sy.pos)
     s2 = gen_rand_seed2(sy.pos)
     return gen_random_name(RandGen(s1 + 77, s2 + 911), 0, True)
+
+
+def galaxy_name(g: Galaxy) -> str:
+    from ..utils.names import gen_random_name
+    return gen_random_name(RandGen(g.sys_seed1 + 77, g.sys_seed2 + 911),
+                           0, True)
