@@ -54,7 +54,7 @@ NUM_FURNITURE_KINDS = 69
 # building types (building_defs.h:137 BTYPE_*; the subset with distinct
 # interior content models here)
 (BT_HOUSE, BT_OFFICE, BT_SCHOOL, BT_HOSPITAL, BT_JAIL, BT_APARTMENT,
- BT_HOTEL, BT_WAREHOUSE) = range(8)
+ BT_HOTEL, BT_WAREHOUSE, BT_POLICE, BT_FIRE_STATION, BT_CONV_STORE) = range(11)
 
 # per-room-type furniture recipes: (kind, count, against_wall, w, d, h)
 _RECIPES = {
@@ -215,6 +215,45 @@ def assign_room_types(interior, rg: RandGen, is_office_bldg: bool = False,
                 types.append(R_OFFICE)
             else:
                 types.append(R_WAREHOUSE)
+            continue
+        if btype == BT_POLICE:
+            # police stations: offices + holding cells on the ground
+            # floor + locker room (building_rooms.cpp:1030 adds jail
+            # rooms for police stations; offices get cubicles like
+            # large office buildings, :1015).  The first big-enough
+            # ground-floor room becomes the holding cell block.
+            if area < 0.015:
+                types.append(R_BATHROOM)
+            elif (r.floor == 0 and area > 0.03
+                  and not per_floor_first.get("holding")):
+                per_floor_first["holding"] = True
+                types.append(R_JAIL)            # holding cell block
+            elif first:
+                types.append(R_STORAGE)         # evidence/locker room
+            else:
+                types.append(R_OFFICE)
+            continue
+        if btype == BT_FIRE_STATION:
+            # fire stations: the big ground-floor room is the apparatus
+            # bay (vehicle slots like a parking garage), upstairs gets
+            # bunks + kitchen + office
+            if area < 0.015:
+                types.append(R_BATHROOM)
+            elif r.floor == 0 and area > 0.03:
+                types.append(R_PARKING)         # apparatus bay
+            elif first and r.floor > 0:
+                types.append(R_KITCHEN)
+            elif r.floor > 0 and (len(types) % 3) == 1:
+                types.append(R_BEDROOM)         # bunk room
+            else:
+                types.append(R_OFFICE)
+            continue
+        if btype == BT_CONV_STORE:
+            # convenience stores: one retail floor (shelf racks +
+            # checkout), back room storage
+            types.append(R_STORAGE if (area < 0.02 or not first
+                                       and len(types) % 4 == 3)
+                         else R_RETAIL)
             continue
         if btype == BT_OFFICE:
             roll = rg.rand() % 16
@@ -1233,10 +1272,11 @@ def furnish_buildings(buildings, params, seed: int = 1):
         # city building gen; city gen configs set the mix)
         btype = BT_OFFICE if office else BT_HOUSE
         if office:
-            roll = (seed * 131 + bi * 29) % 12
+            roll = (seed * 131 + bi * 29) % 16
             btype = {0: BT_SCHOOL, 1: BT_HOSPITAL, 2: BT_JAIL,
-                     3: BT_HOTEL, 4: BT_APARTMENT,
-                     5: BT_WAREHOUSE}.get(roll, BT_OFFICE)
+                     3: BT_HOTEL, 4: BT_APARTMENT, 5: BT_WAREHOUSE,
+                     6: BT_POLICE, 7: BT_FIRE_STATION,
+                     8: BT_CONV_STORE}.get(roll, BT_OFFICE)
         results.append(furnish_rooms(b.interior, params.floor_height,
                                      seed + 7 * bi, office, btype=btype))
     return results
@@ -1282,7 +1322,9 @@ def building_name(btype: int, seed: int) -> str:
     kind = {BT_HOUSE: "house", BT_OFFICE: "office", BT_SCHOOL: "school",
             BT_HOSPITAL: "hospital", BT_JAIL: "prison",
             BT_APARTMENT: "apartment", BT_HOTEL: "hotel",
-            BT_WAREHOUSE: "warehouse"}[btype]
+            BT_WAREHOUSE: "warehouse", BT_POLICE: "police",
+            BT_FIRE_STATION: "fire_stat",
+            BT_CONV_STORE: "office"}[btype]
     rg = RandGen(seed + 23, seed * 7 + 3)
     if kind == "house":
         from ..utils.names import gen_person_name

@@ -1325,3 +1325,31 @@ def test_apartment_hotel_warehouse():
     boxes_on_racks = int(((kinds == RC.F_BOX)
                           & np.isin(parent, racks)).sum())
     assert boxes_on_racks >= 6
+
+
+def test_police_fire_convstore_types():
+    """BTYPE_POLICE / BTYPE_FIRE_STAT / BTYPE_CONV_STORE: police get a
+    ground-floor holding cell block + offices (building_rooms.cpp:1030);
+    fire stations get an apparatus bay + upstairs bunks; convenience
+    stores get retail shelving floors."""
+    from w3d.city import floorplan as CF, room_content as RC
+    i = CF.gen_interior((0.0, 0.0, 0.0, 2.0, 1.6, 0.4), 4, 0.1, seed=5)
+
+    objs = RC.furnish_rooms(i, 0.1, seed=9, btype=RC.BT_POLICE)
+    g0 = [rt for ri, rt in enumerate(objs.room_types)
+          if i.rooms[ri].floor == 0]
+    assert RC.R_JAIL in g0
+    assert objs.room_types.count(RC.R_OFFICE) >= 5
+
+    objs = RC.furnish_rooms(i, 0.1, seed=9, btype=RC.BT_FIRE_STATION)
+    g0 = [rt for ri, rt in enumerate(objs.room_types)
+          if i.rooms[ri].floor == 0]
+    up = [rt for ri, rt in enumerate(objs.room_types)
+          if i.rooms[ri].floor > 0]
+    assert RC.R_PARKING in g0                  # apparatus bay
+    assert RC.R_BEDROOM in up and RC.R_KITCHEN in up
+
+    objs = RC.furnish_rooms(i, 0.1, seed=9, btype=RC.BT_CONV_STORE)
+    assert objs.room_types.count(RC.R_RETAIL) >= 8
+    assert RC.building_name(RC.BT_POLICE, 3).endswith("Police Station")
+    assert RC.building_name(RC.BT_FIRE_STATION, 3).endswith("Fire Station")
