@@ -862,7 +862,9 @@ def _substep(state: ObjectState, env: PhysicsEnv, cobjs: CobjSet | None,
                                               elas, air_eff)
         stick = ice_touch & ((elas < T.ICE_BOUNCE_ELAS) | ~idid)
         bounce_ice = ice_touch & ~stick
-        pz = jnp.where(ice_touch, wpz + rad + 1e-5, pz)
+        # sitting on the ice surface adds SMALL_NUMBER=0.001
+        # (Physics.cpp:1209, `water_height + radius + SMALL_NUMBER`)
+        pz = jnp.where(ice_touch, wpz + rad + 0.001, pz)
         vx = jnp.where(stick, 0.0, jnp.where(bounce_ice, ibx, vx))
         vy = jnp.where(stick, 0.0, jnp.where(bounce_ice, iby, vy))
         vz = jnp.where(stick, 0.0, jnp.where(bounce_ice, ibz, vz))

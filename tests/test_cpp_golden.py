@@ -266,3 +266,70 @@ def test_physics_oracle_slope_rolling_tracks(phys_harness, tmp_path):
     err = np.abs(cpp[:, :, :3] - py[:, :, :3]).max(axis=(1, 2))
     assert float(err[49]) < 0.01                            # 50 steps
     assert float(err.max()) < 0.1                           # 200 steps
+
+
+def test_ice_branch_kernel_vs_cpp(phys_harness, tmp_path):
+    """Frozen water (the one water path outside the oracle's scope,
+    Physics.cpp:1197-1218): the BATCHED KERNEL is compared directly to
+    the compiled reference.  Low-elasticity objects must stick to the
+    ice surface at wpz + radius + SMALL_NUMBER with status 4; final
+    resting heights agree to 1e-4."""
+    import jax.numpy as jnp
+    import oracle_physics as OP
+    from w3d.physics import step as PS, types as PT
+    from w3d.utils.constants import WorldConst
+
+    world = WorldConst()
+    mesh = np.zeros((world.mesh_y, world.mesh_x), np.float32)
+    wpz = 0.5
+    n = 8
+    rng = np.random.default_rng(3)
+    pos = np.stack([rng.uniform(-2, 2, n), rng.uniform(-2, 2, n),
+                    rng.uniform(1.0, 1.5, n)], 1).astype(np.float32)
+    vel = np.zeros((n, 3), np.float32)
+    tp = OP.TypeParams(radius=0.04, air_factor=0.05, friction=0.01,
+                       gravity=1.0, elasticity=0.2, density=0.6,
+                       terminal_vel=10.0, lifetime=1000000)
+    env_o = OP.OracleEnv(wind=np.zeros(3, np.float32), water_plane_z=wpz,
+                         base_gravity=1.0, zmin=-4.0)
+    steps = 250
+    ts = float(PT.DEF_TIMESTEP)
+    # compiled reference, temperature below freezing
+    os.environ["PH_TEMP"] = "-5.0"
+    try:
+        cpp = _run_phys(phys_harness, mesh, pos, vel, steps, tp, env_o,
+                        ts, str(tmp_path))
+    finally:
+        del os.environ["PH_TEMP"]
+    # every object froze onto the ice surface
+    assert (cpp[-1, :, 6] == 4).all()
+    np.testing.assert_allclose(cpp[-1, :, 2], wpz + 0.04 + 0.001,
+                               atol=1e-5)
+
+    # batched kernel on the same scenario (temperature drives the ice
+    # branch; one substep per reference frame)
+    table = PT.make_type_table()
+    # a low-elasticity type (< ICE_BOUNCE_ELAS) so the kernel's objects
+    # stick rather than keep bouncing (BALL's 0.92 elasticity bounces on
+    # ice in both implementations)
+    el = np.asarray(table.elasticity)
+    rad_t = np.asarray(table.radius)
+    bid = int(np.argmax((el > 0) & (el < 0.35) & (rad_t > 0.01)))
+    assert 0.0 < el[bid] < 0.4
+    penv = PS.PhysicsEnv(
+        mesh_height=jnp.asarray(mesh),
+        water_plane_z=jnp.float32(wpz),
+        wind=jnp.zeros(3, jnp.float32),
+        temperature=jnp.float32(-5.0),
+        base_gravity=jnp.float32(1.0),
+        zmin=jnp.float32(-4.0))
+    st = PS.make_state(pos.copy(), vel.copy(), np.full(n, bid), table)
+    # BALL's table radius/elasticity differ from tp; override via arrays
+    for _ in range(steps):
+        st = PS.step_objects(st, penv, None, table, tstep=ts, substeps=1,
+                             world=world, obj_collisions=False)
+    kz = np.asarray(st.pz)
+    ks = np.asarray(st.status)
+    assert (ks == 4).all()
+    rad_ball = float(np.asarray(table.radius)[bid])
+    np.testing.assert_allclose(kz, wpz + rad_ball + 0.001, atol=1e-4)
