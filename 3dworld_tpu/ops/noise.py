@@ -87,29 +87,44 @@ def gen_sine_table(
         if mesh_seed != 0:
             rgen.set_state(mesh_seed, 12345)  # apply_mesh_rand_seed (mesh_gen.cpp:213-216)
 
-    xf_scale = world.mesh_y / world.mesh_x
-    yf_scale = 1.0 / xf_scale
+    # float32 arithmetic in the reference's exact op order (pinned
+    # BITWISE against the compiled mesh_gen.cpp in test_cpp_golden):
+    # rand_uniform narrows randd to f32 BEFORE the lerp (rand_gen.h:90),
+    # mags/freqs iterate in f32, TWO_PI is the f32 constant, and every
+    # product chain rounds per-multiply in f32
+    F = np.float32
+    xf_scale = F(world.mesh_y) / F(world.mesh_x)
+    yf_scale = F(1.0) / xf_scale
     if world.x_scene > world.y_scene:
-        yf_scale *= world.y_scene / world.x_scene
+        yf_scale = F(yf_scale * (F(world.y_scene) / F(world.x_scene)))
     if world.y_scene > world.x_scene:
-        xf_scale *= world.x_scene / world.y_scene
+        xf_scale = F(xf_scale * (F(world.x_scene) / F(world.y_scene)))
 
-    mags = [0.02 * (2.0 ** i) for i in range(NUM_FREQ_COMP)]       # MESH_START_MAG, MESH_MAG_MULT
-    freqs = [240.0 * (0.5 ** i) for i in range(NUM_FREQ_COMP)]     # MESH_START_FREQ, MESH_FREQ_MULT
-    mesh_h = scaled_height / np.sqrt(0.1 * N_RAND_SIN2)
+    mags = np.empty(NUM_FREQ_COMP, np.float32)
+    freqs = np.empty(NUM_FREQ_COMP, np.float32)
+    mags[0] = F(0.02)            # MESH_START_MAG
+    freqs[0] = F(240.0)          # MESH_START_FREQ
+    for i in range(1, NUM_FREQ_COMP):
+        freqs[i] = freqs[i - 1] * F(0.5)   # MESH_FREQ_MULT
+        mags[i] = mags[i - 1] * F(2.0)     # MESH_MAG_MULT
+    mesh_h = F(scaled_height / np.sqrt(0.1 * N_RAND_SIN2))
+    two_pi_f = F(TWO_PI)
+
+    def ru(lo, hi):              # rand_uniform (rand_gen.h:90), f32 lerp
+        return F(lo) + F(hi - lo) * F(rgen.randd())
 
     out = np.zeros((F_TABLE_SIZE, 5), dtype=np.float32)
     for l in range(NUM_FREQ_COMP):
-        x_freq = freqs[l] / world.mesh_x
-        y_freq = freqs[l] / world.mesh_y
+        x_freq = freqs[l] / F(world.mesh_x)
+        y_freq = freqs[l] / F(world.mesh_y)
         mheight = mags[l] * mesh_h
         for i in range(N_RAND_SIN2):
             idx = l * N_RAND_SIN2 + i
-            out[idx, 0] = rgen.rand_uniform(0.2, 1.0) * mheight
-            out[idx, 1] = rgen.rand_float() * TWO_PI
-            out[idx, 2] = rgen.rand_float() * TWO_PI
-            out[idx, 3] = rgen.rand_uniform(0.1, 1.0) * x_freq * yf_scale
-            out[idx, 4] = rgen.rand_uniform(0.1, 1.0) * y_freq * xf_scale
+            out[idx, 0] = ru(0.2, 1.0) * mheight
+            out[idx, 1] = F(rgen.rand_float()) * two_pi_f
+            out[idx, 2] = F(rgen.rand_float()) * two_pi_f
+            out[idx, 3] = ru(0.1, 1.0) * x_freq * yf_scale
+            out[idx, 4] = ru(0.1, 1.0) * y_freq * xf_scale
     return SineTable(
         mag=jnp.asarray(out[:, 0]),
         phase_y=jnp.asarray(out[:, 1]),

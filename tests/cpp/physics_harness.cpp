@@ -194,7 +194,13 @@ void calc_reflection_angle(vector3d const &v_inc, vector3d &v_ref, vector3d cons
     float const cos_t1(-dot_product(norm, v_inc));
     v_ref = v_inc + norm * (2.0 * cos_t1);
 }
-double rgen_core_t::randd() {return 0.5;}
+double rgen_core_t::randd() {
+    // the real out-of-line definition (gen_object.cpp:377-381): the
+    // combined-LCG draw the repo's utils/rng.py pins bitwise
+    double rand_num;
+    randome_int(rand_num);
+    return rand_num / 2147483563.;
+}
 // ROCKET rapid-fire spin only (out of the oracle's scope): identity
 template<typename T> void rotate_vector3d(pointT<T> vin, pointT<T> const &vrot, double angle, pointT<T> &vout) {
     (void)vrot; (void)angle; vout = vin;

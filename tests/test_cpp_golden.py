@@ -333,3 +333,121 @@ def test_ice_branch_kernel_vs_cpp(phys_harness, tmp_path):
     assert (ks == 4).all()
     rad_ball = float(np.asarray(table.radius)[bid])
     np.testing.assert_allclose(kz, wpz + rad_ball + 0.001, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# noise: sine-table generation + evaluation vs compiled mesh_gen.cpp
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="session")
+def noise_harness(tmp_path_factory):
+    out = tmp_path_factory.mktemp("cppbin") / "noise_harness"
+    subprocess.run(
+        ["g++", "-O2", "-std=c++17", "-ffp-contract=off",
+         "-I", os.path.join(CPP_DIR, "glstub"), "-I", REF_SRC,
+         os.path.join(CPP_DIR, "noise_harness.cpp"),
+         os.path.join(REF_SRC, "mesh_gen.cpp"),
+         "-o", str(out)],
+        check=True, capture_output=True)
+    return str(out)
+
+
+def _run_noise(harness, seed, nx, ny, tmp, mesh_height=0.10):
+    from w3d.utils.constants import WorldConst
+    world = WorldConst()
+    ft = os.path.join(tmp, "nh_t.f32")
+    fh = os.path.join(tmp, "nh_h.f32")
+    env = dict(os.environ, NH_SEED=str(seed),
+               NH_MESH_X=str(world.mesh_x), NH_MESH_Y=str(world.mesh_y),
+               NH_XSS=str(world.x_scene), NH_YSS=str(world.y_scene),
+               NH_MESH_HEIGHT=str(mesh_height))
+    subprocess.run([harness, str(nx), str(ny), ft, fh], check=True, env=env)
+    return (np.fromfile(ft, np.float32).reshape(90, 5),
+            np.fromfile(fh, np.float32).reshape(ny, nx))
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_sine_table_bitwise(noise_harness, tmp_path, seed):
+    """gen_rand_sine_table_entries (mesh_gen.cpp:219-254) bit-for-bit:
+    the 450-draw LCG stream AND every f32 rounding step (rand_uniform's
+    f32 lerp, iterated f32 mags/freqs, the f32 TWO_PI products)."""
+    from w3d.ops import noise as N
+    from w3d.utils.constants import WorldConst
+    cpp_t, _ = _run_noise(noise_harness, seed, 8, 8, str(tmp_path))
+    tab = N.gen_sine_table(WorldConst(), mesh_seed=seed, scaled_height=0.10)
+    py_t = np.stack([np.asarray(tab.mag), np.asarray(tab.phase_y),
+                     np.asarray(tab.phase_x), np.asarray(tab.freq_y),
+                     np.asarray(tab.freq_x)], 1)
+    assert np.array_equal(cpp_t.view(np.int32), py_t.view(np.int32))
+
+
+def _sinf_approx_table():
+    """The reference's quantized sin lookup (sinf.h:8-20 + mesh_gen.cpp
+    create_sin_table): 32768 f32 entries, truncating index."""
+    TSIZE = 1 << 15
+    two_pi = np.float32(2.0 * np.pi)
+    sscale = np.float32(TSIZE) / two_pi
+    tab = np.sin((np.arange(TSIZE) / sscale).astype(np.float32)
+                 ).astype(np.float32)
+    return tab, sscale, TSIZE
+
+
+def test_sine_heights_bitwise_vs_quantized_model(noise_harness, tmp_path):
+    """gen_mesh_sine_table heights (build_arrays/eval_index,
+    mesh_gen.cpp:588-660, 754-780) reproduced to 1-2 ulps by a numpy
+    model of the same f32 chain INCLUDING the reference's quantized
+    SINF lookup and the start_eval_sin octave filter (the only residual
+    is glibc sinf vs numpy sin in the 32768-entry table, ~half the
+    cells bit-exact); the repo's exact-sin evaluator then matches
+    within the table's quantization bound."""
+    import jax.numpy as jnp
+    from w3d.ops import noise as N
+    from w3d.utils.constants import WorldConst
+    world = WorldConst()
+    nx = ny = world.mesh_x
+    cpp_t, cpp_h = _run_noise(noise_harness, 3, nx, ny, str(tmp_path))
+    F = np.float32
+    stab, sscale, TSIZE = _sinf_approx_table()
+
+    def sinf_approx(v):
+        idx = (np.int64(sscale * np.abs(v)) & (TSIZE - 1))
+        return np.where(v < 0, -stab[idx], stab[idx]).astype(np.float32)
+
+    # build_arrays f32 chain (x0 = -nx/2, y0 = -ny/2; dx/dy = DX/DY_VAL)
+    x0, y0 = F(-(nx // 2)), F(-(ny // 2))
+    dx, dy = F(world.dx), F(world.dy)
+    mx0, my0 = dx * x0, dy * y0
+    msx = F(1.0) * F(world.dx_inv)
+    msy = F(1.0) * F(world.dy_inv)
+    ms2 = F(0.5 * 1.0)
+    # compute_scale: start_eval_sin = 20 at mesh_scale=1 (the low
+    # octaves are filtered out, mesh_gen.cpp:544-548)
+    start = N.start_eval_sin(1.0)
+    assert start == 20
+    xterms = np.zeros((nx, 90), np.float32)
+    yterms = np.zeros((ny, 90), np.float32)
+    for k in range(start, 90):
+        mag, pyh, pxh, fy, fx = cpp_t[k]
+        x_mult = msx * fx
+        y_mult = msy * fy
+        y_scale = F(1.0) * mag
+        x_const = ms2 * fx + pxh + x_mult * mx0
+        y_const = ms2 * fy + pyh + y_mult * my0
+        i = np.arange(nx, dtype=np.float32)
+        xterms[:, k] = sinf_approx((x_mult * dx) * i + x_const)
+        j = np.arange(ny, dtype=np.float32)
+        yterms[:, k] = y_scale * sinf_approx((y_mult * dy) * j + y_const)
+    model_h = np.zeros((ny, nx), np.float32)
+    for k in range(start, 90):  # ascending-k f32 accumulation (eval_index)
+        model_h += xterms[None, :, k] * yterms[:, None, k]
+    assert float(np.abs(model_h - cpp_h).max()) < 5e-7   # 1-2 ulps
+    assert float((model_h == cpp_h).mean()) > 0.3        # largely bit-exact
+
+    # repo evaluator (exact jnp.sin): within the quantization bound
+    tab = N.gen_sine_table(world, mesh_seed=3, scaled_height=0.10)
+    xt, yt = N.sine_term_tables(tab, jnp.float32(x0), jnp.float32(y0),
+                                world.dx, world.dy, nx, ny, world,
+                                start_sin=start)
+    py_h = np.asarray(xt @ yt.T).T
+    scale = np.abs(cpp_h).max()
+    assert np.abs(py_h - cpp_h).max() < 0.02 * scale
