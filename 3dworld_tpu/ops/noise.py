@@ -231,19 +231,29 @@ def gen_sine_table_3d(mag: float = 1.0, freq: float = 1.0,
     sines; per bin mag *= 0.5, freq /= 0.4; draw order matches exactly."""
     rg = RandGen(rseed1, rseed2)
     out = np.zeros((TOT_NUM_SINES, 7), np.float32)
-    m, f = mag, freq
+    # float32 arithmetic in the reference's op order (rand_uniform's f32
+    # lerp, f32 mag/freq iteration, phases as double randd * f32 TWO_PI
+    # narrowed on store) — pinned bitwise vs the compiled upsurface.cpp
+    # in test_cpp_golden
+    F = np.float32
+    two_pi_f = F(TWO_PI)
+
+    def ru(lo, hi):
+        return F(lo) + F(hi - lo) * F(rg.randd())
+
+    m, f = F(mag), F(freq)
     for i in range(MAX_FREQ_BINS):
         for j in range(SINES_PER_FREQ):
             k = SINES_PER_FREQ * i + j
-            out[k, 0] = rg.rand_uniform(0.2, 1.0) * m
-            out[k, 1] = rg.rand_uniform(0.1, 1.0) * f
-            out[k, 2] = rg.randd() * TWO_PI
-            out[k, 3] = rg.rand_uniform(0.1, 1.0) * f
-            out[k, 4] = rg.randd() * TWO_PI
-            out[k, 5] = rg.rand_uniform(0.1, 1.0) * f
-            out[k, 6] = rg.randd() * TWO_PI
-        m *= M_ATTEN_FACTOR
-        f /= F_ATTEN_FACTOR
+            out[k, 0] = ru(0.2, 1.0) * m
+            out[k, 1] = ru(0.1, 1.0) * f
+            out[k, 2] = F(rg.randd() * np.float64(two_pi_f))
+            out[k, 3] = ru(0.1, 1.0) * f
+            out[k, 4] = F(rg.randd() * np.float64(two_pi_f))
+            out[k, 5] = ru(0.1, 1.0) * f
+            out[k, 6] = F(rg.randd() * np.float64(two_pi_f))
+        m = m * F(M_ATTEN_FACTOR)
+        f = f / F(F_ATTEN_FACTOR)
     return SineTable3D(*(jnp.asarray(out[:, i]) for i in range(7)))
 
 

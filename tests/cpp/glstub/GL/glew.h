@@ -28,6 +28,15 @@ static inline int glutGet(int) { return 0; }
 #define GL_LUMINANCE 0x1909
 #define GL_BGR 0x80E0
 #define GL_BGRA 0x80E1
+#define GL_TEXTURE_2D_ARRAY 0x8C1A
+#define GL_TEXTURE_2D_MULTISAMPLE 0x9100
+#define GL_TEXTURE_2D_MULTISAMPLE_ARRAY 0x9102
+#define GL_DEBUG_SOURCE_APPLICATION 0x824A
+static inline void glPushDebugGroup(unsigned, unsigned, int, char const*) {}
+static inline void glPopDebugGroup() {}
+#define GL_RG 0x8227
+#define GL_RG8 0x822B
+#define GL_RG16 0x822C
 #define GL_R8 0x8229
 #define GL_R16 0x822A
 #define GL_RGB8 0x8051

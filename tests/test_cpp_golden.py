@@ -451,3 +451,41 @@ def test_sine_heights_bitwise_vs_quantized_model(noise_harness, tmp_path):
     py_h = np.asarray(xt @ yt.T).T
     scale = np.abs(cpp_h).max()
     assert np.abs(py_h - cpp_h).max() < 0.02 * scale
+
+
+@pytest.fixture(scope="session")
+def upsurface_harness(tmp_path_factory):
+    out = tmp_path_factory.mktemp("cppbin") / "upsurface_harness"
+    subprocess.run(
+        ["g++", "-O2", "-std=c++17", "-ffp-contract=off",
+         "-I", os.path.join(CPP_DIR, "glstub"), "-I", REF_SRC,
+         os.path.join(CPP_DIR, "upsurface_harness.cpp"),
+         os.path.join(REF_SRC, "upsurface.cpp"),
+         "-o", str(out)],
+        check=True, capture_output=True)
+    return str(out)
+
+
+@pytest.mark.parametrize("seeds,magfreq", [((7, 11), (1.0, 1.0)),
+                                           ((123, 5), (0.7, 2.0))])
+def test_sine3d_table_bitwise(upsurface_harness, tmp_path, seeds, magfreq):
+    """noise_gen_3d::gen_sines (upsurface.cpp:16-38) — the 3D sine table
+    behind voxel density fields, planet surfaces, and voxel rocks —
+    bit-for-bit: 420-draw stream + every f32 rounding; grid evaluation
+    then matches within the reference's quantized-SINF bound."""
+    from w3d.ops import noise as N
+    ft = os.path.join(str(tmp_path), "us_t.f32")
+    fv = os.path.join(str(tmp_path), "us_v.f32")
+    subprocess.run([upsurface_harness, str(seeds[0]), str(seeds[1]),
+                    str(magfreq[0]), str(magfreq[1]), "12", "10", "8",
+                    ft, fv], check=True)
+    cpp_t = np.fromfile(ft, np.float32).reshape(60, 7)
+    cpp_v = np.fromfile(fv, np.float32).reshape(8, 10, 12)
+    tab = N.gen_sine_table_3d(magfreq[0], magfreq[1], seeds[0], seeds[1])
+    py_t = np.stack([np.asarray(getattr(tab, f)) for f in
+                     ("mag", "fx", "px", "fy", "py", "fz", "pz")], 1)
+    assert np.array_equal(cpp_t.view(np.int32), py_t.view(np.int32))
+    vals = np.asarray(N.eval_sine3d_grid(tab, (-1.0, -1.0, -1.0),
+                                         (0.13, 0.17, 0.19), 12, 10, 8))
+    scale = max(float(np.abs(cpp_v).max()), 1e-6)
+    assert float(np.abs(vals - cpp_v).max()) < 2e-3 * scale
