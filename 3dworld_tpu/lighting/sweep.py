@@ -238,3 +238,66 @@ def _sweep_impl(grid: L.LightGrid, cobjs: CobjSet, mesh, dzf: float,
                          sc_g=grid.sc_g + air * sg,
                          sc_b=grid.sc_b + air * sb,
                          sv=grid.sv + air * sv)
+
+
+def compute_global_lighting_sweep(grid: L.LightGrid, cobjs: CobjSet, mesh,
+                                  sun_dir, sun_color=(1.0, 0.95, 0.85),
+                                  world: WorldConst = DEFAULT_WORLD,
+                                  bounce: bool = True) -> L.LightGrid:
+    """Dense replacement for `compute_global_lighting` (the sun/moon
+    term, trace_ray_block_global): the directional transmittance is ONE
+    exact sweep — no rays at all — plus the optional diffuse bounce
+    gather.  Fills the global channels (gv weight, gc mean color)."""
+    dzf = float(jax.device_get(grid.dz))
+    sd = np.asarray(sun_dir, np.float64)
+    sd = (sd / np.linalg.norm(sd)).astype(np.float32)  # sun -> scene
+    return _global_impl(grid, cobjs, mesh, dzf, tuple(float(v) for v in sd),
+                        tuple(sun_color), world, bounce)
+
+
+@functools.partial(jax.jit, static_argnames=("dzf", "sun_dir", "sun_color",
+                                             "world", "bounce"))
+def _global_impl(grid: L.LightGrid, cobjs: CobjSet, mesh, dzf: float,
+                 sun_dir, sun_color, world: WorldConst,
+                 bounce: bool) -> L.LightGrid:
+    occ, ar, ag, ab = voxelize_scene(cobjs, mesh, grid.z0, grid.dz,
+                                     grid.shape, world)
+    air = 1.0 - occ
+    # direction from a cell TOWARD the sun
+    d = np.asarray([-sun_dir[0], -sun_dir[1], -sun_dir[2]], np.float32)
+    T, _, _, _ = _sweep_dir(occ, None, None, None, d, world, dzf,
+                            gather_emission=False)
+    Tarr = jnp.concatenate([T[1:], jnp.ones_like(T[:1])], axis=0) \
+        if d[2] >= 0 else \
+        jnp.concatenate([jnp.ones_like(T[:1]), T[:-1]], axis=0)
+    gr = T * sun_color[0]
+    gg = T * sun_color[1]
+    gb = T * sun_color[2]
+    gv = T
+    if bounce:
+        er = ar * Tarr * sun_color[0]
+        eg = ag * Tarr * sun_color[1]
+        eb = ab * Tarr * sun_color[2]
+        dirs, w = hemisphere_dirs(8)
+        br = jnp.zeros_like(T)
+        bg = jnp.zeros_like(T)
+        bb = jnp.zeros_like(T)
+        for k in range(len(w)):
+            for sgn in (1.0, -1.0):
+                dk = dirs[k] * np.float32(sgn)
+                if abs(float(dk[2])) < 1e-3:
+                    continue
+                _, lr, lg, lb = _sweep_dir(occ, er, eg, eb, dk, world,
+                                           dzf, gather_emission=True)
+                br = br + 0.5 * w[k] * lr
+                bg = bg + 0.5 * w[k] * lg
+                bb = bb + 0.5 * w[k] * lb
+        lum = jnp.maximum(jnp.maximum(br, bg), bb)
+        gr = gr + br
+        gg = gg + bg
+        gb = gb + bb
+        gv = gv + lum
+    return grid._replace(gc_r=grid.gc_r + air * gr,
+                         gc_g=grid.gc_g + air * gg,
+                         gc_b=grid.gc_b + air * gb,
+                         gv=grid.gv + air * gv)

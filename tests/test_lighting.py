@@ -467,3 +467,31 @@ def test_sweep_bounce_tints_shadowed_air():
     extra_b = float((np.asarray(g1.sc_b) - np.asarray(g0.sc_b)).sum())
     assert extra_r > 0.0
     assert extra_r > 1.5 * extra_b      # red albedo dominates the bounce
+
+
+def test_global_sweep_sun_shadow():
+    """Global (sun) sweep: one exact directional transmittance replaces
+    the reference's 1M-ray budget.  A tilted sun displaces the sphere's
+    shadow column; cells under the floor see nothing."""
+    from w3d.lighting import sweep as SW
+    grid = L.make_light_grid(W, nz=16)
+    grid = SW.compute_global_lighting_sweep(
+        grid, _sweep_scene(), None, sun_dir=(0.4, 0.0, -1.0),
+        world=W, bounce=False)
+    gv = np.asarray(grid.gv)
+    nz, ny, nx = gv.shape
+    assert gv[0].max() < 0.05                   # inside the floor slab
+    assert gv[nz - 1].min() > 0.9
+    cy, cx = ny // 2, nx // 2
+    # sun tilts toward +x looking down: the shadow at layer 2 lands at
+    # x < center (displaced opposite the sun's horizontal direction)
+    row = gv[2, cy]
+    sh = int(np.argmin(row))
+    assert sh < cx, (sh, cx)
+    assert row[sh] < 0.3 * np.median(row)
+    # bounce adds indirect light into the shadow
+    g2 = L.make_light_grid(W, nz=16)
+    g2 = SW.compute_global_lighting_sweep(
+        g2, _sweep_scene(), None, sun_dir=(0.4, 0.0, -1.0),
+        world=W, bounce=True)
+    assert float(np.asarray(g2.gv)[2, cy, sh]) > float(gv[2, cy, sh])
