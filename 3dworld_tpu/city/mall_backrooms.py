@@ -275,3 +275,106 @@ def store_names(interior, seed: int):
         cat = STORE_TYPES[rg.rand() % len(STORE_TYPES)]
         out.append((cat, choose_store_name(cat, rg)))
     return out
+
+
+def furnish_mall(interior, floor_height: float, seed: int):
+    """Category-specific store furnishing (building_mall.cpp
+    add_mall_store_objs by store type): clothing stores get garment
+    racks with hung clothes, bookstores get bookcase aisles, food-court
+    stores get counters + booths + vending, retail stores get stocked
+    gondola shelf racks, furniture stores get display beds/couches/
+    tables.  The concourse gets benches and planters."""
+    from . import room_content as RC
+    names = store_names(interior, seed)
+    rg = RandGen(seed + 3, 2 * seed + 31)
+    out = RC.RoomObjects()
+    out.room_types = [RC.R_HALL if r.is_hallway else RC.R_RETAIL
+                      for r in interior.rooms]
+    fh = floor_height
+    for ri, r in enumerate(interior.rooms):
+        z0 = r.floor * fh
+        pl = RC._Placer(rg, r, [], 0.4 * fh)
+        if r.is_hallway:                # concourse: benches + planters
+            for _ in range(4):
+                p = pl.try_place(0.6 * fh, 0.25 * fh, False)
+                if p:
+                    x, y, rot = p
+                    out.add(ri, RC.F_COUCH, x, y, z0, x + 0.6 * fh,
+                            y + 0.25 * fh, z0 + 0.3 * fh, rot=rot)
+            for _ in range(3):
+                p = pl.try_place(0.25 * fh, 0.25 * fh, False)
+                if p:
+                    x, y, _ = p
+                    out.add(ri, RC.F_PLANT, x, y, z0, x + 0.25 * fh,
+                            y + 0.25 * fh, z0 + 0.5 * fh)
+            continue
+        cat = names[ri][0]
+        if cat == "clothing":
+            for _ in range(4):
+                p = pl.try_place(0.8 * fh, 0.3 * fh, False)
+                if p:
+                    x, y, rot = p
+                    rk = out.add(ri, RC.F_RACK, x, y, z0, x + 0.8 * fh,
+                                 y + 0.3 * fh, z0 + 0.55 * fh, rot=rot)
+                    for ci in range(4):
+                        cxp = x + (0.08 + 0.18 * ci) * fh
+                        out.add(ri, RC.F_CLOTHES, cxp, y + 0.05 * fh,
+                                z0 + 0.25 * fh, cxp + 0.12 * fh,
+                                y + 0.25 * fh, z0 + 0.52 * fh, parent=rk)
+        elif cat == "book":
+            for _ in range(4):
+                p = pl.try_place(0.9 * fh, 0.25 * fh, False)
+                if p:
+                    x, y, rot = p
+                    bi = out.add(ri, RC.F_BOOKCASE, x, y, z0,
+                                 x + 0.9 * fh, y + 0.25 * fh,
+                                 z0 + 0.8 * fh, rot=rot)
+                    for bx in range(6):
+                        out.add(ri, RC.F_BOOK, x + (0.05 + 0.14 * bx) * fh,
+                                y + 0.05 * fh, z0 + 0.4 * fh,
+                                x + (0.15 + 0.14 * bx) * fh,
+                                y + 0.2 * fh, z0 + 0.6 * fh, parent=bi)
+        elif cat == "food":
+            p = pl.try_place(1.2 * fh, 0.4 * fh, True)
+            if p:
+                x, y, rot = p
+                out.add(ri, RC.F_COUNTER, x, y, z0, x + 1.2 * fh,
+                        y + 0.4 * fh, z0 + 0.35 * fh, rot=rot)
+            for _ in range(3):
+                p = pl.try_place(0.55 * fh, 0.55 * fh, False)
+                if p:
+                    x, y, rot = p
+                    out.add(ri, RC.F_BOOTH, x, y, z0, x + 0.55 * fh,
+                            y + 0.55 * fh, z0 + 0.45 * fh, rot=rot)
+            p = pl.try_place(0.5 * fh, 0.35 * fh, True)
+            if p:
+                x, y, rot = p
+                out.add(ri, RC.F_VENDING, x, y, z0, x + 0.5 * fh,
+                        y + 0.35 * fh, z0 + 0.8 * fh, rot=rot)
+        elif cat == "furniture":
+            for kind, w, d, hgt in ((RC.F_BED, 0.55, 1.0, 0.3),
+                                    (RC.F_COUCH, 0.8, 0.35, 0.35),
+                                    (RC.F_TABLE, 0.6, 0.4, 0.3),
+                                    (RC.F_WARDROBE, 0.5, 0.3, 0.85)):
+                p = pl.try_place(w * fh, d * fh, False)
+                if p:
+                    x, y, rot = p
+                    out.add(ri, kind, x, y, z0, x + w * fh, y + d * fh,
+                            z0 + hgt * fh, rot=rot)
+        else:                           # general retail: gondola racks
+            for _ in range(4):
+                p = pl.try_place(0.9 * fh, 0.3 * fh, False)
+                if p:
+                    x, y, rot = p
+                    rk = out.add(ri, RC.F_RACK, x, y, z0, x + 0.9 * fh,
+                                 y + 0.3 * fh, z0 + 0.6 * fh, rot=rot)
+                    RC._surface_items(out, pl, rg, ri, RC.F_RACK, rk,
+                                      x, y, z0 + 0.6 * fh, 0.9 * fh,
+                                      0.3 * fh, fh / 0.2)
+        # every store gets a checkout counter near its storefront
+        p = pl.try_place(0.5 * fh, 0.25 * fh, True)
+        if p:
+            x, y, rot = p
+            out.add(ri, RC.F_COUNTER, x, y, z0, x + 0.5 * fh,
+                    y + 0.25 * fh, z0 + 0.35 * fh, rot=rot)
+    return out, names

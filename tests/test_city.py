@@ -1384,3 +1384,43 @@ def test_factory_machine_grid():
         assert all(c[5] - c[2] > 0.05 for c in tanks)   # tanks are tall
     if (kinds == RC.F_CONV_BELT).sum():
         assert (kinds == RC.F_BOX).sum() >= 1           # end crate
+
+
+def test_mall_store_furnishing():
+    """Mall stores furnish by category (building_mall.cpp per-store-type
+    objects): clothing racks with hung garments, bookcase aisles with
+    books, food counters with booths, furniture displays; every store
+    gets a checkout counter and the concourse gets seating."""
+    import numpy as np
+    from w3d.city import mall_backrooms as MB, room_content as RC
+    i = MB.gen_mall((0.0, 0.0, 4.0, 2.0), 2, 0.12, seed=4)
+    objs, names = MB.furnish_mall(i, 0.12, seed=4)
+    kinds = np.asarray(objs.kinds)
+    rooms = np.asarray(objs.rooms)
+    parent = np.asarray(objs.parent)
+    cats = {ri: n[0] for ri, n in enumerate(names) if n}
+    by_cat = {}
+    for ri, cat in cats.items():
+        by_cat.setdefault(cat, []).append(ri)
+    # clothing stores hang clothes on racks
+    for ri in by_cat.get("clothing", []):
+        in_r = rooms == ri
+        if (in_r & (kinds == RC.F_RACK)).sum():
+            assert (in_r & (kinds == RC.F_CLOTHES)).sum() >= 4
+            racks = np.where(in_r & (kinds == RC.F_RACK))[0]
+            assert np.isin(parent[in_r & (kinds == RC.F_CLOTHES)],
+                           racks).all()
+    # bookstores shelve books
+    for ri in by_cat.get("book", []):
+        in_r = rooms == ri
+        if (in_r & (kinds == RC.F_BOOKCASE)).sum():
+            assert (in_r & (kinds == RC.F_BOOK)).sum() >= 6
+    # most stores have a checkout counter
+    stores = [ri for ri in cats]
+    with_counter = sum(1 for ri in stores
+                       if ((rooms == ri) & (kinds == RC.F_COUNTER)).any())
+    assert with_counter >= 0.6 * len(stores)
+    # concourse seating exists
+    halls = [ri for ri, r in enumerate(i.rooms) if r.is_hallway]
+    assert any(((rooms == ri) & (kinds == RC.F_COUCH)).any()
+               for ri in halls)
