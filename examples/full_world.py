@@ -81,9 +81,12 @@ def main(out_dir="/tmp"):
             people = CPE.make_people(g, 8, seed=4)
             for _ in range(30):
                 people = CPE.step_people(people)
+            labels, signs = RC.label_objects(i, ro, seed=4)
             stats["first_building"] = {
                 "rooms": len(i.rooms), "furniture": len(ro.cubes),
-                "people_walking": int(8)}
+                "people_walking": int(8),
+                "name": RC.building_name(RC.BT_OFFICE, 4),
+                "door_signs": len(signs), "book_titles": len(labels)}
     stats["city"] = {"plots": len(plots), "road_segs": len(net.segs),
                      "bridges": len(bridges), "tunnels": len(tunnels),
                      "buildings": len(bl), "round_buildings": int(n_round),
@@ -143,6 +146,20 @@ def main(out_dir="/tmp"):
                                                 samples_per_segment=4,
                                                 mesh_steps=8), world=world)
     stats["lighting"] = {"sky_energy": round(float(grid.sc_r.sum()), 4)}
+
+    # --- dense sweep lighting (scan-based solver) + named universe
+    from w3d.lighting import sweep as SW
+    sgrid = L.make_light_grid(world, nz=16)
+    sgrid = SW.compute_sky_lighting_sweep(sgrid, cobjs, mesh128, ndirs=8,
+                                          world=world, bounce=False)
+    stats["sweep_lighting"] = {
+        "mean_visibility": round(float(np.asarray(sgrid.sv).mean()), 3)}
+    from w3d.universe import gen as UG
+    from w3d.utils.rng import RandGen as URand
+    sy = UG.gen_system(URand(3, 5), (1.0, 2.0, 3.0))
+    stats["universe"] = {
+        "system": UG.system_name(sy),
+        "planets": [UG.planet_name(p) for p in sy.planets]}
 
     # --- exports
     os.makedirs(out_dir, exist_ok=True)
