@@ -33,14 +33,6 @@ from ..physics.cobjs import CobjSet, sphere_cobj_test
 from . import lmap as L
 
 
-def _cell_centers(grid: L.LightGrid, world: WorldConst):
-    nz, ny, nx = grid.shape
-    xs = (jnp.arange(nx, dtype=jnp.float32) - nx // 2 + 0.5) * world.dx
-    ys = (jnp.arange(ny, dtype=jnp.float32) - ny // 2 + 0.5) * world.dy
-    zs = grid.z0 + (jnp.arange(nz, dtype=jnp.float32) + 0.5) * grid.dz
-    return xs, ys, zs
-
-
 @functools.partial(jax.jit, static_argnames=("world", "shape"))
 def voxelize_scene(cobjs: CobjSet, mesh, grid_z0, grid_dz,
                    shape: tuple, world: WorldConst = DEFAULT_WORLD,
@@ -263,8 +255,13 @@ def _global_impl(grid: L.LightGrid, cobjs: CobjSet, mesh, dzf: float,
     occ, ar, ag, ab = voxelize_scene(cobjs, mesh, grid.z0, grid.dz,
                                      grid.shape, world)
     air = 1.0 - occ
-    # direction from a cell TOWARD the sun
+    # direction from a cell TOWARD the sun.  A near-horizontal sun has
+    # no vertical transmittance path through the volume (and the shear
+    # would wrap around the periodic roll) — treat it as below-horizon:
+    # zero direct light
     d = np.asarray([-sun_dir[0], -sun_dir[1], -sun_dir[2]], np.float32)
+    if abs(float(d[2])) < 0.02:
+        return grid
     T, _, _, _ = _sweep_dir(occ, None, None, None, d, world, dzf,
                             gather_emission=False)
     Tarr = jnp.concatenate([T[1:], jnp.ones_like(T[:1])], axis=0) \

@@ -226,10 +226,15 @@ def gen_person_name(person_id: int, is_female: bool,
 
 _CO_PREFIX = ["i", "Green ", "Mega", "Super ", "Omni", "e", "Hyper",
               "Global ", "Vital", "Next ", "Pacific ", "Metro", "Unity ",
-              "G-"]
+              "G-", "Trans", "Infinity ", "Superior ", "Monolith ",
+              "Best ", "Atlantic ", "First ", "Union ", "National "]
 _CO_NAME = ["Biotic", "Info", "Data", "Solar", "Aerospace", "Motors",
             "Nano", "Online", "Circuits", "Energy", "Med", "Robotic",
-            "Exports", "Security"]
+            "Exports", "Security", "Systems", "Financial", "Industrial",
+            "Media", "Materials", "Foods", "Networks", "Shipping",
+            "Tools", "Medical", "Publishing", "Enterprises", "Audio",
+            "Health", "Bank", "Imports", "Apparel", "Petroleum",
+            "Studios"]
 _CO_SUFFIX = ["Corp", " Inc.", "Co", "World", ".Com", " USA", " Ltd.",
               "Net", " Tech", " Labs", " Mfg.", " UK", " Unlimited",
               " One", " LLC"]
