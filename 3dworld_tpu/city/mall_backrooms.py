@@ -80,9 +80,10 @@ def gen_backrooms(bounds, floor_height: float, seed: int,
     edge = min_gap + 2 * wall_half
 
     def try_place(dim, span_lo, span_hi, lat_lo, lat_hi):
-        ln = rg.rand_uniform(wl_min, min(wl_max, span_hi - span_lo))
-        if ln <= 0:
-            return False
+        hi_len = min(wl_max, span_hi - span_lo)
+        if hi_len <= wl_min or lat_hi <= lat_lo:
+            return False            # room too small for a maze wall here
+        ln = rg.rand_uniform(wl_min, hi_len)
         s0 = rg.rand_uniform(span_lo, span_hi - ln)
         lat = rg.rand_uniform(lat_lo, lat_hi)
         w = ((s0, lat, s0 + ln, lat) if dim == 0 else (lat, s0, lat, s0 + ln))
@@ -151,20 +152,34 @@ def gen_backrooms(bounds, floor_height: float, seed: int,
                 out.walls.append((cx - pr, cy - pr, z1,
                                   cx + pr, cy + pr, z1 + fs))
 
-    # a few walled sub-rooms with a door (setup_multi_floor_room)
+    # a few walled sub-rooms with a door (setup_multi_floor_room);
+    # the doored wall segment is split around the doorway like
+    # floorplan.py's door cutouts, so the room is enterable
     for _ in range(SUB_ROOM_TRIES):
         w = rg.rand_uniform(1.5, 2.5) * fs
         h = rg.rand_uniform(1.5, 2.5) * fs
+        if x2 - edge - w <= x1 + edge or y2 - edge - h <= y1 + edge:
+            continue                # backrooms footprint too small
         rx = rg.rand_uniform(x1 + edge, x2 - edge - w)
         ry = rg.rand_uniform(y1 + edge, y2 - edge - h)
         out.rooms.append(Room(rx, ry, rx + w, ry + h, floor_ix))
-        dside = rg.rand() & 1
-        dx = rx + (0.5 * w if dside else 0.0)
-        dy = ry + (0.0 if dside else 0.5 * h)
-        out.doors.append((dx, dy, z1, dside))
-        for seg in (((rx, ry), (rx + w, ry)), ((rx, ry + h), (rx + w, ry + h)),
-                    ((rx, ry), (rx, ry + h)), ((rx + w, ry), (rx + w, ry + h))):
-            (ax, ay), (bx, by) = seg
+        dside = rg.rand() & 1       # 1 -> door in the bottom (y1) wall
+        dw = 0.45 * fs
+        segs = [((rx, ry + h), (rx + w, ry + h)),
+                ((rx + w, ry), (rx + w, ry + h))]
+        if dside:
+            dx, dy = rx + 0.5 * w, ry
+            out.doors.append((dx, dy, z1, 0))   # crossed along y
+            segs += [((rx, ry), (dx - 0.5 * dw, ry)),
+                     ((dx + 0.5 * dw, ry), (rx + w, ry)),
+                     ((rx, ry), (rx, ry + h))]
+        else:
+            dx, dy = rx, ry + 0.5 * h
+            out.doors.append((dx, dy, z1, 1))   # crossed along x
+            segs += [((rx, ry), (rx + w, ry)),
+                     ((rx, ry), (rx, dy - 0.5 * dw)),
+                     ((rx, dy + 0.5 * dw), (rx, ry + h))]
+        for (ax, ay), (bx, by) in segs:
             out.walls.append((ax - wall_half, ay - wall_half, z1,
                               bx + wall_half, by + wall_half, z1 + fs))
     return out
@@ -223,7 +238,9 @@ def gen_mall(bounds, num_floors: int, floor_height: float,
                 front_y = ry2 if ry2 <= cy else ry1
                 da, db, _dc, _dd = TR(0.5 * (cx + sx2), front_y,
                                       0.5 * (cx + sx2), front_y)
-                out.doors.append((da, db, z1, 1 if long_x else 0))
+                # dim 0 = door crossed along y (wall runs along x), the
+                # floorplan/people nav convention (floorplan.py:186-192)
+                out.doors.append((da, db, z1, 0 if long_x else 1))
                 # dividing wall to the next store
                 if sx2 < x2:
                     wa, wb, wc, wd = TR(sx2, ry1, sx2, ry2)

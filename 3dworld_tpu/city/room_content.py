@@ -60,58 +60,29 @@ NUM_FURNITURE_KINDS = 71
  BT_HOTEL, BT_WAREHOUSE, BT_POLICE, BT_FIRE_STATION, BT_CONV_STORE) = range(11)
 
 # per-room-type furniture recipes: (kind, count, against_wall, w, d, h)
+# — ONLY for room types without a composite generator; types in
+# _COMPOSITE_GENS (bedroom/bathroom/kitchen/living/office/dining/
+# classroom/hospital/operating/jail/cafeteria/waiting/hotel/warehouse/
+# factory/parking) never read a recipe
 _RECIPES = {
-    R_BEDROOM: [(F_BED, 1, True, 0.45, 0.3, 0.12), (F_DESK, 1, True, 0.25, 0.15, 0.15),
-                (F_CHAIR, 1, False, 0.1, 0.1, 0.15), (F_LAMP, 1, True, 0.06, 0.06, 0.25)],
-    R_BATHROOM: [(F_TOILET, 1, True, 0.12, 0.16, 0.12), (F_SINK, 1, True, 0.14, 0.1, 0.18),
-                 (F_TUB, 1, True, 0.35, 0.16, 0.1)],
-    R_KITCHEN: [(F_COUNTER, 2, True, 0.3, 0.12, 0.18), (F_FRIDGE, 1, True, 0.14, 0.14, 0.35),
-                (F_STOVE, 1, True, 0.14, 0.12, 0.18), (F_TABLE, 1, False, 0.2, 0.2, 0.14)],
-    R_LIVING: [(F_COUCH, 1, True, 0.4, 0.16, 0.14), (F_TV, 1, True, 0.3, 0.06, 0.2),
-               (F_TABLE, 1, False, 0.2, 0.12, 0.08), (F_RUG, 1, False, 0.4, 0.3, 0.01),
-               (F_PLANT, 1, True, 0.08, 0.08, 0.2)],
-    R_OFFICE: [(F_DESK, 2, True, 0.25, 0.15, 0.15), (F_CHAIR, 2, False, 0.1, 0.1, 0.15),
-               (F_BOOKCASE, 1, True, 0.2, 0.08, 0.3)],
-    R_DINING: [(F_TABLE, 1, False, 0.3, 0.2, 0.14), (F_CHAIR, 4, False, 0.1, 0.1, 0.15)],
     R_STORAGE: [(F_SHELF, 3, True, 0.3, 0.1, 0.3)],
     R_LIBRARY: [(F_BOOKCASE, 4, True, 0.25, 0.08, 0.3), (F_TABLE, 1, False, 0.25, 0.15, 0.14),
                 (F_CHAIR, 2, False, 0.1, 0.1, 0.15)],
     R_RETAIL: [(F_COUNTER, 1, True, 0.3, 0.12, 0.18), (F_RACK, 4, False, 0.15, 0.15, 0.25)],
     R_SERVER: [(F_RACK, 6, True, 0.15, 0.2, 0.4)],
-    # extended catalog (building_room_obj_place.cpp generators)
     R_LAUNDRY: [(F_WASHER, 1, True, 0.12, 0.12, 0.16), (F_DRYER, 1, True, 0.12, 0.12, 0.16),
                 (F_COUNTER, 1, True, 0.25, 0.1, 0.18)],
     R_UTILITY: [(F_WATER_HEATER, 1, True, 0.1, 0.1, 0.3), (F_FURNACE, 1, True, 0.14, 0.12, 0.3),
                 (F_SHELF, 1, True, 0.25, 0.08, 0.3)],
     R_CONFERENCE: [(F_CONF_TABLE, 1, False, 0.45, 0.2, 0.14), (F_CHAIR, 6, False, 0.1, 0.1, 0.15),
                    (F_WHITEBOARD, 1, True, 0.3, 0.02, 0.2), (F_TV, 1, True, 0.25, 0.05, 0.18)],
-    R_CLASSROOM: [(F_DESK, 6, False, 0.14, 0.1, 0.14), (F_CHAIR, 6, False, 0.08, 0.08, 0.14),
-                  (F_WHITEBOARD, 1, True, 0.35, 0.02, 0.2)],
-    R_CAFETERIA: [(F_TABLE, 3, False, 0.2, 0.2, 0.14), (F_CHAIR, 8, False, 0.08, 0.08, 0.14),
-                  (F_VENDING, 2, True, 0.12, 0.1, 0.3), (F_COUNTER, 1, True, 0.35, 0.12, 0.18)],
     R_GAME: [(F_POOL_TABLE, 1, False, 0.35, 0.2, 0.14), (F_COUCH, 1, True, 0.4, 0.16, 0.14),
              (F_TV, 1, True, 0.3, 0.06, 0.2)],
-    # specialized building types (building_jail/hospital/factory/
-    # datacenter/restaurant/parking .cpp generators, structural subset)
-    R_JAIL: [(F_JAIL_BARS, 3, True, 0.3, 0.02, 0.3), (F_BED, 2, True, 0.3, 0.2, 0.1),
-             (F_TOILET, 2, True, 0.1, 0.12, 0.1)],
-    R_HOSPITAL: [(F_HOSPITAL_BED, 3, True, 0.3, 0.18, 0.12), (F_COUNTER, 1, True, 0.3, 0.1, 0.18),
-                 (F_SINK, 1, True, 0.1, 0.08, 0.16), (F_CHAIR, 2, False, 0.08, 0.08, 0.14)],
-    R_FACTORY: [(F_MACHINE, 4, False, 0.25, 0.2, 0.3), (F_SHELF, 2, True, 0.3, 0.1, 0.3),
-                (F_COUNTER, 1, True, 0.25, 0.1, 0.18)],
     R_DATACENTER: [(F_SERVER_RACK_ROW, 6, False, 0.5, 0.12, 0.35),
                    (F_DESK, 1, True, 0.2, 0.12, 0.14)],
     R_RESTAURANT: [(F_BOOTH, 4, True, 0.25, 0.15, 0.12), (F_TABLE, 3, False, 0.15, 0.15, 0.12),
                    (F_CHAIR, 6, False, 0.08, 0.08, 0.12), (F_COUNTER, 1, True, 0.35, 0.12, 0.18)],
-    R_PARKING: [(F_PARK_SPACE, 8, False, 0.22, 0.45, 0.005)],
 }
-
-# bedroom upgrades: wardrobe/nightstand/dresser join the base recipe
-_RECIPES[R_BEDROOM] = _RECIPES[R_BEDROOM] + [
-    (F_WARDROBE, 1, True, 0.2, 0.1, 0.3), (F_NIGHTSTAND, 1, True, 0.08, 0.08, 0.1),
-    (F_DRESSER, 1, True, 0.18, 0.1, 0.14)]
-_RECIPES[R_KITCHEN] = _RECIPES[R_KITCHEN] + [
-    (F_MICROWAVE, 1, True, 0.08, 0.06, 0.06)]
 
 
 @dataclass
@@ -518,6 +489,10 @@ def _gen_kitchen(out, pl, rg, ri, room, z0, fh, scale):
         _surface_items(out, pl, rg, ri,
                        F_STOVE if kind == F_STOVE else F_COUNTER,
                        ci, sx, y0, z0 + ch, ex - sx, cd, scale)
+        if kind == F_COUNTER and i == 1:    # microwave on the counter
+            out.add(ri, F_MICROWAVE, sx + 0.01, y0 + 0.01, z0 + ch,
+                    sx + 0.01 + 0.08 * scale, y0 + 0.01 + 0.06 * scale,
+                    z0 + ch + 0.06 * scale, parent=ci)
     # short counter runs (segs == 1) hold only the sink; place the
     # stove standalone so every kitchen still cooks
     if segs < 2:
@@ -792,7 +767,6 @@ def _gen_classroom(out, pl, rg, ri, room, z0, fh, scale):
     # sizes follow add_classroom_objs (building_school.cpp:42-46), in
     # floor-spacing units: teacher desk 0.8x0.38x0.23 fh, student desks
     # 0.48x0.34x0.25 fh with ~0.3 fh clearance
-    x1, y1, x2, y2 = 0, 0, 0, 0
     cb_w = min(1.5 * fh, 0.8 * (hi[1 - dim] - lo[1 - dim]))
     x1, y1, x2, y2 = mk(fw, vc - 0.5 * cb_w, fw + ds * 0.02 * fh,
                         vc + 0.5 * cb_w)
@@ -900,7 +874,7 @@ def _gen_hospital_room(out, pl, rg, ri, room, z0, fh, scale):
         x1, y1, x2, y2 = mk(uc - 0.3 * fh, tv_v - vs * 0.06 * fh,
                             uc + 0.3 * fh, tv_v)
         out.add(ri, F_TV, x1, y1, z0 + 0.5 * fh, x2, y2,
-                z0 + 0.85 * fh, rot=rot)
+                z0 + 0.85 * fh, rot=(rot + 2) % 4)
 
 
 def _gen_operating_room(out, pl, rg, ri, room, z0, fh, scale):
@@ -970,9 +944,11 @@ def _gen_jail_cells(out, pl, rg, ri, room, z0, fh, scale):
             x1, y1, x2, y2 = mk(ba, front_v - vs * 0.02 * fh, bb,
                                 front_v + vs * 0.02 * fh)
             out.add(ri, F_JAIL_BARS, x1, y1, z0, x2, y2, z0 + fh)
-        # bed along the partition, head at the back wall
+        # bed along the partition, head at the back wall (clamped
+        # inside the cell so it can't poke through the front bars)
+        bed_len = min(1.0 * fh, depth - 0.1 * fh)
         x1, y1, x2, y2 = mk(cu1 + 0.08 * fh, back_v,
-                            cu1 + 0.53 * fh, back_v + vs * 1.0 * fh)
+                            cu1 + 0.53 * fh, back_v + vs * bed_len)
         out.add(ri, F_BED, x1, y1, z0, x2, y2, z0 + 0.3 * fh,
                 rot=bed_rot)
         # toilet + sink on the back wall, opposite corner from the bed

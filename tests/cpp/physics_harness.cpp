@@ -284,9 +284,10 @@ int main(int argc, char **argv) {
             mh_rows[y][x] = h;
             wm_rows[y][x] = water_plane_z;
             hc_rows[y][x] = h;
-            // central-difference normal (framework convention), clamped stencil
-            int const xm = (x > 0 ? x - 1 : 0), xp = (x < g_xs - 1 ? x + 1 : g_xs - 1);
-            int const ym = (y > 0 ? y - 1 : 0), yp = (y < g_ys - 1 ? y + 1 : g_ys - 1);
+            // central-difference normal (framework convention); the
+            // stencil WRAPS at borders like the oracle/kernel np.roll
+            int const xm = (x > 0 ? x - 1 : g_xs - 1), xp = (x < g_xs - 1 ? x + 1 : 0);
+            int const ym = (y > 0 ? y - 1 : g_ys - 1), yp = (y < g_ys - 1 ? y + 1 : 0);
             float const sx = (g_mesh[(size_t)y * g_xs + xp] - g_mesh[(size_t)y * g_xs + xm]) * 0.5f * DX_VAL_INV;
             float const sy = (g_mesh[(size_t)yp * g_xs + x] - g_mesh[(size_t)ym * g_xs + x]) * 0.5f * DY_VAL_INV;
             float const inv = 1.0f / sqrtf(sx * sx + sy * sy + 1.0f);

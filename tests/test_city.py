@@ -1424,3 +1424,16 @@ def test_mall_store_furnishing():
     halls = [ri for ri, r in enumerate(i.rooms) if r.is_hallway]
     assert any(((rooms == ri) & (kinds == RC.F_COUCH)).any()
                for ri in halls)
+
+
+def test_mall_stores_reachable_by_people():
+    """Regression: storefront door records use the floorplan dim
+    convention, so the people nav graph connects every store to the
+    concourse (they were unreachable with the inverted flag)."""
+    from w3d.city import mall_backrooms as MB, people as CPE
+    i = MB.gen_mall((0.0, 0.0, 3.0, 1.5), 1, 0.12, seed=4)
+    g = CPE.build_nav_graph(i)
+    halls = {ri for ri, r in enumerate(i.rooms) if r.is_hallway}
+    stores = [ri for ri in range(len(i.rooms)) if ri not in halls]
+    connected = sum(1 for ri in stores if g.adj[ri])
+    assert connected >= 0.8 * len(stores), (connected, len(stores))
