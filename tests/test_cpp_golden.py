@@ -489,3 +489,72 @@ def test_sine3d_table_bitwise(upsurface_harness, tmp_path, seeds, magfreq):
                                          (0.13, 0.17, 0.19), 12, 10, 8))
     scale = max(float(np.abs(cpp_v).max()), 1e-6)
     assert float(np.abs(vals - cpp_v).max()) < 2e-3 * scale
+
+
+# ---------------------------------------------------------------------------
+# heightfield ray intersection vs compiled mesh_intersect.cpp
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="session")
+def mesh_intersect_harness(tmp_path_factory):
+    out = tmp_path_factory.mktemp("cppbin") / "mesh_intersect_harness"
+    subprocess.run(
+        ["g++", "-O2", "-std=c++17", "-ffp-contract=off",
+         "-I", os.path.join(CPP_DIR, "glstub"), "-I", REF_SRC,
+         os.path.join(CPP_DIR, "mesh_intersect_harness.cpp"),
+         os.path.join(REF_SRC, "mesh_intersect.cpp"),
+         os.path.join(REF_SRC, "Math3d.cpp"),
+         os.path.join(REF_SRC, "intersect.cpp"),
+         os.path.join(REF_SRC, "quartic.cpp"),
+         "-o", str(out)],
+        check=True, capture_output=True)
+    return str(out)
+
+
+def test_heightfield_intersect_vs_cpp(mesh_intersect_harness, tmp_path):
+    """The DDA heightfield intersect (ops/ray.ray_heightfield_dda, cited
+    against mesh_intersect.cpp:248-256) vs the compiled reference
+    `mesh_intersector` with its BSP acceleration tree: hit/miss must
+    agree on EVERY ray, and intersection heights agree within the
+    triangulated-vs-bilinear surface difference (the reference
+    intersects two triangles per quad; the repo intersects the bilinear
+    patch — equal at cell edges, sub-mm apart inside curved cells)."""
+    import jax.numpy as jnp
+    from w3d.ops.ray import ray_heightfield_dda
+    from w3d.utils.constants import WorldConst
+
+    world = WorldConst()
+    xs = ys = world.mesh_x
+    rng = np.random.default_rng(2)
+    gx, gy = np.meshgrid(np.arange(xs), np.arange(ys))
+    hm = (0.5 * np.exp(-(((gx - 64) * world.dx) ** 2
+                         + ((gy - 64) * world.dy) ** 2) / 2.0)
+          + 0.05 * np.sin(0.3 * gx) * np.cos(0.25 * gy)
+          - 0.6).astype(np.float32)
+    N = 400
+    o = np.stack([rng.uniform(-3, 3, N), rng.uniform(-3, 3, N),
+                  rng.uniform(0.5, 1.5, N)], 1).astype(np.float32)
+    d = np.stack([rng.uniform(-1, 1, N), rng.uniform(-1, 1, N),
+                  rng.uniform(-1.2, -0.4, N)], 1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    L = 6.0
+    fm = os.path.join(str(tmp_path), "mi_mesh.f32")
+    fs = os.path.join(str(tmp_path), "mi_segs.f32")
+    fo = os.path.join(str(tmp_path), "mi_out.f32")
+    hm.tofile(fm)
+    np.concatenate([o, o + L * d], 1).astype(np.float32).tofile(fs)
+    subprocess.run([mesh_intersect_harness, fm, str(xs), str(ys), fs,
+                    str(N), fo], check=True)
+    cpp = np.fromfile(fo, np.float32).reshape(N, 4)
+
+    hit, t = ray_heightfield_dda(
+        *[jnp.asarray(o[:, i]) for i in range(3)],
+        *[jnp.asarray(d[:, i]) for i in range(3)],
+        jnp.full((N,), L), jnp.asarray(hm), world, max_cells=512)
+    hit = np.asarray(hit)
+    t = np.asarray(t)
+    assert (hit == (cpp[:, 0] > 0.5)).all()
+    both = hit & (cpp[:, 0] > 0.5)
+    assert both.sum() > 0.8 * N          # the scene is actually hit
+    z_repo = o[:, 2] + t * d[:, 2]
+    assert float(np.abs(z_repo[both] - cpp[both, 3]).max()) < 2e-3
