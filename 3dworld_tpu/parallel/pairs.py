@@ -51,6 +51,11 @@ def make_halo_pair_fn(axis: str, n_devices: int, window: int = PS.PAIR_WINDOW,
     rank slabs (with_sharding_constraint after spatial_sort does this).
     Requires window <= local slab size (one-neighbor halo).
     """
+    if method not in ("auto", "pallas", "banded"):
+        raise ValueError(
+            f"sharded pair pass supports method 'auto'/'pallas'/'banded', "
+            f"got {method!r} (the single-chip 'block'/'rowblock' forms "
+            "have no halo formulation)")
     fwd = [(s, s - 1) for s in range(1, n_devices)]    # head -> left neighbor
     back = [(s, s + 1) for s in range(n_devices - 1)]  # deltas -> right owner
 
@@ -62,13 +67,21 @@ def make_halo_pair_fn(axis: str, n_devices: int, window: int = PS.PAIR_WINDOW,
         actf = act.astype(px.dtype)
         cols = (px, py, pz, vx, vy, vz, rad, mass, elas, actf)
         if n_devices > 1:
-            halos = [jax.lax.ppermute(c[:window], axis, fwd) for c in cols]
-            ext = [jnp.concatenate([c, h]) for c, h in zip(cols, halos)]
+            # ONE stacked ppermute for the whole halo (10 columns in a
+            # single ICI collective instead of 10)
+            stacked = jnp.stack([c[:window] for c in cols])
+            halos = jax.lax.ppermute(stacked, axis, fwd)
+            ext = [jnp.concatenate([c, halos[i]])
+                   for i, c in enumerate(cols)]
         else:
             ext = list(cols)
-        # mass halo zero-fill on the last device is safe: act=0 masks every
-        # hit, and msum = m_i + 0 stays positive for the masked arithmetic
         ext[9] = ext[9] > 0
+        # the last device's halo arrives zero-filled (its fwd ppermute
+        # has no source).  act=0 masks those rows out of every HIT, but
+        # a halo-vs-halo row pair would still compute mw = m/(0+0) = NaN
+        # before masking — pad inactive-row masses to 1.0 so the masked
+        # arithmetic stays finite even if halo deltas are ever read
+        ext[7] = jnp.where(ext[9], ext[7], 1.0)
         if method == "pallas" or (method == "auto" and PS._on_tpu()):
             from ..ops.pallas.pairs_kernel import banded_pairs_pallas
             deltas = banded_pairs_pallas(*ext[:9], ext[9], window=window,
@@ -79,8 +92,10 @@ def make_halo_pair_fn(axis: str, n_devices: int, window: int = PS.PAIR_WINDOW,
         if n_devices == 1:
             return deltas
         local = [d[:nl] for d in deltas]
-        returned = [jax.lax.ppermute(d[nl:], axis, back) for d in deltas]
-        return tuple(l.at[:window].add(r) for l, r in zip(local, returned))
+        returned = jax.lax.ppermute(jnp.stack([d[nl:] for d in deltas]),
+                                    axis, back)
+        return tuple(l.at[:window].add(returned[i])
+                     for i, l in enumerate(local))
 
     return pair_fn
 
@@ -90,13 +105,16 @@ def make_step_objects_sharded(mesh: Mesh, axis: str = "objs",
                               world: WorldConst = DEFAULT_WORLD,
                               tstep: float = T.DEF_TIMESTEP,
                               window: int = PS.PAIR_WINDOW,
-                              method: str = "auto"):
+                              method: str = "auto",
+                              pair_every: int = 1,
+                              water: bool = True):
     """Full multi-chip frame step WITH pair collisions on.
 
     Returns jitted ``step(state, env, cobjs, table) -> state``: global
     x-sort + slab re-partition, then `substeps` substeps under shard_map
     with the halo pair pass; scene (mesh/cobjs/type table) replicates,
-    object state shards on `axis`.
+    object state shards on `axis`.  `pair_every`/`water` mirror
+    step_objects (reference pair cadence, dry-scene water elision).
     """
     nd = mesh.shape[axis]
     obj_sh = NamedSharding(mesh, P(axis))
@@ -120,19 +138,25 @@ def make_step_objects_sharded(mesh: Mesh, axis: str = "objs",
         def run(st, env_, cobjs_, table_):
             dtc = jnp.asarray(dt, jnp.float32)
 
-            def body(s, _):
-                return PS._substep(s, env_, cobjs_, table_, dtc, world,
-                                   True, pair_fn=pair_fn), None
+            def body(s, k):
+                if pair_every <= 1:
+                    return PS._substep(s, env_, cobjs_, table_, dtc, world,
+                                       True, pair_fn=pair_fn,
+                                       water=water), None
+                return jax.lax.cond(
+                    k % pair_every == 0,
+                    lambda ss: PS._substep(ss, env_, cobjs_, table_, dtc,
+                                           world, True, pair_fn=pair_fn,
+                                           water=water),
+                    lambda ss: PS._substep(ss, env_, cobjs_, table_, dtc,
+                                           world, False, water=water),
+                    s), None
 
-            st, _ = jax.lax.scan(body, st, None, length=substeps)
+            st, _ = jax.lax.scan(body, st, jnp.arange(substeps),
+                                 length=substeps)
             return st
 
         state = run(state, env, cobjs, table)
-        # frame bookkeeping (matches step_objects)
-        life = PS._type_params(state.otype, table)[8]
-        time = state.time + 1
-        status = jnp.where((life > 0) & (time.astype(jnp.float32) > life),
-                           0, state.status)
-        return state._replace(time=time, status=status)
+        return PS._frame_bookkeeping(state, table)
 
     return step

@@ -1032,7 +1032,12 @@ def step_objects(
         return s2, None
 
     state, _ = jax.lax.scan(body, state, jnp.arange(substeps), length=substeps)
-    # frame bookkeeping: age + lifetime kill (advance_object preamble)
+    return _frame_bookkeeping(state, table)
+
+
+def _frame_bookkeeping(state: ObjectState, table: T.ObjTypeTable) -> ObjectState:
+    """Age + lifetime kill (advance_object preamble); shared by the
+    single-chip and sharded frame steps."""
     life = _type_params(state.otype, table)[8]
     time = state.time + 1
     status = jnp.where((life > 0) & (time.astype(jnp.float32) > life), 0, state.status)
