@@ -8,10 +8,12 @@ program: the tile's padded heightmap (~74 KB), the droplet state and
 every per-step one-hot/matmul live in VMEM; HBM sees only the input map,
 the droplet seeds, and the output delta map.
 
-Same math as `_walk_batch` (frozen-snapshot reads, carried local height,
-bilinear deposits, 4x4 stencil erosion, ocean/pit kills); the only
-behavioral difference is the flat-spot random direction, which comes from
-a precomputed [steps, B] angle table shared across tiles.
+Same math as `_walk_batch` (LIVE reads — snapshot + the batch's carried
+delta map, so concurrent droplets see each other's carving like the
+sequential reference's in-place updates — carried local height, bilinear
+deposits, 4x4 stencil erosion, ocean/pit kills); the only behavioral
+difference is the flat-spot random direction, which comes from a
+precomputed [steps, B] angle table shared across tiles.
 
 Mosaic layout rules encoded here (learned by crash):
 * per-droplet state is [1, B] ROWS — B in the lane dim must be a
@@ -210,7 +212,8 @@ def erosion_walk_pallas(hm, xi0, zi0, angles, params6, steps: int,
                         interpret: bool = False):
     """Fused walk for a batch of tiles.
 
-    hm [T, ny, nx] frozen snapshots; xi0/zi0 [T, B] droplet seeds
+    hm [T, ny, nx] height maps (read live: snapshot + carried batch
+    delta); xi0/zi0 [T, B] droplet seeds
     (B must be a multiple of 128); angles [steps, B] flat-spot directions
     (shared across tiles); params6: [6] f32 runtime scalars (erode_amount,
     water_cut, zmin, zrange_inv, rock_thresh, relh_adj) — SMEM, so they
@@ -258,8 +261,9 @@ def erode_tiles_pallas(heightmaps, num_iters: int, params,
 
     heightmaps: [T, ys, xs].  Same batching/seeding contract as
     ops/erosion.erode (apply_erosion, erosion.cpp:14-165): droplets are
-    seeded by the reference LCG, walked batch_size at a time against a
-    frozen snapshot, and each batch's delta is applied before the next.
+    seeded by the reference LCG, walked batch_size at a time with LIVE
+    in-batch map reads, and each batch's delta is applied before the
+    next.
     batch_size must be a multiple of 128 (lane width).
 
     vs the XLA path this differs only in MXU f32 accumulation order;

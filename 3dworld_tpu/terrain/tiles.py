@@ -200,17 +200,35 @@ def _gen_tile_batch(table_arrs, txs, tys, zmax_est, wpz,
             half_dxy=world.half_dxy, zmin=-zmax_est, zmax=zmax_est,
             rock_thresh=TM.clip_hd1(cfg), relh_adj_tex=cfg.relh_adj_tex)
         zmin_t = jnp.min(zv, axis=(-1, -2))
-        zv = jax.vmap(lambda h, mz: E.erode(h, erosion_iters, eparams,
-                                            min_zval=mz, batch_size=256,
-                                            max_steps=96))(zv, zmin_t)
+        if jax.default_backend() == "tpu":
+            # fused VMEM walk (both paths apply min_zval as the same
+            # FINAL clamp — erosion.cpp:158-162 — so clamping after the
+            # batched kernel is exact)
+            from ..ops.pallas.erosion_kernel import erode_tiles_pallas
+            zv = erode_tiles_pallas(zv, erosion_iters, eparams,
+                                    min_zval=-1.0e9, batch_size=256,
+                                    max_steps=96)
+            zv = jnp.maximum(zv, zmin_t[:, None, None])
+        else:
+            zv = jax.vmap(lambda h, mz: E.erode(h, erosion_iters, eparams,
+                                                min_zval=mz, batch_size=256,
+                                                max_steps=96))(zv, zmin_t)
         ctx = ctx.at[:, halo:halo + stride, halo:halo + stride].set(zv)
 
     ao = AO.tile_ao(ctx, stride, dz=0.5 * world.half_dxy)
     smask, _ = SH.mesh_shadows(zv, sun_dir, cell_w=world.dx)
 
-    # normal z for slope-based texturing
-    dzdx = (jnp.roll(zv, -1, -1) - jnp.roll(zv, 1, -1)) * (0.5 * world.dx_inv)
-    dzdy = (jnp.roll(zv, -1, -2) - jnp.roll(zv, 1, -2)) * (0.5 * world.dy_inv)
+    # normal z for slope-based texturing: centered differences from the
+    # halo-padded context so borders use true neighbor heights (a
+    # jnp.roll over the crop would wrap the OPPOSITE tile edge into the
+    # border derivative -> spurious slope seams between tiles)
+    ctx2 = ctx.at[:, halo:halo + stride, halo:halo + stride].set(zv)
+    dzdx = (ctx2[:, halo:halo + stride, halo + 1:halo + stride + 1]
+            - ctx2[:, halo:halo + stride, halo - 1:halo + stride - 1]) \
+        * (0.5 * world.dx_inv)
+    dzdy = (ctx2[:, halo + 1:halo + stride + 1, halo:halo + stride]
+            - ctx2[:, halo - 1:halo + stride - 1, halo:halo + stride]) \
+        * (0.5 * world.dy_inv)
     norm_z = jax.lax.rsqrt(dzdx ** 2 + dzdy ** 2 + 1.0)
     weights = B.biome_weights(zv, norm_z, -zmax_est, zmax_est, cfg)
     return zv, ao, smask, weights

@@ -277,3 +277,30 @@ def test_pallas_narrow_phase_matches_xla():
     for a, b in zip(ref[2:], out[2:]):                 # winner fields
         d = jnp.abs(jnp.where(robust, a - b, 0.0))
         assert float(d.max()) < 1e-5
+
+
+@pytest.mark.slow
+def test_pallas_erosion_unclamped_stability_interpret():
+    """The deleted 5% delta clamp must stay unnecessary on the PALLAS
+    path too (the live-read stability argument): a long unclamped run in
+    interpret mode stays inside the original relief with no NaNs.  (The
+    XLA path's 100K-droplet stability test is in test_erosion.py; this
+    covers the kernel's own accumulation order at a count well past the
+    old divergence onset.)"""
+    import numpy as np
+    import jax.numpy as jnp
+    from w3d.ops.erosion import ErosionParams
+    from w3d.ops.pallas.erosion_kernel import erode_tiles_pallas
+
+    rng = np.random.default_rng(5)
+    x, y = np.meshgrid(np.linspace(-2, 2, 128), np.linspace(-2, 2, 128))
+    hm = (0.5 * np.exp(-(x**2 + y**2) / 1.5)
+          + 0.02 * rng.standard_normal((128, 128))).astype(np.float32)
+    z = jnp.asarray(hm)[None]
+    out = erode_tiles_pallas(z, 4096, ErosionParams(), min_zval=-1.0e9,
+                             batch_size=256, max_steps=64, interpret=True)
+    out = np.asarray(out)[0]
+    assert np.isfinite(out).all()
+    relief = hm.max() - hm.min()
+    assert out.min() > hm.min() - 1.5 * relief
+    assert out.max() < hm.max() + 0.5 * relief
