@@ -11,12 +11,14 @@ the VPU beats any traversal, and it batches perfectly.
 
 Shapes follow physics/cobjs.py: cube (slab test), sphere (quadratic),
 vertical cylinder (xy-quadratic + caps), polygon (plane + inside test);
-capsule / rotated cylinder / torus currently intersect via a conservative
-bounding-sphere approximation (flagged for refinement).
+capsule / rotated (tapered) cylinder / torus intersect exactly (cone
+quadratic + end discs/spheres; torus via Newton refinement of the
+quartic from the bounding-sphere entry).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -241,13 +243,28 @@ def ray_cobjs_nearest(ox, oy, oz, dx, dy, dz, tmax, c: CobjSet,
 
     is_tor = c.shape == COLL_TORUS
     t_n = jnp.maximum(t_s, _EPS)          # seed at bounding-sphere entry
-    for _ in range(6):
-        Fv, dFv = torus_F_dF(t_n)
-        t_n = t_n - Fv / jnp.where(jnp.abs(dFv) < _EPS, _EPS, dFv)
-    Fv, _ = torus_F_dF(t_n)
-    scale4 = jnp.maximum(c.r1, _EPS) ** 4
-    tor_ok = sph_hit & (jnp.abs(Fv) < 1e-3 * scale4) & (t_n > _EPS)
-    t_torus = jnp.where(tor_ok, t_n, _BIG)
+    # gate on the bounding sphere being AHEAD at all (far root > eps):
+    # a ray starting inside the r1+r2 sphere — e.g. a bounce ray leaving
+    # the torus surface, or an AO sample under a ring — must still be
+    # able to hit; gating on the near root made those rays miss
+    t_s2_pre = (-b + sq) / (2.0 * a)
+    sph_ahead = (disc > 0.0) & (t_s2_pre > _EPS)
+    try:        # concrete cobj sets (closed over under jit) skip the loop
+        has_torus = bool((np.asarray(c.shape) == COLL_TORUS).any())
+    except Exception:   # traced shapes: keep the loop in the graph
+        has_torus = True
+    if has_torus:
+        for _ in range(6):
+            Fv, dFv = torus_F_dF(t_n)
+            t_n = t_n - Fv / jnp.where(jnp.abs(dFv) < _EPS, _EPS, dFv)
+        Fv, _ = torus_F_dF(t_n)
+        scale4 = jnp.maximum(c.r1, _EPS) ** 4
+        tor_ok = sph_ahead & (jnp.abs(Fv) < 1e-3 * scale4) & (t_n > _EPS)
+        t_torus = jnp.where(tor_ok, t_n, _BIG)
+    else:
+        # torus-free scene (the common case): compile out the Newton
+        # loop entirely (same pattern as the static water flag)
+        t_torus = jnp.full_like(t_n, _BIG)
 
     def torus_normal(tt):
         qx_ = OX + tt * DX - c.p1[:, 0]
@@ -372,17 +389,40 @@ def ray_cobjs_nearest(ox, oy, oz, dx, dy, dz, tmax, c: CobjSet,
                                      jnp.where(bot_ok, t_bot, -_BIG)))
     tx_cyl = jnp.where(cyl_hit & (tx_cyl > -_BIG), tx_cyl, t_cyl)
     tx_poly = t_poly + jnp.maximum(c.r1, 0.0) / jnp.maximum(jnp.abs(denom), 0.1)
-    # caps/rot-cyl exact far side; torus keeps the bounding-sphere far
-    # root (transmission-chord upper bound)
+    # caps/rot-cyl exact far side; torus uses the bounding-sphere far
+    # root as a transmission-chord upper bound
     t_side_far = side_t(jnp.maximum(tc1, tc2))
     tx_rcyl = jnp.maximum(
         jnp.where(t_side_far < _BIG, t_side_far, -_BIG),
         jnp.maximum(jnp.where(disc_t(t_d0, c.r1) < _BIG, t_d0, -_BIG),
                     jnp.where(disc_t(t_dL, c.r2) < _BIG, t_dL, -_BIG)))
     tx_rcyl = jnp.where(tx_rcyl > -_BIG, tx_rcyl, t_rcyl)
+    # capsule exit: max over the far cone-side root and the far roots of
+    # both end spheres (the old bounding-sphere exit was a gross
+    # over-estimate — up to L+2r chords — and blew up to _BIG whenever
+    # the bounding-sphere ENTRY was behind the origin)
+    def end_sphere_tfar(ex0, ey0, ez0, rr):
+        lx = OX - ex0
+        ly = OY - ey0
+        lz = OZ - ez0
+        bb = 2.0 * (lx * DX + ly * DY + lz * DZ)
+        cc2 = lx * lx + ly * ly + lz * lz - rr * rr
+        dd = bb * bb - 4.0 * a * cc2
+        tt = (-bb + jnp.sqrt(jnp.maximum(dd, 0.0))) / (2.0 * a)
+        return jnp.where((dd > 0.0) & (tt > _EPS), tt, -_BIG)
+
+    tx_caps = jnp.maximum(
+        jnp.where(t_side_far < _BIG, t_side_far, -_BIG),
+        jnp.maximum(end_sphere_tfar(c.p1[:, 0], c.p1[:, 1], c.p1[:, 2], c.r1),
+                    end_sphere_tfar(c.p2[:, 0], c.p2[:, 1], c.p2[:, 2], c.r2)))
+    tx_caps = jnp.where(tx_caps > -_BIG, tx_caps, t_caps)
+    # sphere/torus exits: valid far root whenever the quadratic has one
+    # ahead (the sph_hit gate rejected origins inside the sphere, making
+    # the exit _BIG and corrupting transmission chords)
+    tx_sph_safe = jnp.where((disc > 0.0) & (t_s2 > _EPS), t_s2, t_sph)
     tx_all = jnp.select(preds,
-                        [tx_cube, tx_cyl, tx_poly, tx_sph, tx_rcyl,
-                         tx_sph, tx_sph],
+                        [tx_cube, tx_cyl, tx_poly, tx_caps, tx_rcyl,
+                         tx_sph_safe, tx_sph_safe],
                         default=jnp.float32(_BIG))
     t_exit = jnp.sum(jnp.maximum(tx_all, t_all) * oh, -1)
     return (hit, t_best,

@@ -557,6 +557,11 @@ def sphere_cobj_test_grouped(px, py, pz, radius, g: GroupedCobjs):
         axial_out = jnp.maximum(jnp.maximum(-t_un, t_un - 1.0), 0.0) * length
         tv_cl = jnp.where(d_end, 1.0 - t_cl, t_cl) * length
         pen_e = r - axial_out
+        # cap gate is the reference's exact condition
+        # (sphere_intersect_cylinder_ipt, Math3d.cpp:803:
+        # fabs(tv_clamped)*len < min(sr, rdist)) — a sphere that tunnels
+        # past the cap deep on-axis resolves via the side candidate,
+        # faithfully matching the reference's behavior
         end_ok = (end_r > 0.0) & (tv_cl < jnp.minimum(r, rdist)) \
             & (rdist <= rad_tc + r) & (pen_e > 0.0)
         sgn = jnp.where(d_end, 1.0, -1.0)
