@@ -295,8 +295,14 @@ def trace_batch(
                 st["b"] * acb * watt_b,
                 jnp.ones((N,), jnp.float32), params.samples_per_segment,
                 world)
-            # stochastic branch pick, importance-compensated
+            # stochastic branch pick, importance-compensated.  When
+            # keep_t gates the transmitted branch off entirely, its
+            # probability must be zero too — otherwise the reflected
+            # branch is divided by (1-p_t) with no transmitted branch to
+            # compensate, inflating dim rays at transmissive surfaces by
+            # up to 1e6 (biased estimator)
             p_t = jnp.abs(w_t) / jnp.maximum(jnp.abs(w_t) + jnp.abs(w_r), 1e-12)
+            p_t = jnp.where(semi & keep_t, p_t, 0.0)
             u_t = jax.random.uniform(jax.random.fold_in(key_d, 7), (N,))
             take_t = semi & keep_t & (u_t < p_t)
             w = jnp.where(take_t, w_t / jnp.maximum(p_t, 1e-6),

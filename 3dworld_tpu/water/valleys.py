@@ -31,7 +31,12 @@ from ..utils.constants import WorldConst, DEFAULT_WORLD
 
 
 def flow_directions(mesh: jax.Array) -> jax.Array:
-    """Steepest-descent neighbor (flat index) per cell; self at minima."""
+    """Steepest-descent neighbor (flat index) per cell; self at strict
+    minima.  FLAT cells (no strictly lower neighbor but an equal one)
+    flow to their +x/+y neighbor, the reference's "force flat areas to
+    still have flow: default flow is NE" rule (matrix_ops.cpp:371-373)
+    — without it every plateau cell becomes its own one-cell basin and
+    flat valley floors fragment."""
     my, mx = mesh.shape
     INF = jnp.float32(1e30)
     best = mesh
@@ -55,6 +60,13 @@ def flow_directions(mesh: jax.Array) -> jax.Array:
             better = n < best
             best = jnp.where(better, n, best)
             best_idx = jnp.where(better, nidx, best_idx)
+    # flat-cell NE default (only where a non-border equal neighbor
+    # exists; strict minima keep flowing to themselves)
+    self_idx = yi * mx + xi
+    ne = jnp.roll(mesh, (-1, -1), (0, 1)).at[-1, :].set(INF).at[:, -1].set(INF)
+    is_flat = (best_idx == self_idx) & (ne == mesh)
+    ne_idx = jnp.clip(yi + 1, 0, my - 1) * mx + jnp.clip(xi + 1, 0, mx - 1)
+    best_idx = jnp.where(is_flat, ne_idx, best_idx)
     return best_idx.reshape(-1)
 
 
@@ -181,11 +193,16 @@ def update_valleys(mesh, labels, volumes, world=DEFAULT_WORLD,
                 changed = True
         if not changed:
             break
-        # relabel to union roots and pool volumes at the root slot
-        roots = np.array([find(l) for l in range(my * mx)], np.int32)
+        # relabel to union roots and pool volumes at the root slot;
+        # only the live basin labels (a few dozen) go through find(),
+        # not every mesh cell
+        live = np.unique(merged_np)
+        root_of = np.arange(my * mx, dtype=np.int32)
+        for l in live:
+            root_of[l] = find(int(l))
         vols_np = np.zeros(my * mx, np.float32)
-        np.add.at(vols_np, roots, np.asarray(vols))
-        merged = jnp.asarray(roots[merged_np])
+        np.add.at(vols_np, root_of, np.asarray(vols))
+        merged = jnp.asarray(root_of[merged_np])
         vols = jnp.asarray(vols_np)
     zval, water = basin_fill_levels(mesh, merged, vols, world)
     wet = water > mesh
@@ -196,21 +213,26 @@ def basin_spill_points(mesh, labels):
     """Per-basin spill point + saddle height (valley::spill_func): the
     lowest boundary saddle of each basin and its cell position.  Host
     build (irregular) for the float_downstream drift."""
-    import numpy as np
     m = np.asarray(mesh)
     my, mx = m.shape
     lab = np.asarray(labels).reshape(my, mx)
     best = {}
-    for (dy, dx) in ((0, 1), (1, 0)):
-        a = lab[:my - dy, :mx - dx]
-        b = lab[dy:, dx:]
-        h = np.maximum(m[:my - dy, :mx - dx], m[dy:, dx:])
+    # 8-neighborhood to match the 8-connected flow basins (a 4-scan
+    # missed diagonal-only basin contacts, leaving sz=inf for basins
+    # that basin_saddles DOES merge)
+    for (dy, dx) in ((0, 1), (1, 0), (1, 1), (1, -1)):
+        xs0 = max(0, -dx)
+        xs1 = mx - max(0, dx)
+        a = lab[:my - dy, xs0:xs1]
+        b = lab[dy:, xs0 + dx:xs1 + dx]
+        h = np.maximum(m[:my - dy, xs0:xs1], m[dy:, xs0 + dx:xs1 + dx])
         diff = a != b
         ys, xs = np.nonzero(diff)
         for y, x in zip(ys, xs):
             for basin in (a[y, x], b[y, x]):
                 if basin not in best or h[y, x] < best[basin][0]:
-                    best[basin] = (float(h[y, x]), x + dx * 0.5, y + dy * 0.5)
+                    best[basin] = (float(h[y, x]), x + xs0 + dx * 0.5,
+                                   y + dy * 0.5)
     nb = int(lab.max()) + 1
     sx = np.zeros(nb, np.float32)
     sy = np.zeros(nb, np.float32)
@@ -230,7 +252,7 @@ def float_downstream(px, py, pz, rad, labels, water, mesh,
     in a SPILLING basin drift toward its spill point with velocity
     ~ spill flow / distance (capped at 0.005/frame).  Returns (dx, dy)
     position deltas."""
-    my, mx = np.asarray(mesh).shape if hasattr(mesh, "shape") else mesh.shape
+    my, mx = np.asarray(mesh).shape
     gx = jnp.clip(jnp.floor(px * world.dx_inv + mx // 2), 0, mx - 1).astype(jnp.int32)
     gy = jnp.clip(jnp.floor(py * world.dy_inv + my // 2), 0, my - 1).astype(jnp.int32)
     lab = jnp.asarray(labels).reshape(my, mx)[gy, gx]
