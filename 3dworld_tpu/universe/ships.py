@@ -9,7 +9,8 @@ firing: `u_ship::ai_action` u_ship.cpp:954) updated on its own OMP thread
 TPU form: the whole fleet is SoA arrays advanced by ONE vmapped step:
 thrust toward target with max accel/speed clamps, alignment-masked
 nearest-enemy targeting via masked pairwise distance argmin (MXU Gram
-trick), ranged weapon fire with cooldowns and damage scatter.
+trick), ranged weapon fire with cooldowns (damage is
+deterministic; the per-frame step key is reserved for future scatter).
 """
 
 from __future__ import annotations
@@ -119,8 +120,9 @@ def ship_parts(f: FleetState, tbl=None, part_offsets=None,
                num_parts=None):
     """[N, K] part positions + radii in world space (multipart_ship
     collision geometry): parts lie along the facing direction, scaled by
-    the class radius; the abomination's tail spheres shrink with
-    state_val (eye/tail animation)."""
+    the class radius with static per-part radii from the class table
+    (the reference also animates the abomination's tail sphere sizes
+    with its state value, u_ship.cpp:2880 — not modeled here)."""
     tbl = jnp.asarray(SHIP_CLASSES if tbl is None else tbl)
     oh = jax.nn.one_hot(f.cls, tbl.shape[0], dtype=jnp.float32)
     po = jnp.asarray(PART_OFFSETS if part_offsets is None else part_offsets)
@@ -238,13 +240,15 @@ def step_fleet(f: FleetState, key, tbl=None,
         & f.alive & eye_ok
     dmg_dealt = jnp.where(in_range, w_dam, 0.0)
     # reaper shield lobe blocks most damage arriving from its aim
-    # direction (USC_REAPER blocking shield, u_ship.cpp:2931-2960)
-    ex = f.px[:, None] - f.px[None, :]
-    ey = f.py[:, None] - f.py[None, :]
-    ez = f.pz[:, None] - f.pz[None, :]
-    el = jnp.sqrt(ex * ex + ey * ey + ez * ez) + 1e-9
-    aligned = (ex * ndx[None, :] + ey * ndy[None, :] + ez * ndz[None, :]) \
-        / el > 0.5
+    # direction (USC_REAPER blocking shield, u_ship.cpp:2931-2960).
+    # Reuse the Gram-trick pairwise distances and express the alignment
+    # numerator as outer products instead of three [N,N] VPU
+    # difference buffers
+    el = jnp.sqrt(jnp.maximum(d2, 0.0)) + 1e-9
+    num = (jnp.outer(f.px, ndx) - (f.px * ndx)[None, :]
+           + jnp.outer(f.py, ndy) - (f.py * ndy)[None, :]
+           + jnp.outer(f.pz, ndz) - (f.pz * ndz)[None, :])
+    aligned = num / el > 0.5
     is_reaper_j = (f.cls == reaper_id)[None, :]
     block = jnp.where(aligned & is_reaper_j, 1.0 - REAPER_BLOCK, 1.0)
     dmg_in = jnp.sum(dmg_dealt[:, None] * toh * block, axis=0)
@@ -519,11 +523,10 @@ def avoid_hazards(f: FleetState, star_pos, star_radius, bhole_mask,
                     jnp.where(hot, vmax * ty / tl, f.vy))
     nvz = jnp.where(danger_bh, vmax * sz,
                     jnp.where(hot, vmax * tz / tl, f.vz))
-    return f._replace(
-        vx=nvx, vy=nvy, vz=nvz,
-        px=jnp.where(esc, f.px + nvx, f.px),
-        py=jnp.where(esc, f.py + nvy, f.py),
-        pz=jnp.where(esc, f.pz + nvz, f.pz))
+    # override the VELOCITY only: step_fleet has already integrated this
+    # frame's motion, so adding another position step here would move
+    # escaping ships at up to 2x their class vmax (double integration)
+    return f._replace(vx=nvx, vy=nvy, vz=nvz)
 
 
 # ---------------------------------------------------------------------------

@@ -79,10 +79,9 @@ _TET_TABLE = _build_tet_table()          # [16,2,3]
 _TET_TABLE_F = _TET_TABLE.astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("isolevel_static",))
+@jax.jit
 def marching_tets(values: jax.Array, isolevel: float | jax.Array = 0.0,
-                  lo_pos=(0.0, 0.0, 0.0), vsz=(1.0, 1.0, 1.0),
-                  isolevel_static: bool = False):
+                  lo_pos=(0.0, 0.0, 0.0), vsz=(1.0, 1.0, 1.0)):
     """Extract the isosurface of a [nz, ny, nx] field.
 
     Returns (verts_x, verts_y, verts_z, valid):
@@ -154,9 +153,16 @@ def marching_tets(values: jax.Array, isolevel: float | jax.Array = 0.0,
         e_sel = jnp.clip(eidx, 0.0, 5.0)                    # [C,6(verts)]
         oh_e = (e_sel[:, :, None] == jnp.arange(6, dtype=jnp.float32)[None, None, :]
                 ).astype(jnp.float32)                       # [C,6v,6e]
-        gx = jnp.einsum("cve,ec->cv", oh_e, evx)            # [C,6v]
-        gy = jnp.einsum("cve,ec->cv", oh_e, evy)
-        gz = jnp.einsum("cve,ec->cv", oh_e, evz)
+        # HIGHEST precision: these einsums carry ABSOLUTE world
+        # coordinates (unlike the small-integer table lookups, which are
+        # bf16-exact) — default precision would quantize vertices to the
+        # bf16 grid, ~8 world units of snap at |coord| ~ 1000
+        gx = jnp.einsum("cve,ec->cv", oh_e, evx,
+                        precision=jax.lax.Precision.HIGHEST)  # [C,6v]
+        gy = jnp.einsum("cve,ec->cv", oh_e, evy,
+                        precision=jax.lax.Precision.HIGHEST)
+        gz = jnp.einsum("cve,ec->cv", oh_e, evz,
+                        precision=jax.lax.Precision.HIGHEST)
         out_x.append(gx.reshape(C, 2, 3))
         out_y.append(gy.reshape(C, 2, 3))
         out_z.append(gz.reshape(C, 2, 3))
