@@ -384,10 +384,20 @@ def step_people(st: PeopleState, elev_z: jax.Array | None = None
 
 def people_need_goals(st: PeopleState) -> np.ndarray:
     """Host check: who finished their path AND isn't resting or riding
-    (triggers re-routing)."""
-    done = np.asarray(st.path_pos >= st.path_len - 1)
+    (triggers re-routing).  'Finished' requires ARRIVAL at the final
+    waypoint, not merely walking toward it — rerouting at path_pos ==
+    path_len-1 preempted the device-side rest transition (start_rest in
+    step_people) every time, so queued SIT/SLEEP never started."""
+    pos = np.asarray(st.path_pos)
+    plen = np.asarray(st.path_len)
+    last = np.maximum(plen - 1, 0)
+    wx = np.take_along_axis(np.asarray(st.path_x), last[:, None], 1)[:, 0]
+    wy = np.take_along_axis(np.asarray(st.path_y), last[:, None], 1)[:, 0]
+    dx = np.asarray(st.x) - wx
+    dy = np.asarray(st.y) - wy
+    arrived = (pos >= plen - 1) & (dx * dx + dy * dy < 1e-4)
     idle = np.asarray(st.activity) == ACT_WALK
-    return done & idle
+    return arrived & idle
 
 
 def elevator_calls(st: PeopleState, num_elevators: int) -> list:

@@ -298,8 +298,19 @@ def step_cars(cars: CarState, graph: RoadGraph, key,
     isec = jnp.einsum("cs,se,ce->c", oh, graph.isec_id.astype(jnp.float32),
                       end_oh).astype(jnp.int32)
 
-    # choose the next segment first so the turn type gates the light
-    hsel = jax.random.randint(key, cars.t.shape, 0, 1 << 30)
+    # choose the next segment first so the turn type gates the light.
+    # The choice is a HASH of (car index, current segment), not a
+    # per-frame roll: a car's turn intent must persist while it waits at
+    # a red arrow (a fresh roll each frame let it abandon a blocked left
+    # turn within ~num_next frames, making the arrow phases inert); the
+    # hash re-rolls naturally on every segment transition
+    car_ix = jnp.arange(cars.t.shape[0], dtype=jnp.uint32)
+    hbits = car_ix * jnp.uint32(2654435761) \
+        + cars.seg.astype(jnp.uint32) * jnp.uint32(40503)
+    hbits = hbits ^ (hbits >> 13)
+    hbits = hbits * jnp.uint32(747796405)
+    hsel = ((hbits ^ (hbits >> 16)) & jnp.uint32((1 << 30) - 1)) \
+        .astype(jnp.int32)
     nn = jnp.einsum("cs,se,ce->c", oh, graph.num_next.astype(jnp.float32),
                     end_oh)
     nn_i = jnp.maximum(nn.astype(jnp.int32), 1)
@@ -571,7 +582,9 @@ def step_peds(p: PedState, key, sep_radius: float = 0.15,
     cy1 = boh2 @ nav.blk[:, 1]
     cx2 = boh2 @ nav.blk[:, 2]
     cy2 = boh2 @ nav.blk[:, 3]
-    contained = stage == 2
+    # stages 0 AND 2 are off-road (walking within source/destination
+    # block); only stage 1 (mid-crossing) is legitimately on the road
+    contained = stage != 1
     x = jnp.where(contained, jnp.clip(x, cx1, cx2), x)
     y = jnp.where(contained, jnp.clip(y, cy1, cy2), y)
 
@@ -727,9 +740,14 @@ def step_helis(h: HeliState, pads, key) -> HeliState:
     wait = jnp.maximum(h.wait - parked.astype(jnp.int32), 0)
     launch = parked & (wait == 0)
 
-    pz = jnp.where(takeoff, jnp.minimum(h.pz + HELI_VSPEED, HELI_CRUISE_Z),
+    # cruise above BOTH pads plus clearance (a fixed cruise height sat
+    # below the tallest roofs — helipads sit on the tallest buildings —
+    # snapping launching helis down into their own roof)
+    cruise_z = jnp.maximum(HELI_CRUISE_Z,
+                           jnp.maximum(h.pz, tz) + 0.08)
+    pz = jnp.where(takeoff, jnp.minimum(h.pz + HELI_VSPEED, cruise_z),
                    h.pz)
-    at_cruise = takeoff & (pz >= HELI_CRUISE_Z)
+    at_cruise = takeoff & (pz >= cruise_z - 1e-6)
 
     dx = tx - h.px
     dy = ty - h.py
@@ -879,8 +897,7 @@ def step_birds(b: BirdState, perches, key) -> BirdState:
     state = jnp.where(launch, BIRD_TAKEOFF, b.state)
     state = jnp.where(up_done, BIRD_FLYING, state)
     state = jnp.where(airborne & (vz < 0), BIRD_GLIDING, state)
-    state = jnp.where(airborne & (vz >= 0), jnp.where(airborne, BIRD_FLYING,
-                                                      state), state)
+    state = jnp.where(airborne & (vz >= 0), BIRD_FLYING, state)
     state = jnp.where(over, BIRD_LANDING, state)
     state = jnp.where(touched, BIRD_STANDING, state)
     new_perch = jax.random.randint(key, b.perch.shape, 0, P)
