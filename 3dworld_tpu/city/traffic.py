@@ -740,12 +740,15 @@ def step_helis(h: HeliState, pads, key) -> HeliState:
     wait = jnp.maximum(h.wait - parked.astype(jnp.int32), 0)
     launch = parked & (wait == 0)
 
-    # cruise above BOTH pads plus clearance (a fixed cruise height sat
-    # below the tallest roofs — helipads sit on the tallest buildings —
-    # snapping launching helis down into their own roof)
-    cruise_z = jnp.maximum(HELI_CRUISE_Z,
-                           jnp.maximum(h.pz, tz) + 0.08)
-    pz = jnp.where(takeoff, jnp.minimum(h.pz + HELI_VSPEED, cruise_z),
+    # cruise above the destination pad plus clearance, and never snap
+    # DOWN during takeoff (a fixed cruise height sat below the tallest
+    # roofs — helipads sit on the tallest buildings — so launching helis
+    # were clamped into their own roof; pads higher than the cruise
+    # height count as already at altitude)
+    cruise_z = jnp.maximum(HELI_CRUISE_Z, tz + 0.08)
+    pz = jnp.where(takeoff,
+                   jnp.maximum(jnp.minimum(h.pz + HELI_VSPEED, cruise_z),
+                               h.pz),
                    h.pz)
     at_cruise = takeoff & (pz >= cruise_z - 1e-6)
 
