@@ -61,23 +61,32 @@ def update_game_frame(state: ObjectState, cobjs: CobjSet,
     expl = []
     dam = np.asarray(table.damage)
     rad = np.asarray(table.radius)
-    centers = []
-    for i in idx:
-        ot = int(state.otype[i])
-        x = float(state.px[i])
-        y = float(state.py[i])
-        z = float(state.pz[i])
+    # one bulk device->host pull for the blast centers; per-element
+    # float(state.px[i]) would sync the device once per scalar
+    if len(idx):
+        px, py, pz, ot_all = (np.asarray(state.px)[idx],
+                              np.asarray(state.py)[idx],
+                              np.asarray(state.pz)[idx],
+                              np.asarray(state.otype)[idx])
+    hit_flags = []
+    for k, i in enumerate(idx):
+        ot = int(ot_all[k])
+        x, y, z = float(px[k]), float(py[k]), float(pz[k])
         r = BLAST_RADIUS_SCALE * rad[ot]
         d = max(dam[ot], 1.0)
         state = GG.apply_blast(state, x, y, z, r, d)
         cobjs, hit = PD.destroy_coll_objs(cobjs, destroy_state, x, y, z, r)
-        if bool(np.asarray(hit).any()):
-            centers.append((x, y, z))
-        # the projectile itself dies
-        state = state._replace(status=state.status.at[int(i)].set(0))
+        hit_flags.append(jnp.any(hit))   # stays on device until the end
         expl.append((x, y, z, r))
-    if centers:
-        state = PD.spawn_fragments(state, table, centers, key=key)
+    if len(idx):
+        # all exploding projectiles die: one batched scatter
+        state = state._replace(
+            status=state.status.at[np.asarray(idx)].set(0))
+        # single deferred sync for all cobj-hit flags
+        hits = np.asarray(jnp.stack(hit_flags))
+        centers = [e[:3] for e, h in zip(expl, hits) if h]
+        if centers:
+            state = PD.spawn_fragments(state, table, centers, key=key)
     return GameFrameResult(
         state=state, cobjs=cobjs,
         explosions=np.asarray(expl, np.float32).reshape(-1, 4))

@@ -83,6 +83,23 @@ def can_fire(ws: WeaponState, player: int) -> bool:
     return True
 
 
+# global firing-error stream: the reference advances one global rgen
+# per shot (deterministic per run, but successive shots differ); a
+# fixed default seed here would make every volley's jitter identical
+_FIRE_SEQ = [0]
+
+
+def _next_fire_seed() -> int:
+    _FIRE_SEQ[0] += 1
+    return _FIRE_SEQ[0]
+
+
+def reset_fire_stream(seed: int = 0) -> None:
+    """Rewind the firing-error stream (rand_gen set_state analog), for
+    deterministic replays."""
+    _FIRE_SEQ[0] = seed
+
+
 def fire_weapon(state: ObjectState, free_slots, weapon_idx: int,
                 origin, direction, table, key=None,
                 shooter_vel=(0.0, 0.0, 0.0)) -> ObjectState:
@@ -100,7 +117,7 @@ def fire_weapon(state: ObjectState, free_slots, weapon_idx: int,
     d = d / max(np.linalg.norm(d), 1e-9)
     sv = np.asarray(shooter_vel, np.float32)
     vel = v_add + v_mult * float(np.linalg.norm(sv))
-    rng = np.random.default_rng(0 if key is None else int(key))
+    rng = np.random.default_rng(_next_fire_seed() if key is None else int(key))
     for k in range(min(nshots, len(free_slots))):
         slot = free_slots[k]
         dk = d + f_err * rng.standard_normal(3).astype(np.float32)
@@ -129,7 +146,7 @@ def fire_hitscan(state: ObjectState, cobjs, origin, direction, weapon_idx: int,
     from ..ops import ray as R
     w = WEAPONS[weapon_idx]
     nshots, dam, f_err, rng_lim = w[5], w[7], w[9], w[10]
-    rng = np.random.default_rng(1 if key is None else int(key))
+    rng = np.random.default_rng(_next_fire_seed() if key is None else int(key))
     d = np.asarray(direction, np.float32)
     d = d / max(np.linalg.norm(d), 1e-9)
     dirs = d[None, :] + f_err * rng.standard_normal((nshots, 3)).astype(np.float32)
@@ -236,18 +253,23 @@ def step_smileys(s: SmileyState, key, speed: float = 0.01):
     d2 = ex * ex + ey * ey
     enemy = (s.team[:, None] != s.team[None, :]) & alive[None, :] & alive[:, None]
     d2m = jnp.where(enemy, d2, jnp.inf)
+    # a smiley with NO live enemy (team eliminated) must stand down:
+    # argmin over an all-inf row returns 0, which would make everyone
+    # chase smiley 0's position regardless of team
+    has_enemy = jnp.any(enemy, axis=1)
     tgt = jnp.argmin(d2m, axis=1)
     toh = jax.nn.one_hot(tgt, n, dtype=jnp.float32)
-    tx = toh @ s.x
-    ty = toh @ s.y
+    tx = jnp.where(has_enemy, toh @ s.x, s.tx)
+    ty = jnp.where(has_enemy, toh @ s.y, s.ty)
     dist = jnp.sqrt(jnp.min(d2m, axis=1))
     flee = s.health < 25.0
     dirx = jnp.where(flee, s.x - tx, tx - s.x)
     diry = jnp.where(flee, s.y - ty, ty - s.y)
     dl = jnp.sqrt(dirx * dirx + diry * diry) + 1e-9
-    x = s.x + jnp.where(alive, speed * dirx / dl, 0.0)
-    y = s.y + jnp.where(alive, speed * diry / dl, 0.0)
-    fire = alive & ~flee & (dist < 1.0) & (s.cooldown <= 0)
+    move = alive & has_enemy
+    x = s.x + jnp.where(move, speed * dirx / dl, 0.0)
+    y = s.y + jnp.where(move, speed * diry / dl, 0.0)
+    fire = alive & has_enemy & ~flee & (dist < 1.0) & (s.cooldown <= 0)
     cooldown = jnp.where(fire, 20.0, jnp.maximum(s.cooldown - 1.0, 0.0))
     return s._replace(x=x, y=y, tx=tx, ty=ty, cooldown=cooldown), fire
 

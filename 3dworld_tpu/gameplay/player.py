@@ -68,7 +68,10 @@ def step_player(p: PlayerState, mesh, cobjs, move_x, move_y, jump,
     ground = mh + camera_height
     below = ground - z
     landed = (z <= ground) & (vz <= 0)
-    can_step = (below > 0) & (below <= step_height + camera_height)
+    # step climbing only while walking ON the ground and only up to
+    # step_height — adding camera_height to the budget (or allowing it
+    # mid-air) would snap jumps down and climb 3x-too-tall ledges
+    can_step = p.on_ground & (below > 0) & (below <= step_height)
     z = jnp.where(landed | can_step, ground, z)
     vz = jnp.where(landed | can_step, 0.0, vz)
     on_ground = landed | can_step

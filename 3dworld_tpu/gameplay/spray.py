@@ -43,7 +43,7 @@ def spray_paint(paint_grid, decals, mesh, cobjs, cam_pos, view_dir,
     mhit, mt = ray_heightfield_dda(one(o[0]), one(o[1]), one(o[2]),
                                    one(d[0]), one(d[1]), one(d[2]),
                                    tmax, mesh, world, max_cells=128)
-    chit, ct, cnx, cny, cnz, _coh = ray_cobjs_nearest(
+    chit, ct, cnx, cny, cnz, coh = ray_cobjs_nearest(
         one(o[0]), one(o[1]), one(o[2]), one(d[0]), one(d[1]), one(d[2]),
         tmax, cobjs)
     use_mesh = mhit & (~chit | (mt < ct))
@@ -65,7 +65,7 @@ def spray_paint(paint_grid, decals, mesh, cobjs, cam_pos, view_dir,
         cid = -1
     else:
         nx, ny, nz = float(cnx[0]), float(cny[0]), float(cnz[0])
-        cid = 0
+        cid = int(jnp.argmax(coh[0]))   # the cobj the ray actually hit
     decals = PT.spawn_decals(
         decals, one(float(p[0])), one(float(p[1])), one(float(p[2])),
         one(nx), one(ny), one(nz), one(radius), one(1.0),

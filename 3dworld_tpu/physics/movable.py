@@ -50,15 +50,25 @@ def push_movable_cobjs(cobjs: CobjSet, push_x, push_y,
     M = cobjs.size
     ii = jnp.arange(M)
     other = (ii[:, None] != ii[None, :]) & live[None, :]
-    # stacked-movable skip: obstacle center above this cobj's top
-    oc_z = 0.5 * (lo[:, 2] + hi[:, 2])
-    riding = cobjs.is_movable[None, :] & (oc_z[None, :] > hi[:, 2][:, None])
+    # stacked-movable skip: obstacle RESTS ON this cobj — xy overlap and
+    # its bottom at/above our top (not merely "center higher", which
+    # would also skip tall movables standing beside us)
+    xy_ov0 = (hi[:, None, 0] > lo[None, :, 0]) & (lo[:, None, 0] < hi[None, :, 0]) & \
+             (hi[:, None, 1] > lo[None, :, 1]) & (lo[:, None, 1] < hi[None, :, 1])
+    riding = cobjs.is_movable[None, :] & xy_ov0 \
+        & (lo[None, :, 2] >= hi[:, 2][:, None] - 1e-3)
     obst = other & ~riding
+    # obstacles that are themselves moving this call are tested as their
+    # SWEPT box (union of start and destination) so two cobjs pushed
+    # toward each other can't both validate against the other's stale
+    # position and end interpenetrating
+    lo_sw = lo + jnp.minimum(d, 0.0)
+    hi_sw = hi + jnp.maximum(d, 0.0)
 
     def free_at(t):
         lo2 = lo + t[:, None] * d
         hi2 = hi + t[:, None] * d
-        ov = _cube_overlap(lo2, hi2, lo, hi)
+        ov = _cube_overlap(lo2, hi2, lo_sw, hi_sw)
         return ~jnp.any(ov & obst, axis=1)
 
     one = jnp.ones((M,))
@@ -93,11 +103,20 @@ def settle_movable_cobjs(cobjs: CobjSet, mesh_min_z, fall_step: float = 0.02):
     touch = jnp.abs(lo[:, None, 2] - hi[None, :, 2]) < 1e-3
     M = cobjs.size
     ii = jnp.arange(M)
-    supported = jnp.any(xy_ov & touch & live[None, :]
-                        & (ii[:, None] != ii[None, :]), axis=1)
+    others = ii[:, None] != ii[None, :]
+    supported = jnp.any(xy_ov & touch & live[None, :] & others, axis=1)
     on_ground = lo[:, 2] <= mesh_min_z + 1e-3
     fall = mv & ~supported & ~on_ground
-    dz = -jnp.minimum(fall_step, lo[:, 2] - mesh_min_z) * fall
+    # clamp the step to land exactly on the highest cobj top below us
+    # (else a gap in (1e-3, fall_step] steps PAST the support and the
+    # object tunnels through it on the next pass)
+    below_top = jnp.where(
+        xy_ov & live[None, :] & others
+        & (hi[None, :, 2] <= lo[:, None, 2] + 1e-6),
+        hi[None, :, 2], -jnp.inf)
+    support_z = jnp.maximum(jnp.max(below_top, axis=1),
+                            jnp.asarray(mesh_min_z, lo.dtype))
+    dz = -jnp.minimum(fall_step, lo[:, 2] - support_z) * fall
     delta = jnp.stack([jnp.zeros_like(dz), jnp.zeros_like(dz), dz], -1)
     return cobjs._replace(p1=cobjs.p1 + delta, p2=cobjs.p2 + delta)
 
@@ -114,9 +133,8 @@ def object_pushes(cobjs: CobjSet, px, py, pz, vx, vy, rad, mass,
     inside = ((X > lo[None, :, 0] - rad[:, None]) & (X < hi[None, :, 0] + rad[:, None])
               & (Y > lo[None, :, 1] - rad[:, None]) & (Y < hi[None, :, 1] + rad[:, None])
               & (Z > lo[None, :, 2]) & (Z < hi[None, :, 2] + rad[:, None]))
-    w = inside.astype(jnp.float32) * (mass * strength)[:, None]
-    return (vx * mass) @ inside.astype(jnp.float32) * strength, \
-           (vy * mass) @ inside.astype(jnp.float32) * strength
+    ins = inside.astype(jnp.float32)
+    return (vx * mass) @ ins * strength, (vy * mass) @ ins * strength
 
 
 # ---------------------------------------------------------------------------
@@ -190,7 +208,11 @@ def tip_cube(cobjs: CobjSet, i: int, direction, mesh_min_z: float = None,
     # pivot edge: bottom edge on the tipping side
     piv = hi[dim] if sgn > 0 else lo[dim]
     pz = lo[2]
-    th = np.radians(angle_deg) * sgn
+    # tipping toward +dim rotates d' = d cos(th) - z sin(th),
+    # z' = d sin(th) + z cos(th) with th = -90 deg so the point directly
+    # above the pivot (d=0, z=1) lands BEYOND it at (d=1, z=0); the +sgn
+    # convention would mirror the cube through the pivot and underground
+    th = -np.radians(angle_deg) * sgn
     c, s = np.cos(th), np.sin(th)
     odim = 1 - dim
 
@@ -214,12 +236,16 @@ def tip_cube(cobjs: CobjSet, i: int, direction, mesh_min_z: float = None,
         p[dim], p[odim], p[2] = far, a, b
         quad.append(rot(p))
     quad = np.stack(quad)
-    n = np.zeros(3)
-    n[dim] = -sgn
-    nr = rot(np.array([piv + n[dim], 0, pz])) - rot(np.array([piv, 0, pz]))
+    # outward normal of the far face (-sgn along dim), rotated in the
+    # (dim, z) plane — built componentwise so it is correct for dim=1 too
+    nr = np.zeros(3)
+    nr[dim] = -sgn * c
+    nr[2] = -sgn * s
     nr = nr / max(np.linalg.norm(nr), 1e-12)
-    # shift the plane to the slab center so the extrusion is symmetric
-    center_quad = quad + 0.5 * depth * nr
+    # the quad is an OUTER face of the slab; the polygon plane is the
+    # slab CENTER (pen = r + r1/2 - |dp|), so shift half the depth
+    # inward, against the outward normal
+    center_quad = quad - 0.5 * depth * nr
     from .cobjs import COLL_POLYGON
     pts = np.asarray(cobjs.pts).copy()
     pts[i, :4] = center_quad

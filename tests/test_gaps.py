@@ -278,6 +278,55 @@ def test_movable_push_and_settle():
     assert 1.0 + moved <= 1.005 + 1e-5
 
 
+def test_movable_settle_lands_on_cobj_top():
+    """check_cobj_fall: the fall step clamps to the highest support top
+    below, so a gap smaller than the step lands EXACTLY on the support
+    instead of stepping past it and tunneling through on later passes."""
+    from w3d.physics import movable as MV
+    sp = SC.SceneParse()
+    lay = SC.CobjLayer()
+    sp.cobjs.append(SC.RawCobj(SC.COLL_CUBE, (0, 0, 0), (1, 1, 1), layer=lay))
+    # movable 0.015 above the table top: one 0.02 step would overshoot
+    sp.cobjs.append(SC.RawCobj(SC.COLL_CUBE, (0.2, 0.2, 1.015),
+                               (0.8, 0.8, 1.515), layer=lay))
+    co = SC.pack_cobjs(sp)
+    co = co._replace(is_movable=co.is_movable.at[1].set(True))
+    for _ in range(30):
+        co = MV.settle_movable_cobjs(co, -10.0)
+    assert abs(float(co.p1[1, 2]) - 1.0) < 1e-4   # resting ON the table
+
+
+def test_movable_push_blocked_by_tall_neighbor():
+    """The stacked-movable skip requires xy overlap + resting contact; a
+    tall movable column standing BESIDE the mover must still block it."""
+    from w3d.physics import movable as MV
+    sp = SC.SceneParse()
+    lay = SC.CobjLayer()
+    sp.cobjs.append(SC.RawCobj(SC.COLL_CUBE, (0, 0, 0), (1, 1, 0.5), layer=lay))
+    sp.cobjs.append(SC.RawCobj(SC.COLL_CUBE, (1.005, 0, 0), (2, 1, 2), layer=lay))
+    co = SC.pack_cobjs(sp)
+    co = co._replace(is_movable=co.is_movable.at[:2].set(True))
+    co2 = MV.push_movable_cobjs(co, jnp.zeros(co.size).at[0].set(0.05),
+                                jnp.zeros(co.size))
+    assert float(co2.p2[0, 0]) <= 1.005 + 1e-5    # stopped at the column
+
+
+def test_movable_simultaneous_pushes_no_interpenetration():
+    """Two cubes pushed toward each other validate against the other's
+    SWEPT box, not its stale start position, so they never end the call
+    overlapping."""
+    from w3d.physics import movable as MV
+    sp = SC.SceneParse()
+    lay = SC.CobjLayer()
+    sp.cobjs.append(SC.RawCobj(SC.COLL_CUBE, (0, 0, 0), (1, 1, 1), layer=lay))
+    sp.cobjs.append(SC.RawCobj(SC.COLL_CUBE, (1.06, 0, 0), (2.06, 1, 1), layer=lay))
+    co = SC.pack_cobjs(sp)
+    co = co._replace(is_movable=co.is_movable.at[:2].set(True))
+    push = jnp.zeros(co.size).at[0].set(0.05).at[1].set(-0.05)
+    co2 = MV.push_movable_cobjs(co, push, jnp.zeros(co.size))
+    assert float(co2.p2[0, 0]) <= float(co2.p1[1, 0]) + 1e-5
+
+
 def test_ship_config_parser():
     """Parses the REFERENCE $-sectioned format (ship_config.cpp) — full
     coverage lives in tests/test_ship_defs.py."""
@@ -447,6 +496,14 @@ def test_movable_tipping():
     c2 = MV.apply_tipping(c, mesh_min_z=0.0)
     assert int(c2.shape[1]) == COLL_POLYGON and int(c2.npts[1]) == 4
     assert abs(abs(float(c2.pnorm[1, 2])) - 1.0) < 1e-5  # face-down normal
+    # tipped GEOMETRY: cube x[1.7,2.9] z[1.0,1.6] tipping +x about its
+    # bottom edge (x=2.9, z=1.0) lands BEYOND the pivot at x[2.9,3.5],
+    # z[1.0,2.2]; the slab plane sits at the center z=1.6 with thickness
+    # 1.2 (a sign error would mirror it to x<2.9 and underground)
+    q = np.asarray(c2.pts[1, :4])
+    np.testing.assert_allclose(q[:, 2], 1.6, atol=1e-5)
+    assert q[:, 0].min() >= 2.9 - 1e-5 and q[:, 0].max() <= 3.5 + 1e-5
+    assert abs(float(c2.r1[1]) - 1.2) < 1e-5
     # COM over support -> stable, stays a cube
     c3 = c._replace(p1=c.p1.at[1].set(jnp.asarray([0.5, 0.2, 1.0])),
                     p2=c.p2.at[1].set(jnp.asarray([1.5, 0.8, 1.6])))

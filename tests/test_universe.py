@@ -126,6 +126,14 @@ def test_smiley_ai_seek_and_flee():
     away = jnp.sqrt((sm3.x - sm3.tx) ** 2 + (sm3.y - sm3.ty) ** 2) >= \
         jnp.sqrt((sm2.x - sm2.tx) ** 2 + (sm2.y - sm2.ty) ** 2) - 1e-6
     assert bool(away.all())
+    # one team eliminated: survivors STAND DOWN (an all-inf argmin row
+    # would otherwise make everyone chase smiley 0's position)
+    sm4 = sm._replace(health=jnp.where(sm.team == 0, 0.0, 100.0))
+    sm5, fire5 = GG.step_smileys(sm4, k)
+    live = np.asarray(sm4.team) == 1
+    np.testing.assert_array_equal(np.asarray(sm5.x)[live],
+                                  np.asarray(sm4.x)[live])
+    assert not bool(fire5.any())
 
 
 def test_fleet_regen_explosions_orbit():
