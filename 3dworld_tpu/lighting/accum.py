@@ -68,26 +68,32 @@ def segment_hits_cube(ox, oy, oz, dx, dy, dz, t_len, lo, hi):
 def record_platform_rays(key, n: int, cobj_lo, cobj_hi,
                          world: WorldConst = DEFAULT_WORLD,
                          line_length: float = 32.0,
-                         sky_color=(0.7, 0.8, 1.0)) -> AccumRays:
+                         sky_color=(0.7, 0.8, 1.0), seed: int = 0) -> AccumRays:
     """Bake step: generate the sky-ray population and keep those whose
     unblocked path crosses the platform cobj's bounds (the rays the
     platform can affect).  Stored compactly via mask-compaction on host.
-    """
-    ox, oy, oz, dx, dy, dz, w, cr, cg, cb = TR.sky_rays(key, n, world,
-                                                        sky_color=sky_color)
+
+    Per-ray weight is 1.0 — the SAME weight `compute_sky_lighting`
+    bakes with — so a delta re-cast cancels exactly what the bake
+    deposited (a 1/n weight here would make deltas n-times too weak to
+    ever change the volume).  `seed` keys every future delta re-cast of
+    this ray set (stored so A->B->A moves replay identical bounce
+    randoms and cancel to zero)."""
+    ox, oy, oz, dx, dy, dz, w, cr, cg, cb = TR.sky_rays(
+        key, n, world, sky_color=sky_color, ray_weight=float(n))
     hit = segment_hits_cube(ox, oy, oz, dx, dy, dz, line_length,
                             jnp.asarray(cobj_lo), jnp.asarray(cobj_hi))
     m = np.asarray(hit)
     take = lambda a: jnp.asarray(np.asarray(a)[m])
     return AccumRays(take(ox), take(oy), take(oz), take(dx), take(dy),
                      take(dz), take(w), take(cr), take(cg), take(cb),
-                     seed=0)
+                     seed=seed)
 
 
 def update_platform_lighting(grid: L.LightGrid, rays: AccumRays,
                              cobjs, mesh,
                              prev_lo, prev_hi, cur_lo, cur_hi,
-                             key,
+                             key=None,
                              params: TR.TraceParams = TR.TraceParams(),
                              world: WorldConst = DEFAULT_WORLD) -> L.LightGrid:
     """Incremental delta update after a platform move
@@ -97,7 +103,15 @@ def update_platform_lighting(grid: L.LightGrid, rays: AccumRays,
     newly-blocked rays re-cast with negated weight, newly-unblocked with
     positive weight.  `cobjs` should hold the scene WITHOUT the platform
     cobj (it can't be in both positions at once — same note as the
-    reference)."""
+    reference).
+
+    The batch always traces the FULL recorded ray set (unchanged rays at
+    weight 0) with randoms keyed by the RECORDED seed, never a caller
+    key: every delta then replays identical per-slot bounce randoms, so
+    moving a platform away and back subtracts exactly what was added —
+    the residual is zero, not trace(key2)-trace(key1) ghosting.  The
+    `key` parameter is accepted for compatibility and ignored."""
+    del key
     LL = params.line_length
     cur = segment_hits_cube(rays.ox, rays.oy, rays.oz,
                             rays.dx, rays.dy, rays.dz, LL,
@@ -111,7 +125,8 @@ def update_platform_lighting(grid: L.LightGrid, rays: AccumRays,
     return TR.trace_batch(grid, cobjs, mesh,
                           rays.ox, rays.oy, rays.oz,
                           rays.dx, rays.dy, rays.dz,
-                          w, rays.cr, rays.cg, rays.cb, key,
+                          w, rays.cr, rays.cg, rays.cb,
+                          jax.random.key(rays.seed),
                           ltype=L.LIGHTING_SKY, params=params, world=world)
 
 

@@ -61,8 +61,11 @@ def dlight_volume(dl: DLights, grid, world):
     """Accumulate the frame's dlights into the local-light volume channels
     (the texture-packing consumer path)."""
     nz, ny, nx = grid.shape
-    xi = (jnp.arange(nx, dtype=jnp.float32) - nx // 2) * world.dx
-    yi = (jnp.arange(ny, dtype=jnp.float32) - ny // 2) * world.dy
+    # cell CENTERS on every axis (+0.5, matching lmap.cell_index's floor
+    # binning and the z axis below — lower-corner xy sampling would
+    # shift every light's footprint half a cell toward -x/-y)
+    xi = (jnp.arange(nx, dtype=jnp.float32) - nx // 2 + 0.5) * world.dx
+    yi = (jnp.arange(ny, dtype=jnp.float32) - ny // 2 + 0.5) * world.dy
     zi = grid.z0 + (jnp.arange(nz, dtype=jnp.float32) + 0.5) * grid.dz
     # evaluate per z-layer to bound memory: [ny*nx] queries per layer
     px = jnp.broadcast_to(xi[None, :], (ny, nx)).reshape(-1)
@@ -72,6 +75,8 @@ def dlight_volume(dl: DLights, grid, world):
         r, g, b = eval_dlights_at(dl, px, py, jnp.full_like(px, z))
         return r.reshape(ny, nx), g.reshape(ny, nx), b.reshape(ny, nx)
 
-    rs, gs, bs = jax.vmap(layer)(zi)
+    # lax.map keeps one layer's [ny*nx, MAX_DLIGHTS] intermediate live
+    # at a time; vmap would materialize all nz at once (~GBs)
+    rs, gs, bs = jax.lax.map(layer, zi)
     return grid._replace(lc_r=grid.lc_r + rs, lc_g=grid.lc_g + gs,
                          lc_b=grid.lc_b + bs)

@@ -81,7 +81,9 @@ def accumulate(grid: LightGrid, ltype: int, flat_idx, ok, r, g, b, w) -> LightGr
 
     Equivalent of `add_path_to_lmcs`'s per-cell accumulation
     (ray_trace.cpp:222-253): color*weight into the ltype's RGB channels,
-    |weight| into the weight channel (sky/global)."""
+    SIGNED weight into the weight channel (sky/global) — cobj-accum
+    delta rays carry negative weight and must subtract from the weight
+    channel exactly what the positive bake added."""
     nz, ny, nx = grid.shape
     n_cells = nz * ny * nx
     idx = jnp.where(ok, flat_idx, n_cells)  # OOB -> dropped
@@ -92,11 +94,11 @@ def accumulate(grid: LightGrid, ltype: int, flat_idx, ok, r, g, b, w) -> LightGr
     if ltype == LIGHTING_SKY:
         return grid._replace(
             sc_r=sc(grid.sc_r, r * w), sc_g=sc(grid.sc_g, g * w),
-            sc_b=sc(grid.sc_b, b * w), sv=sc(grid.sv, jnp.abs(w)))
+            sc_b=sc(grid.sc_b, b * w), sv=sc(grid.sv, w))
     if ltype == LIGHTING_GLOBAL:
         return grid._replace(
             gc_r=sc(grid.gc_r, r * w), gc_g=sc(grid.gc_g, g * w),
-            gc_b=sc(grid.gc_b, b * w), gv=sc(grid.gv, jnp.abs(w)))
+            gc_b=sc(grid.gc_b, b * w), gv=sc(grid.gv, w))
     return grid._replace(
         lc_r=sc(grid.lc_r, r * w), lc_g=sc(grid.lc_g, g * w),
         lc_b=sc(grid.lc_b, b * w))
@@ -115,7 +117,9 @@ def final_color(grid: LightGrid, indir_scale: float = 1.0,
                 diffuse=(1.0, 1.0, 1.0)):
     """lmcell::get_final_color (lightmap.cpp:181-193): brightness comes
     from the weight channel (sv/gv), hue from the max-normalized color.
-    Assumes `normalize_sky` has been applied (sc = mean color)."""
+    The hue ratio cr/max(cr,cg,cb) is scale-invariant, so this works on
+    RAW accumulated sums (the grid's resting state — delta updates
+    compose linearly on it) and on `normalize_sky` mean colors alike."""
     def term(cr, cg, cb, v, scale, mod):
         mx = jnp.maximum(jnp.maximum(cr, cg), cb)
         vs = jnp.where((mx > 0) & (v > 0), jnp.minimum(1.0, v * scale) / jnp.maximum(mx, 1e-9), 0.0)

@@ -86,17 +86,37 @@ def voxelize_scene(cobjs: CobjSet, mesh, grid_z0, grid_dz,
         return (occ.reshape(sh), cr.reshape(sh), cg.reshape(sh),
                 cb.reshape(sh))
 
-    occ, ar, ag, ab = jax.vmap(layer)(jnp.arange(nz))
+    # lax.map bounds memory to one layer's [ny*nx, M] narrow-phase
+    # intermediates; vmap would materialize all nz layers at once
+    occ, ar, ag, ab = jax.lax.map(layer, jnp.arange(nz))
     return occ.astype(jnp.float32), ar, ag, ab
 
 
-def _shift2(plane, sx: float, sy: float):
-    """Fractional 2D shift (bilinear), matching ops/shadows.py's shear."""
+def _ishift(p, k: int, axis: int, fill: float):
+    """Integer shift that FILLS the vacated edge instead of wrapping —
+    a periodic roll would carry a building's shadow (or its open-sky
+    transmittance) across the scene to the opposite edge on oblique
+    directions."""
+    if k == 0:
+        return p
+    rolled = jnp.roll(p, k, axis=axis)
+    n = p.shape[axis]
+    idx = jnp.arange(n)
+    mask = (idx < k) if k > 0 else (idx >= n + k)
+    shape = [1, 1]
+    shape[axis] = n
+    return jnp.where(mask.reshape(shape), jnp.float32(fill), rolled)
+
+
+def _shift2(plane, sx: float, sy: float, fill: float = 0.0):
+    """Fractional 2D shift (bilinear), matching ops/shadows.py's shear.
+    Cells shifted in from outside the volume take `fill` (1.0 for
+    transmittance — the sides see open sky; 0.0 for emission)."""
     def sh(p, s, axis):
         si = int(np.floor(s))
         f = s - si
-        a = jnp.roll(p, si, axis=axis)
-        b = jnp.roll(p, si + 1, axis=axis)
+        a = _ishift(p, si, axis, fill)
+        b = _ishift(p, si + 1, axis, fill)
         return a * (1.0 - f) + b * f
     return sh(sh(plane, sx, 1), sy, 0)
 
@@ -136,7 +156,7 @@ def _sweep_dir(occ, emis_r, emis_g, emis_b, d, world, dz_cell,
         # recurrence: L_below = L_above*(1-occ) + emis — each emitter is
         # attenuated by exactly the layers between it and the receiver)
         o = occ[zi]
-        T2 = _shift2(T, sx, sy) * (1.0 - o)
+        T2 = _shift2(T, sx, sy, fill=1.0) * (1.0 - o)   # sides: open sky
         lr2 = _shift2(lr, sx, sy) * (1.0 - o)
         lg2 = _shift2(lg, sx, sy) * (1.0 - o)
         lb2 = _shift2(lb, sx, sy) * (1.0 - o)
@@ -158,28 +178,38 @@ def _sweep_dir(occ, emis_r, emis_g, emis_b, d, world, dz_cell,
     return (T[::-1], lr[::-1], lg[::-1], lb[::-1])
 
 
+def voxelize_for_grid(grid: L.LightGrid, cobjs: CobjSet, mesh,
+                      world: WorldConst = DEFAULT_WORLD):
+    """Precompute the (occ, ar, ag, ab) voxelization once for a scene;
+    pass it as `vox=` to BOTH sweep solvers — the dense [cells x cobjs]
+    narrow-phase pass is the dominant cost and need not run twice."""
+    return voxelize_scene(cobjs, mesh, grid.z0, grid.dz, grid.shape, world)
+
+
 def compute_sky_lighting_sweep(grid: L.LightGrid, cobjs: CobjSet, mesh,
                                ndirs: int = 32,
                                sky_color=(0.7, 0.8, 1.0),
                                world: WorldConst = DEFAULT_WORLD,
-                               bounce: bool = True) -> L.LightGrid:
+                               bounce: bool = True,
+                               vox=None) -> L.LightGrid:
     """Dense replacement for `compute_sky_lighting` (direct + one diffuse
     bounce): fills the sky channels so `final_color` reads identically
     (sv = visibility weight, sc = mean arriving color).  The cell height
     is read eagerly (it parameterizes the static shear), then the whole
-    solve runs as one jitted program."""
+    solve runs as one jitted program.  `vox`: optional precomputed
+    `voxelize_for_grid` result shared with the global sweep."""
     dzf = float(jax.device_get(grid.dz))
     return _sweep_impl(grid, cobjs, mesh, dzf, ndirs, tuple(sky_color),
-                       world, bounce)
+                       world, bounce, vox)
 
 
 @functools.partial(jax.jit, static_argnames=("dzf", "ndirs", "sky_color",
                                              "world", "bounce"))
 def _sweep_impl(grid: L.LightGrid, cobjs: CobjSet, mesh, dzf: float,
                 ndirs: int, sky_color, world: WorldConst,
-                bounce: bool) -> L.LightGrid:
-    occ, ar, ag, ab = voxelize_scene(cobjs, mesh, grid.z0, grid.dz,
-                                     grid.shape, world)
+                bounce: bool, vox=None) -> L.LightGrid:
+    occ, ar, ag, ab = vox if vox is not None else voxelize_scene(
+        cobjs, mesh, grid.z0, grid.dz, grid.shape, world)
     dirs, w = hemisphere_dirs(ndirs)
     air = 1.0 - occ
 
@@ -235,25 +265,28 @@ def _sweep_impl(grid: L.LightGrid, cobjs: CobjSet, mesh, dzf: float,
 def compute_global_lighting_sweep(grid: L.LightGrid, cobjs: CobjSet, mesh,
                                   sun_dir, sun_color=(1.0, 0.95, 0.85),
                                   world: WorldConst = DEFAULT_WORLD,
-                                  bounce: bool = True) -> L.LightGrid:
+                                  bounce: bool = True,
+                                  vox=None) -> L.LightGrid:
     """Dense replacement for `compute_global_lighting` (the sun/moon
     term, trace_ray_block_global): the directional transmittance is ONE
     exact sweep — no rays at all — plus the optional diffuse bounce
-    gather.  Fills the global channels (gv weight, gc mean color)."""
+    gather.  Fills the global channels (gv weight, gc mean color).
+    `vox`: optional precomputed `voxelize_for_grid` result shared with
+    the sky sweep."""
     dzf = float(jax.device_get(grid.dz))
     sd = np.asarray(sun_dir, np.float64)
     sd = (sd / np.linalg.norm(sd)).astype(np.float32)  # sun -> scene
     return _global_impl(grid, cobjs, mesh, dzf, tuple(float(v) for v in sd),
-                        tuple(sun_color), world, bounce)
+                        tuple(sun_color), world, bounce, vox)
 
 
 @functools.partial(jax.jit, static_argnames=("dzf", "sun_dir", "sun_color",
                                              "world", "bounce"))
 def _global_impl(grid: L.LightGrid, cobjs: CobjSet, mesh, dzf: float,
                  sun_dir, sun_color, world: WorldConst,
-                 bounce: bool) -> L.LightGrid:
-    occ, ar, ag, ab = voxelize_scene(cobjs, mesh, grid.z0, grid.dz,
-                                     grid.shape, world)
+                 bounce: bool, vox=None) -> L.LightGrid:
+    occ, ar, ag, ab = vox if vox is not None else voxelize_scene(
+        cobjs, mesh, grid.z0, grid.dz, grid.shape, world)
     air = 1.0 - occ
     # direction from a cell TOWARD the sun.  A near-horizontal sun has
     # no vertical transmittance path through the volume (and the shear

@@ -431,16 +431,25 @@ def compute_sky_lighting(grid, cobjs, mesh, num_rays: int, seed: int = 0,
                          params: TraceParams = TraceParams(),
                          world: WorldConst = DEFAULT_WORLD,
                          batch: int = 65536, land_color=None, snow_depth=None):
-    """compute_ray_trace_lighting(LIGHTING_SKY) equivalent: batched."""
+    """compute_ray_trace_lighting(LIGHTING_SKY) equivalent: batched.
+
+    Every ray carries constant weight 1.0 regardless of batching (a
+    partial final batch must not over-weight its rays, and the volume's
+    absolute scale must not depend on num_rays).  Returns the RAW
+    accumulated grid — `final_color` consumes it directly (its hue
+    ratio is scale-invariant) and incremental cobj-accum deltas compose
+    linearly on it; call `normalize_sky` only where mean colors are
+    explicitly wanted."""
     nb = -(-num_rays // batch)
     for i in range(nb):
         k = w3d_rng.key(seed, 0x5C1, i)
-        rays = sky_rays(jax.random.fold_in(k, 1), min(batch, num_rays - i * batch),
-                        world, ray_weight=float(num_rays))
+        n = min(batch, num_rays - i * batch)
+        rays = sky_rays(jax.random.fold_in(k, 1), n, world,
+                        ray_weight=float(n))
         grid = trace_batch(grid, cobjs, mesh, *rays, jax.random.fold_in(k, 2),
                            ltype=L.LIGHTING_SKY, params=params, world=world,
                            land_color=land_color, snow_depth=snow_depth)
-    return L.normalize_sky(grid)
+    return grid
 
 
 def compute_local_lighting(grid, cobjs, mesh, lights, rays_per_light: int,
