@@ -82,6 +82,9 @@ def spawn_fragments(state: ObjectState, table: T.ObjTypeTable, destroyed_centers
         otype=state.otype.at[idx].set(tid),
         status=state.status.at[idx].set(1),
         time=state.time.at[idx].set(0),
+        # reused dead slots keep their old flags; stale Z/XY_STOPPED bits
+        # would freeze the fragment mid-air (spawn_into_group resets too)
+        flags=state.flags.at[idx].set(0),
         health=state.health.at[idx].set(float(table.health[tid])),
     )
 

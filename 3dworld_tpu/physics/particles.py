@@ -143,7 +143,7 @@ def step_clouds(p: CloudPool, tstep, wind, water_z, zmax_est) -> CloudPool:
     vx = 0.5 * wind[0] + p.ivx
     vy = 0.5 * wind[1] + p.ivy
     vz = 0.25 * wind[2] + p.ivz        # z-wind halved then averaged
-    ts = tstep / 0.025                 # tstep_scale vs DEF_TIMESTEP
+    ts = tstep / 0.025                 # fticks (1/TICKS_PER_SECOND=40 ticks)
     upd = live & ~dead
     density = jnp.where(upd, p.density * jnp.power(0.97, ts), p.density)
     darkness = jnp.where(upd, p.darkness * jnp.power(0.98, ts), p.darkness)
@@ -206,12 +206,15 @@ def step_fires(p: FirePool, key, tstep, wind, water_z,
     jx = jax.random.uniform(k1, (n,), minval=-1.5, maxval=1.5)
     jy = jax.random.uniform(k2, (n,), minval=-1.5, maxval=1.5)
     jz = jax.random.uniform(k3, (n,), minval=-0.05, maxval=0.0585)
-    decay = jnp.power(0.95, tstep / 0.025)
+    ts = tstep / 0.025      # fticks: ticks of 1/TICKS_PER_SECOND=40
+    decay = jnp.power(0.95, ts)
     vx = jnp.where(moving, p.vx * decay + (wind[0] + jx) * 0.005 * tstep, 0.0)
     vy = jnp.where(moving, p.vy * decay + (wind[1] + jy) * 0.005 * tstep, 0.0)
     vz = jnp.where(moving, p.vz * decay + jz * 0.005 * tstep, 0.0)
-    px = p.px + jnp.where(moving, vx, 0.0)
-    py = p.py + jnp.where(moving, vy, 0.0)
+    # pos += fticks*velocity (Physics.cpp:1547) — the drift per simulated
+    # second must not depend on the caller's tstep
+    px = p.px + jnp.where(moving, vx * ts, 0.0)
+    py = p.py + jnp.where(moving, vy * ts, 0.0)
     rj = jax.random.uniform(k4, (n,), minval=-0.02, maxval=0.02)
     radius = jnp.where(live, p.radius + (0.02 + p.radius)
                        * (rj + 250.0 * vz), p.radius)
@@ -220,7 +223,10 @@ def step_fires(p: FirePool, key, tstep, wind, water_z,
     heat = jnp.where(live, 0.8 * p.heat + 0.2 * hr / (0.9 + 2.0 * radius),
                      p.heat)
     underwater = (p.pz - radius) < water_z
-    timeout = moving & (p.time > MAX_FIRE_TIME)
+    # age timeout applies to status 1 AND 2 — the reference's guard is
+    # is_static (placed fires, a separate flag this pool doesn't hold),
+    # not the moving/resting status (Physics.cpp:1519)
+    timeout = live & (p.time > MAX_FIRE_TIME)
     out = live & (timeout | (radius < FIRE_TOL) | underwater)
     status = jnp.where(out, 0, p.status)
     smoke_mask = out   # extinguish -> gen_smoke above the fire

@@ -161,6 +161,12 @@ def advance_platforms(p: PlatformSet, triggered=None, fticks=1.0):
         pending = started & (ns_time < 0.0)
         rv = pending & (state == ST_REV)
         no_rev = rv & (p.rspeed == 0.0)
+        # rspeed==0 && cont && is_rot: infinite rotation — reset the
+        # angle and go straight back to FWD (platform.cpp:348); others
+        # wait in REV forever
+        spin = no_rev & p.cont & p.is_rot
+        dist = jnp.where(spin, 0.0, dist)
+        state = jnp.where(spin, ST_FWD, state)
         ns_time = jnp.where(no_rev, 0.0, ns_time)
         dt_r = p.rspeed * ns_time          # negative
         past_start = (dt_r + dist) < 0.0
@@ -173,6 +179,10 @@ def advance_platforms(p: PlatformSet, triggered=None, fticks=1.0):
         ns_time = jnp.where(reset, 0.0, ns_time)
 
     dd = dist - dist0
+    # a cont+is_rot wrap resets dist to 0 after a full ext_dist cycle;
+    # report the CONTINUOUS angle delta (without the -ext_dist jump) so
+    # the applied rotation stays seamless for any ext_dist
+    dd = jnp.where(p.is_rot & (dd < -0.5 * p.ext_dist), dd + p.ext_dist, dd)
     out = p._replace(state=state, ns_time=ns_time, dist=dist)
     mx = jnp.where(p.is_rot, dd, dd * p.dx)
     my = jnp.where(p.is_rot, 0.0, dd * p.dy)
@@ -197,20 +207,63 @@ def _cobj_deltas(cobjs: CobjSet, mx, my, mz):
     return mx[idx] * w, my[idx] * w, mz[idx] * w
 
 
+def _rodrigues(v, axis, ang):
+    """Rotate vectors v [...,3] about per-row unit axes by per-row angles."""
+    c = jnp.cos(ang)[..., None]
+    s = jnp.sin(ang)[..., None]
+    av = jnp.cross(axis, v)
+    aav = axis * jnp.sum(axis * v, axis=-1, keepdims=True)
+    return v * c + av * s + aav * (1.0 - c)
+
+
+def _platform_rot_params(cobjs: CobjSet, p: PlatformSet, mx):
+    """Per-cobj (is_rot mask, angle delta, axis [M,3], origin [M,3])."""
+    pid = cobjs.platform_id
+    on = pid >= 0
+    idx = jnp.clip(pid, 0, max(p.size - 1, 0))
+    is_rot_c = p.is_rot[idx] & on
+    ang = mx[idx] * is_rot_c.astype(jnp.float32)
+    axis = jnp.stack([p.dx[idx], p.dy[idx], p.dz[idx]], -1)
+    orig = jnp.stack([p.ox[idx], p.oy[idx], p.oz[idx]], -1)
+    return is_rot_c, ang, axis, orig
+
+
 @jax.jit
 def apply_platform_motion(cobjs: CobjSet, p: PlatformSet, mx, my, mz) -> CobjSet:
-    """Translate platform cobjs by the frame delta (functional update; the
-    reference re-registers moved cobjs in the collision grid)."""
+    """Move platform cobjs by the frame delta (functional update; the
+    reference re-registers moved cobjs in the collision grid).
+
+    Translation platforms shift p1/p2/pts; ROTATION platforms rotate
+    them about the platform origin+axis by the angle delta in mx
+    (rotate_about — note cube cobjs only rotate faithfully for
+    axis-aligned quarter/full turns; the reference converts rotated
+    cubes to polygon cobjs, as does scene CSG here)."""
+    if p.size == 0:
+        return cobjs
     dx, dy, dz = _cobj_deltas(cobjs, mx, my, mz)
+    is_rot_c, ang, axis, orig = _platform_rot_params(cobjs, p, mx)
     delta = jnp.stack([dx, dy, dz], axis=-1)
-    return cobjs._replace(p1=cobjs.p1 + delta, p2=cobjs.p2 + delta,
-                          pts=cobjs.pts + delta[:, None, :])
+    delta = jnp.where(is_rot_c[:, None], 0.0, delta)
+
+    def rot_pt(q):
+        return orig + _rodrigues(q - orig, axis, ang)
+
+    sel = is_rot_c[:, None]
+    p1 = jnp.where(sel, rot_pt(cobjs.p1), cobjs.p1 + delta)
+    p2 = jnp.where(sel, rot_pt(cobjs.p2), cobjs.p2 + delta)
+    pts = jnp.where(sel[:, None],
+                    orig[:, None] + _rodrigues(cobjs.pts - orig[:, None],
+                                               axis[:, None], ang[:, None]),
+                    cobjs.pts + delta[:, None, :])
+    pnorm = jnp.where(sel, _rodrigues(cobjs.pnorm, axis, ang), cobjs.pnorm)
+    return cobjs._replace(p1=p1, p2=p2, pts=pts, pnorm=pnorm)
 
 
 def rider_deltas(obj_px, obj_py, obj_pz, obj_status, cobjs: CobjSet,
                  p: PlatformSet, mx, my, mz, rad):
     """Objects stopped on top of a platform cobj inherit its delta
-    (Physics.cpp:1427-1445).  Returns per-object (dx, dy, dz)."""
+    (Physics.cpp:1427-1445); riders on ROTATION platforms move along
+    the arc their contact point sweeps.  Returns per-object (dx, dy, dz)."""
     cdx, cdy, cdz = _cobj_deltas(cobjs, mx, my, mz)
     moving_cobj = cobjs.platform_id >= 0
     # standing on a cube top: xy inside, z near the top face
@@ -223,7 +276,20 @@ def rider_deltas(obj_px, obj_py, obj_pz, obj_status, cobjs: CobjSet,
           & (jnp.abs(Z - rad[:, None] - hi[:, 2]) < 0.05) & moving_cobj[None, :])
     stopped = (obj_status == 4) | (obj_status == 2)
     w = on.astype(jnp.float32) * stopped[:, None].astype(jnp.float32)
-    return w @ cdx, w @ cdy, w @ cdz
+    tdx, tdy, tdz = w @ cdx, w @ cdy, w @ cdz
+    if p.size > 0:
+        # rotation platforms: the rider's own position sweeps the arc
+        is_rot_c, ang, axis, orig = _platform_rot_params(cobjs, p, mx)
+        wr = w * is_rot_c[None, :].astype(jnp.float32)   # [N, M]
+        any_rot = jnp.sum(wr, axis=1) > 0
+        # rider's dominant rotating support (first contact wins via argmax)
+        ci = jnp.argmax(wr, axis=1)
+        pos = jnp.stack([obj_px, obj_py, obj_pz], -1)
+        rd = orig[ci] + _rodrigues(pos - orig[ci], axis[ci], ang[ci]) - pos
+        tdx = jnp.where(any_rot, rd[:, 0], tdx)
+        tdy = jnp.where(any_rot, rd[:, 1], tdy)
+        tdz = jnp.where(any_rot, rd[:, 2], tdz)
+    return tdx, tdy, tdz
 
 
 class TriggerSet(NamedTuple):
@@ -281,7 +347,10 @@ def eval_triggers(tr: TriggerSet, px, py, pz, platforms: PlatformSet):
     in_reg = ((px[None, :] >= rg[:, 0:1]) & (px[None, :] <= rg[:, 1:2])
               & (py[None, :] >= rg[:, 2:3]) & (py[None, :] <= rg[:, 3:4])
               & (pz[None, :] >= rg[:, 4:5]) & (pz[None, :] <= rg[:, 5:6]))
-    fired = jnp.any(jnp.where(has_reg[:, None], near & in_reg, near), axis=1)
+    # a region REPLACES the distance test (Physics.cpp:1296-1303: if
+    # use_act_region contains_pt(pos) ELSE dist_less_than; set_act_region
+    # zeroes act_dist, so AND-ing the two could never fire)
+    fired = jnp.any(jnp.where(has_reg[:, None], in_reg, near), axis=1)
     P = platforms.size
     oh = jax.nn.one_hot(tr.platform, P, dtype=jnp.float32)
     return (fired.astype(jnp.float32) @ oh) > 0

@@ -636,12 +636,14 @@ def _pair_deltas(px, py, pz, vx, vy, vz, radius, mass, elas, active,
         return block_pair_collisions(px, py, pz, vx, vy, vz, radius, mass,
                                      elas, active,
                                      block=max(window, PAIR_BLOCK))
-    if method == "auto" or _on_tpu():
+    if method == "auto":        # on TPU (the CPU auto case returned above)
         from ..ops.pallas.pairs_kernel import banded_pairs_pallas
         return banded_pairs_pallas(px, py, pz, vx, vy, vz, radius, mass,
                                    elas, active, window=window)
-    return banded_pair_collisions(px, py, pz, vx, vy, vz, radius, mass,
-                                  elas, active, window=window)
+    if method == "banded":      # explicit XLA roll-shift path, any backend
+        return banded_pair_collisions(px, py, pz, vx, vy, vz, radius, mass,
+                                      elas, active, window=window)
+    raise ValueError(f"unknown pair method {method!r}")
 
 
 def banded_pair_collisions(px, py, pz, vx, vy, vz, radius, mass, elas, active,
@@ -753,6 +755,20 @@ def _substep(state: ObjectState, env: PhysicsEnv, cobjs: CobjSet | None,
     air_eff = jnp.where(underwater, 0.0,
                         jnp.where(floating, (1.0 - T.WATER_SURF_FRICTION) * air, air))
 
+    # Z_STOPPED clause (Physics.cpp:774-785), BEFORE the collided flag
+    # and vz_old capture: above the water line with low friction the
+    # flag clears (object resumes falling); otherwise vz is zeroed
+    unstop = z_stop & moving & ((pz - rad) > env.water_plane_z) \
+        & (fric < 2.0 * T.STICK_THRESHOLD)
+    z_stop = z_stop & ~unstop
+    flags = jnp.where(unstop, flags & ~T.FL_Z_STOPPED, flags)
+    vz = jnp.where(z_stop & moving, 0.0, vz)
+    # collided flag + vz_old captured POST-zero, PRE-gravity
+    # (Physics.cpp:787-789); vz_old feeds the buoyant deep-float branch
+    # (:1121)
+    collided = coll_last | (jnp.abs(vz) < 1.0e-6)
+    vz_old = vz
+
     # gravity with terminal velocity (Physics.cpp:795-819); objects denser
     # than water sink with reduced gravity (gscale, :798)
     gscale = jnp.where(in_water & (dens > T.WATER_DENSITY),
@@ -762,14 +778,13 @@ def _substep(state: ObjectState, env: PhysicsEnv, cobjs: CobjSet | None,
                        jnp.maximum(vz - env.base_gravity * gscale * T.GRAVITY
                                    * tstep * grav, -tv),
                        vz)
-    vz = jnp.where(can_fall, vz_new, jnp.where(z_stop & moving, 0.0, vz))
+    vz = jnp.where(can_fall, vz_new, vz)
     # wind (Physics.cpp:820-833): xy drag relaxes toward vtot = v + wind
     # (wind skipped when collided last frame); z adds wind directly
     wx, wy, wz = env.wind[0], env.wind[1], env.wind[2]
     vz = jnp.where(can_fall & ((jnp.abs(air_eff * wz) > jnp.abs(vz)) | ((wz < 0) != (vz < 0))),
                    vz + air_eff * wz, vz)
     move_xy = moving & ~xy_stop
-    collided = coll_last | (jnp.abs(vz) < 1.0e-6)
 
     def drag(v, w):
         vtot = v + jnp.where(collided, 0.0, w)
@@ -795,6 +810,7 @@ def _substep(state: ObjectState, env: PhysicsEnv, cobjs: CobjSet | None,
     if not water:
         wpz = env.water_plane_z
         touches_water = jnp.zeros_like(alive)
+        wcoll = touches_water
         status = state.status
         v_sq = vx * vx + vy * vy + vz * vz
     elif env.water_height is not None:
@@ -812,7 +828,9 @@ def _substep(state: ObjectState, env: PhysicsEnv, cobjs: CobjSet | None,
         ice_touch = touches_water & frozen
         touches_water = touches_water & ~frozen
         v_sq = vx * vx + vy * vy + vz * vz
-        fast = v_sq >= T.BOUNCE_CUTOFF
+        # slow branch also taken when Z_STOPPED regardless of speed
+        # (Physics.cpp:1117 `v_tot_sq < BOUNCE_CUTOFF || (flags & Z_STOPPED)`)
+        fast = (v_sq >= T.BOUNCE_CUTOFF) & ~z_stop
         den_ratio = T.WATER_DENSITY / (dens + T.WATER_DENSITY)
         damp = 1.0 - T.WATER_DAMPING * den_ratio
         floats = dens < T.WATER_DENSITY
@@ -830,36 +848,70 @@ def _substep(state: ObjectState, env: PhysicsEnv, cobjs: CobjSet | None,
         skip = (w_fast & surf_coll & (coll_angle >= T.CRITICAL_ANGLE / den_ratio)
                 & ((zpos_w - pz) <= 6.0 * rad) & s_did)
         w_fast = w_fast & ~skip
-        vx = jnp.where(skip, sbx, jnp.where(w_fast, vx * damp,
-                                            jnp.where(w_slow, 0.0, vx)))
-        vy = jnp.where(skip, sby, jnp.where(w_fast, vy * damp,
-                                            jnp.where(w_slow, 0.0, vy)))
+        vx = jnp.where(skip, sbx, jnp.where(w_fast, vx * damp, vx))
+        vy = jnp.where(skip, sby, jnp.where(w_fast, vy * damp, vy))
         vz = jnp.where(skip, sbz, jnp.where(w_fast, jnp.where(floats, 0.0, vz * damp),
-                                            jnp.where(w_slow, 0.0, vz)))
+                                            vz))
         touches_water = touches_water & ~skip
+        w_fast = w_fast & ~skip
+        flags = jnp.where(touches_water, flags | T.FL_IN_WATER, flags)
+        # fast floaters enter Z_STOPPED|FLOATING (Physics.cpp:1171-1173)
+        flags = jnp.where(w_fast & floats,
+                          flags | (T.FL_Z_STOPPED | T.FL_FLOATING), flags)
+        flags = jnp.where(w_fast & ~floats,
+                          flags | T.FL_UNDERWATER, flags)
         ground_z = mh + rad
-        # floating placement adds SMALL_NUMBER=0.001 (Physics.cpp:1128,
-        # `pos.z = zpos + SMALL_NUMBER`; pinned by tests/test_cpp_golden.py)
-        slow_pos_z = jnp.where(
-            floats,
-            jnp.maximum(wpz + rad * (1.0 - 2.0 * dens), ground_z) + 0.001,
-            ground_z)
-        pz = jnp.where(w_slow, slow_pos_z, pz)
-        flags = jnp.where(w_fast & ~floats, flags | (T.FL_IN_WATER | T.FL_UNDERWATER), flags)
-        flags = jnp.where(w_slow & floats, flags | (T.FL_FLOATING | T.FL_IN_WATER), flags)
-        status = jnp.where(w_slow, jnp.where(floats, 1, 3), state.status)
-        # underwater ground contact: stop at the bottom (Physics.cpp:1146-1151)
-        hit_bottom = touches_water & (pz <= ground_z + 1e-5)
-        pz = jnp.where(hit_bottom, ground_z, pz)
-        vx = jnp.where(hit_bottom, 0.0, vx)
-        vy = jnp.where(hit_bottom, 0.0, vy)
-        vz = jnp.where(hit_bottom, 0.0, vz)
+        zpos_f = zpos_w   # float height, already computed for the skip test
+        # --- slow branch, mirroring the validated oracle bit for bit
+        # (tests/oracle_physics.py check_water_collision, Physics.cpp:
+        # 1117-1151).  Floaters more than 2r below their float height
+        # rise BUOYANTLY over substeps (vz_old minus signed buoyant
+        # gravity, Z_STOPPED); shallow floaters snap to zpos +
+        # SMALL_NUMBER=0.001 (pinned by tests/test_cpp_golden.py).
+        # Sinkers above the bottom damp velocity by dens/(dens+WATER)
+        # per substep instead of teleporting to the lake bed ---
+        f_deep = w_slow & floats & ((zpos_f - pz) > 2.0 * rad)
+        f_snap = w_slow & floats & ~((zpos_f - pz) > 2.0 * rad)
+        buoy_vz = vz_old - ((dens - T.WATER_DENSITY) / dens) \
+            * env.base_gravity * T.GRAVITY * tstep
+        sink = w_slow & ~floats
+        s_damp = sink & (pz > ground_z + 1e-5)
+        s_rest = sink & ~(pz > ground_z + 1e-5)
+        sink_f = dens / (dens + T.WATER_DENSITY)
+        vx = jnp.where(f_snap | s_rest, 0.0, jnp.where(s_damp, vx * sink_f, vx))
+        vy = jnp.where(f_snap | s_rest, 0.0, jnp.where(s_damp, vy * sink_f, vy))
+        vz = jnp.where(f_snap | s_rest, 0.0,
+                       jnp.where(s_damp, vz * sink_f,
+                                 jnp.where(f_deep, buoy_vz, vz)))
+        pz = jnp.where(f_snap, zpos_f + 0.001, jnp.where(s_rest, ground_z, pz))
+        flags = jnp.where(f_deep, flags | T.FL_Z_STOPPED, flags)
+        flags = jnp.where(f_snap, flags | T.FL_FLOATING, flags)
+        # float-branch status (Physics.cpp:1130-1140): floating on water
+        # when above the ground; at the water's edge 1/2 -> 3, else 4
+        w_float = w_slow & floats
+        edge_st = jnp.where((state.status == 1) | (state.status == 2), 3, 4)
+        status = jnp.where(w_float,
+                           jnp.where(pz > ground_z, 1, edge_st), state.status)
+        status = jnp.where(s_rest, 3, status)
+        # fast underwater ground contact: status 3 only, no snap
+        # (Physics.cpp:1169-1172 `status = 3; return`)
+        hit_bottom = w_fast & ~floats & (pz <= ground_z + 1e-5)
         status = jnp.where(hit_bottom, 3, status)
+        # water-HANDLED set (check_water_collision returned 1).  The
+        # return-0 paths — float edge 1/2->3, sink at rest, fast bottom
+        # contact — CONTINUE into the mesh/cobj collision handling below
+        # (a sinking rock reaching the lake bed bounces off the mesh,
+        # Physics.cpp:868-882) — only wcoll objects skip it
+        edge3 = w_float & ~(pz > ground_z) \
+            & ((state.status == 1) | (state.status == 2))
+        wcoll = touches_water & ~edge3 & ~s_rest & ~hit_bottom
 
         # --- ice surface (frozen): sit at wpz + radius; bounce only for
-        # elasticity >= ICE_BOUNCE_ELAS, otherwise stuck to the ice ---
+        # elasticity >= ICE_BOUNCE_ELAS, otherwise stuck to the ice.
+        # object_bounce(1,...) multiplies by ICE_ELASTICITY=0.95
+        # (Physics.cpp:1379) ---
         ibx, iby, ibz, idid = bounce_velocity(vx, vy, vz, 0.0, 0.0, 1.0,
-                                              elas, air_eff)
+                                              elas * T.ICE_ELASTICITY, air_eff)
         stick = ice_touch & ((elas < T.ICE_BOUNCE_ELAS) | ~idid)
         bounce_ice = ice_touch & ~stick
         # sitting on the ice surface adds SMALL_NUMBER=0.001
@@ -889,13 +941,17 @@ def _substep(state: ObjectState, env: PhysicsEnv, cobjs: CobjSet | None,
                     px, py, pz, rad, cobjs)
         else:
             hit, pen, cnx, cny, cnz, celas, cfric = deepest_hits(px, py, pz, rad, cobjs)
-        hit = hit & alive & ~touches_water
+        hit = hit & alive & ~wcoll
         px = px + jnp.where(hit, pen * cnx, 0.0)
         py = py + jnp.where(hit, pen * cny, 0.0)
         pz = pz + jnp.where(hit, pen * cnz, 0.0)
         bx, by, bz, did = bounce_velocity(vx, vy, vz, cnx, cny, cnz, elas * celas, air)
+        # FRESH speed: the water/ice block above may have rewritten the
+        # velocity since v_sq was computed (a stale value lets objects
+        # slowed below the cutoff keep sliding instead of stopping)
+        v_sq_c = vx * vx + vy * vy + vz * vz
         stop = hit & ~did & ((jnp.maximum(fric, cfric) >= T.STICK_THRESHOLD)
-                             | (v_sq < T.BOUNCE_CUTOFF))
+                             | (v_sq_c < T.BOUNCE_CUTOFF))
         hd = hit & did
         vx = jnp.where(hd, bx, jnp.where(stop, 0.0, vx))
         vy = jnp.where(hd, by, jnp.where(stop, 0.0, vy))
@@ -904,8 +960,22 @@ def _substep(state: ObjectState, env: PhysicsEnv, cobjs: CobjSet | None,
         flags = jnp.where(hit, flags | (T.FL_STATIC_COBJ_COLL | T.FL_COLLIDED), flags)
         cobj_hit = hit
 
+    if water:
+        # no cobj collision this substep -> Z_STOPPED clears
+        # (Physics.cpp:861, the landmine fix).  This is what lets a deep
+        # floater's buoyant vz ACCUMULATE across frames: the water branch
+        # sets Z_STOPPED, this clears it again unless something holds the
+        # object.  Ice-stuck objects keep their flags (they leave the
+        # airborne path via status 4, reference :740-747)
+        clr = moving & ~cobj_hit & ~ice_touch
+        flags = jnp.where(clr, flags & ~T.FL_Z_STOPPED, flags)
+        # water-HANDLED objects (check_water_collision returned 1):
+        # status resets to 1 and all stop flags clear (Physics.cpp:863-867)
+        status = jnp.where(wcoll, 1, status)
+        flags = jnp.where(wcoll, flags & ~T.FL_ALL_COLL_STOPPED, flags)
+
     # --- mesh bounce (airborne val==2 && !coll path, Physics.cpp:868-882) ---
-    mesh_coll = on_mesh & moving & ~touches_water & ~cobj_hit
+    mesh_coll = on_mesh & moving & ~wcoll & ~cobj_hit
     pz = jnp.where(mesh_coll, jnp.maximum(pz, mh + rad), pz)
     bx, by, bz, did_m = bounce_velocity(vx, vy, vz, mnx, mny, mnz,
                                         elas * T.LAND_ELASTICITY, air)

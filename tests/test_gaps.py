@@ -72,6 +72,79 @@ def test_platform_riders():
     assert float(dx[1]) == 0.0    # elsewhere: untouched
 
 
+def test_platform_rotation_rotates_cobj():
+    """is_rot platforms ROTATE their cobjs about origin+axis (the angle
+    delta must not be consumed as an x-translation), and rspeed==0 cont
+    rotation platforms loop forever (platform.cpp:348)."""
+    sp = SC.SceneParse()
+    sp.cobjs.append(SC.RawCobj(SC.COLL_CUBE, (1.0, -0.1, 0.0),
+                               (1.2, 0.1, 0.2), platform_id=0))
+    co = SC.pack_cobjs(sp)
+    plat = PP.make_platforms([0], [[1.0, 0.0, 0.0]], 0.05)
+    plat = plat._replace(is_rot=jnp.asarray([True]),
+                         ext_dist=jnp.asarray([2.0 * np.pi]),
+                         fspeed=jnp.asarray([0.1]),
+                         rspeed=jnp.asarray([0.0]),
+                         dx=jnp.asarray([0.0]), dy=jnp.asarray([0.0]),
+                         dz=jnp.asarray([1.0]))   # spin about +z at origin
+    c0 = np.asarray(0.5 * (co.p1[0] + co.p2[0]))
+    r0 = float(np.hypot(c0[0], c0[1]))
+    total = 0.0
+    for _ in range(40):
+        plat, mx, my, mz = PP.advance_platforms(plat)
+        total += float(mx[0])
+        co = PP.apply_platform_motion(co, plat, mx, my, mz)
+    c1 = np.asarray(0.5 * (co.p1[0] + co.p2[0]))
+    r1 = float(np.hypot(c1[0], c1[1]))
+    assert abs(r1 - r0) < 1e-3                # stayed on its circle
+    assert total > 2.5                        # kept spinning (wrapped once)
+    ang = np.arctan2(c1[1], c1[0]) - np.arctan2(c0[1], c0[0])
+    assert abs(((ang - total + np.pi) % (2 * np.pi)) - np.pi) < 1e-2
+    # a rider on the disc sweeps the same arc, not a straight x-shift
+    plat2, mx, my, mz = PP.advance_platforms(plat)
+    dx, dy, _dz = PP.rider_deltas(
+        jnp.asarray([float(c1[0])]), jnp.asarray([float(c1[1])]),
+        jnp.asarray([0.24]), jnp.asarray([4]), co, plat2, mx, my, mz,
+        jnp.full((1,), 0.04))
+    a = float(mx[0])
+    exp_dx = c1[0] * np.cos(a) - c1[1] * np.sin(a) - c1[0]
+    exp_dy = c1[0] * np.sin(a) + c1[1] * np.cos(a) - c1[1]
+    assert abs(float(dx[0]) - exp_dx) < 1e-5
+    assert abs(float(dy[0]) - exp_dy) < 1e-5
+
+
+def test_trigger_region_replaces_distance():
+    """set_act_region zeroes act_dist: a region trigger must fire on
+    containment alone (Physics.cpp:1296-1303), never require proximity."""
+    plat = PP.make_platforms([0], [[0.0, 0.0, 1.0]], 0.2,
+                             mode=PP.P_TRIGGERED)
+    tr = PP.make_triggers([0.0], [0.0], [0.0], [0.0], [0],
+                          region=[[5.0, 7.0, 5.0, 7.0, -1.0, 1.0]])
+    # inside the region, far from act_pos with act_dist=0 -> fires
+    trig = PP.eval_triggers(tr, jnp.asarray([6.0]), jnp.asarray([6.0]),
+                            jnp.asarray([0.0]), plat)
+    assert bool(trig[0])
+    # outside the region -> does not fire
+    trig = PP.eval_triggers(tr, jnp.asarray([0.0]), jnp.asarray([0.0]),
+                            jnp.asarray([0.0]), plat)
+    assert not bool(trig[0])
+
+
+def test_fragments_reset_stale_flags():
+    """Fragments spawned into reused dead slots must not inherit
+    Z/XY_STOPPED bits (which would freeze them mid-air)."""
+    pos = np.zeros((4, 3), np.float32)
+    st = PS.make_state(pos, np.zeros((4, 3), np.float32),
+                       np.full(4, PT.type_id("BALL")), TABLE)
+    st = st._replace(status=jnp.zeros(4, jnp.int32),
+                     flags=jnp.full(4, PT.FL_Z_STOPPED | PT.FL_XY_STOPPED,
+                                    jnp.int32))
+    st2 = PD.spawn_fragments(st, TABLE, [[0.5, 0.5, 0.1]])
+    frag = np.asarray(st2.otype) == PT.type_id("FRAGMENT")
+    assert frag.any()
+    assert (np.asarray(st2.flags)[frag] == 0).all()
+
+
 def test_platform_from_scene_dsl_carries_object():
     """End-to-end: a 'Q' platform parsed from the DSL moves its cube and
     carries a stopped ball riding on top (VERDICT task 2 done-criterion)."""

@@ -140,6 +140,66 @@ def test_water_entry_matches_oracle():
     np.testing.assert_allclose(np.asarray(st.pz), ref_z, atol=0.06)
 
 
+def test_deep_water_buoyancy_and_sinking_match_oracle():
+    """Slow objects released deep underwater follow the reference's
+    branch structure (Physics.cpp:774-785, 861-867, 1117-1151): a deep
+    floater (BALL, density 0.7) rises in accelerating buoyant steps —
+    the water branch sets Z_STOPPED but the no-cobj-collision clear
+    (:861) and the water-handled flag reset (:865) release it every
+    frame, so vz accumulates until the fast branch's float entry zeroes
+    it and the cycle repeats.  NO one-tick teleport to the surface.  A
+    sinker (ROCK) damps velocity by dens/(dens+WATER) per frame instead
+    of teleporting to the lake bed."""
+    mesh = np.full((WORLD.mesh_y, WORLD.mesh_x), -3.0, np.float32)
+    wpz = 0.0
+    env = _env(mesh, wpz=wpz, wind=(0.0, 0.0, 0.0))
+    env_np = OP.OracleEnv(wind=np.zeros(3, np.float32), water_plane_z=wpz,
+                          zmin=-WORLD.z_scene)
+    rock = PT.type_id("ROCK")
+    types = np.array([BALL, rock])
+    pos = np.array([[0.0, 0.0, -2.0], [0.5, 0.5, -1.0]], np.float32)
+    vel = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, -0.4]], np.float32)
+
+    st = PS.make_state(pos, vel, types, TABLE)
+    z_hist = []
+    for _ in range(60):
+        st = PS.step_objects(st, env, None, TABLE, substeps=1,
+                             world=WORLD, obj_collisions=False)
+        z_hist.append(np.asarray(st.pz).copy())
+    z_hist = np.stack(z_hist)
+
+    # oracle twins
+    objs = []
+    for p, v, t in zip(pos, vel, types):
+        o = OP.OracleObj(pos=np.array(p, np.float32),
+                         vel=np.array(v, np.float32))
+        objs.append((o, OP.TypeParams.from_table(TABLE, int(t))))
+    zo_hist = []
+    for _ in range(60):
+        for o, tp in objs:
+            OP.advance_object(o, env_np, tp, mesh, WORLD)
+        zo_hist.append([o.pos[2] for o, _ in objs])
+    zo_hist = np.asarray(zo_hist)
+
+    # floater: rises gradually; at least 5 frames strictly below the
+    # final float height on BOTH paths (no one-tick teleport)
+    rad = float(np.asarray(TABLE.radius)[BALL])
+    float_z = wpz + rad * (1.0 - 2.0 * 0.7)
+    assert (z_hist[:5, 0] < float_z - 0.1).all()
+    assert (zo_hist[:5, 0] < float_z - 0.1).all()
+    # deep floater: substantial gradual rise, no single-tick teleport
+    assert z_hist[-1, 0] > z_hist[0, 0] + 0.1
+    assert np.max(np.diff(z_hist[:, 0])) < 0.1      # no tick jumps > 0.1
+    # kernel tracks the oracle through the whole staircase rise
+    np.testing.assert_allclose(z_hist[:, 0], zo_hist[:, 0], atol=2e-3)
+    np.testing.assert_allclose(float(np.asarray(st.vz)[0]),
+                               objs[0][0].vel[2], atol=1e-4)
+    # sinker: no teleport to the bottom; velocity-damped descent
+    rock_ground = -3.0 + float(np.asarray(TABLE.radius)[rock])
+    assert (z_hist[:5, 1] > rock_ground + 0.2).all()
+    np.testing.assert_allclose(z_hist[:, 1], zo_hist[:, 1], atol=2e-2)
+
+
 def test_settling_statistics_on_wavy_mesh():
     """After bounces (chaotic divergence), population statistics must still
     agree: settled fraction and mean resting height within tolerance."""
