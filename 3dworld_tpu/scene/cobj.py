@@ -309,6 +309,7 @@ class ModelSpec:
     voxel_spacing: float = 0.0
     loaded: bool = False
     transforms: list = field(default_factory=list)  # (tv, scale, axis, angle)
+    cobj_pts: list = field(default_factory=list)    # model-space cobj polys
     fit_to_scene: bool = False
     occlusion_cube: tuple | None = None
     lod_scale: float = 1.0
@@ -598,8 +599,12 @@ def parse_coll_obj_file(path: str, sphere_gen_seed: int = 0,
             elif cmd == "T":
                 xf.tv = tk.next_vec()
             elif cmd == "m":
-                xf.scale = tk.next_f()
-                assert xf.scale > 0.0
+                # validate BEFORE assigning: the per-command except would
+                # otherwise leave a zero/negative scale applied to every
+                # later shape
+                new_scale = tk.next_f()
+                assert new_scale > 0.0
+                xf.scale = new_scale
             elif cmd == "M":
                 dim = tk.next_i()
                 mr = list(xf.mirror)
@@ -666,8 +671,12 @@ def parse_coll_obj_file(path: str, sphere_gen_seed: int = 0,
                 step = 2.0 * math.pi / nsides
                 edist = 0.5 * thick * math.tan(0.5 * step)
                 vc = _norm(tuple(b - a for a, b in zip(pt0, pt1)))
-                dmin = (0 if vc[0] < vc[2] else 2) if vc[0] < vc[1] else \
-                       (1 if vc[1] < vc[2] else 2)
+                # min-|component| axis (get_min_dim uses fabs) — raw
+                # comparison would pick an axis PARALLEL to a -y/-z
+                # cylinder axis and collapse every quad onto the line
+                av = tuple(abs(v) for v in vc)
+                dmin = (0 if av[0] < av[2] else 2) if av[0] < av[1] else \
+                       (1 if av[1] < av[2] else 2)
                 vn = [0.0, 0.0, 0.0]
                 vn[dmin] = 1.0
                 d0 = _norm(np.cross(vc, vn))
@@ -786,6 +795,11 @@ def parse_coll_obj_file(path: str, sphere_gen_seed: int = 0,
                 if tk.next_i() == 0:
                     st["platform_id"] = -1
                 else:
+                    # speeds/ext_dist/act_dist deliberately NOT scaled by
+                    # xf.scale — the reference doesn't either (platform
+                    # add_from_file xforms only origin + dir mirror/swap,
+                    # platform.cpp:1130-1148), unlike K triggers which DO
+                    # scale act_dist (build_world.cpp:1657)
                     vals = [tk.next_f() for _ in range(6)]
                     origin = xf.xform_pos(tk.next_vec())
                     pdir = xf.xform_pos_rm(tk.next_vec())
@@ -1167,8 +1181,12 @@ def parse_coll_obj_file(path: str, sphere_gen_seed: int = 0,
                 # (gen_rand_spheres, sphere_materials.cpp:490-525): uniform
                 # radius, xy-disc rejection placement at z=center.z+radius
                 num = tk.next_u()
-                cx, cy, cz = tk.next_vec()
-                pr, rmin, rmax = tk.next_f(), tk.next_f(), tk.next_f()
+                # honor the active transform like every other placement:
+                # center through xform_pos, radii scaled
+                cx, cy, cz = xf.xform_pos(tk.next_vec())
+                pr, rmin, rmax = (xf.scale * tk.next_f(),
+                                  xf.scale * tk.next_f(),
+                                  xf.scale * tk.next_f())
                 rg = RandGen()
                 if sphere_gen_seed != 0:
                     rg.set_state(sphere_gen_seed, 123)
@@ -1192,6 +1210,11 @@ def parse_coll_obj_file(path: str, sphere_gen_seed: int = 0,
                 sp.skipped[cmd] = sp.skipped.get(cmd, 0) + 1
         except (ValueError, IndexError, AssertionError) as e:
             sp.skipped[cmd] = sp.skipped.get(cmd, 0) + 1
+    if st.get("remove_tj"):
+        # 'tj 1': remove T-junctions between same-material cubes
+        # (coll_obj_group::subdiv_cubes, csg.cpp:1027-1092)
+        from .csg import subdiv_cubes
+        sp.cobjs[:] = subdiv_cubes(sp.cobjs)
     return sp
 
 
@@ -1223,21 +1246,52 @@ def _try_load_model(ms: ModelSpec, sp: SceneParse, scene_path: str,
             # full format dispatch: 3DS / glTF / STL / PLY / OFF / DAE
             from .read_mesh_formats import load_model
             model = load_model(fn)
+        raw = []
         for rc in model_to_cobjs(model).cobjs:
+            raw.append(tuple(tuple(p) for p in rc.pts))
             pts = tuple(xf.xform_pos(tuple(p)) for p in rc.pts)
             add_cobj(COLL_POLYGON, pts[0], r1=0.0, pts=pts)
+        ms.cobj_pts = raw    # model-space pts kept for 'Z' re-instancing
         return True
     except Exception:
         return False
 
 
+def _axis_angle_matrix(axis, angle_deg):
+    import numpy as _np
+    a = _np.asarray(axis, _np.float64)
+    n = _np.linalg.norm(a)
+    if n < 1e-12 or angle_deg == 0.0:
+        return _np.eye(3)
+    a = a / n
+    th = _np.radians(angle_deg)
+    c, s = _np.cos(th), _np.sin(th)
+    K = _np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0]])
+    return _np.eye(3) * c + s * K + (1 - c) * _np.outer(a, a)
+
+
 def _instance_model_cobjs(ms: ModelSpec, tr, sp: SceneParse,
                           layer: CobjLayer, xf: Xform, add_cobj) -> None:
-    """'Z' placements re-instance the model's cobjs translated/scaled; only
-    translate+scale supported host-side (rotation noted in the spec)."""
-    # cobjs from 'O' were already added once at identity; additional
-    # transforms are recorded in ms.transforms for the exporter.
-    return None
+    """'Z'/transform_array placements re-instance the model's collision
+    polygons under the placement transform (model3d_xform_t semantics,
+    build_world.cpp:1468-1546: rotate about axis, scale, translate),
+    composed with the active scene transform — without this, physics
+    only collides with the 'O' identity copy while every placed instance
+    is a ghost."""
+    pts_list = getattr(ms, "cobj_pts", None)
+    if not pts_list:
+        return
+    tv, scale, axis, angle, lvl, _vsp = (tuple(tr) + (0, 0.0))[:6]
+    if lvl is not None and lvl >= 4:
+        return
+    R = _axis_angle_matrix(axis or (0.0, 0.0, 1.0), angle or 0.0)
+    sc = scale if scale else 1.0
+    for pts in pts_list:
+        newpts = tuple(
+            xf.xform_pos(tuple(R @ np.asarray(p, np.float64) * sc
+                               + np.asarray(tv, np.float64)))
+            for p in pts)
+        add_cobj(COLL_POLYGON, newpts[0], r1=0.0, pts=newpts)
 
 
 # ---------------------------------------------------------------------------

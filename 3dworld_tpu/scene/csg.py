@@ -50,7 +50,10 @@ def merge_cubes(cobjs: list) -> list:
             for j in range(i + 1, len(out)):
                 if out[j] is None or out[j].shape != COLL_CUBE:
                     continue
-                if out[i].layer is not out[j].layer:
+                # compare layers by VALUE: the parser gives every cobj a
+                # fresh layer copy, so identity would never match and
+                # merging would be a silent no-op on parsed scenes
+                if out[i].layer != out[j].layer:
                     continue
                 m = _try_merge(out[i], out[j])
                 if m is not None:
@@ -119,11 +122,14 @@ def subdiv_cubes(cobjs: list, toler: float = 1e-6) -> list:
     """
     from collections import defaultdict
 
+    from dataclasses import astuple
+
     groups = defaultdict(list)
     passthrough = []
     for c in cobjs:
         if c.shape == COLL_CUBE:
-            groups[id(c.layer)].append(c)
+            # group by layer VALUE (parsed cobjs each carry a fresh copy)
+            groups[astuple(c.layer)].append(c)
         else:
             passthrough.append(c)
     out = list(passthrough)

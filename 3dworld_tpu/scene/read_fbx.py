@@ -114,19 +114,52 @@ def _parse(buf):
 
 
 def _tri_faces(poly_ix):
-    """PolygonVertexIndex -> [F,3] triangles (negative value = ~last
-    index of the polygon; fan-triangulate n-gons)."""
-    tris = []
-    poly = []
-    for v in poly_ix:
+    """PolygonVertexIndex -> ([F,3] triangles of control-point ids,
+    [F,3] polygon-vertex SLOTS for ByPolygonVertex attributes).
+    Negative value = ~last index of the polygon; fan-triangulate."""
+    tris, corners = [], []
+    poly, slots = [], []
+    for s, v in enumerate(poly_ix):
         if v < 0:
             poly.append(~int(v))
+            slots.append(s)
             for k in range(1, len(poly) - 1):
                 tris.append((poly[0], poly[k], poly[k + 1]))
-            poly = []
+                corners.append((slots[0], slots[k], slots[k + 1]))
+            poly, slots = [], []
         else:
             poly.append(int(v))
-    return np.asarray(tris, np.int32).reshape(-1, 3)
+            slots.append(s)
+    return (np.asarray(tris, np.int32).reshape(-1, 3),
+            np.asarray(corners, np.int32).reshape(-1, 3))
+
+
+def _layer_attr_faces(layer, data_name, index_name, faces, corners):
+    """Face-attribute indices for a LayerElement per its
+    MappingInformationType / ReferenceInformationType: ByPolygonVertex
+    indexes the per-corner slots; ByVertice the control points;
+    IndexToDirect maps through the layer's index array."""
+    def _str(node):
+        v = node.props[0] if node and node.props else b""
+        return v.decode() if isinstance(v, (bytes, bytearray)) else str(v)
+
+    mapping = _str(layer.first("MappingInformationType")) or "ByPolygonVertex"
+    ref = _str(layer.first("ReferenceInformationType")) or "Direct"
+    if mapping.startswith("ByVert"):       # ByVertice/ByVertex
+        fa = faces.copy()
+    elif mapping == "ByPolygonVertex":
+        fa = corners.copy()
+    elif mapping == "AllSame":
+        fa = np.zeros_like(faces)
+    else:                                   # ByPolygon etc. unsupported
+        return -np.ones_like(faces)
+    if ref == "IndexToDirect":
+        idx_node = layer.first(index_name)
+        if idx_node is None:
+            return -np.ones_like(faces)
+        idx = np.asarray(idx_node.props[0], np.int64).astype(np.int32)
+        fa = idx[np.clip(fa, 0, len(idx) - 1)]
+    return fa.astype(np.int32)
 
 
 def load_fbx(path: str) -> Model3d:
@@ -148,7 +181,7 @@ def load_fbx(path: str) -> Model3d:
     verts = np.asarray(geom.first("Vertices").props[0],
                        np.float64).reshape(-1, 3).astype(np.float32)
     poly = np.asarray(geom.first("PolygonVertexIndex").props[0], np.int64)
-    faces = _tri_faces(poly)
+    faces, corners = _tri_faces(poly)
 
     normals = np.zeros((0, 3), np.float32)
     face_normals = -np.ones((len(faces), 3), np.int32)
@@ -156,12 +189,15 @@ def load_fbx(path: str) -> Model3d:
     if ln is not None and ln.first("Normals") is not None:
         normals = np.asarray(ln.first("Normals").props[0],
                              np.float64).reshape(-1, 3).astype(np.float32)
+        face_normals = _layer_attr_faces(ln, "Normals", "NormalsIndex",
+                                         faces, corners)
     uvs = np.zeros((0, 2), np.float32)
     face_uvs = -np.ones((len(faces), 3), np.int32)
     lu = geom.first("LayerElementUV")
     if lu is not None and lu.first("UV") is not None:
         uvs = np.asarray(lu.first("UV").props[0],
                          np.float64).reshape(-1, 2).astype(np.float32)
+        face_uvs = _layer_attr_faces(lu, "UV", "UVIndex", faces, corners)
     return Model3d(positions=verts, normals=normals, uvs=uvs,
                    faces=faces, face_normals=face_normals,
                    face_uvs=face_uvs)

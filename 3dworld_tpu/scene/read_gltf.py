@@ -100,12 +100,14 @@ def load_gltf(path: str):
 
     pos_l, nrm_l, uv_l, fac_l = [], [], [], []
     joints_l, weights_l = [], []
+    any_skinned = False
     voff = 0
     for mesh in doc.get("meshes", []):
         for prim in mesh.get("primitives", []):
             if prim.get("mode", 4) != 4:
                 continue                 # triangles only
             att = prim["attributes"]
+            any_skinned |= "JOINTS_0" in att
             p = _accessor(doc, bufs, att["POSITION"]).astype(np.float32)
             V = len(p)
             pos_l.append(p)
@@ -123,8 +125,20 @@ def load_gltf(path: str):
             if "JOINTS_0" in att:
                 joints_l.append(_accessor(doc, bufs, att["JOINTS_0"])
                                 .astype(np.int32))
-                weights_l.append(_accessor(doc, bufs, att["WEIGHTS_0"])
-                                 .astype(np.float32))
+                wacc = doc["accessors"][att["WEIGHTS_0"]]
+                w = _accessor(doc, bufs, att["WEIGHTS_0"]).astype(np.float32)
+                # normalized-integer weights (ubyte/ushort per spec)
+                # need the normalization divide
+                if wacc["componentType"] == 5121:
+                    w = w / 255.0
+                elif wacc["componentType"] == 5123:
+                    w = w / 65535.0
+                weights_l.append(w)
+            else:
+                # keep skin arrays ALIGNED with the merged vertex buffer:
+                # unskinned primitives contribute zero weights
+                joints_l.append(np.zeros((V, 4), np.int32))
+                weights_l.append(np.zeros((V, 4), np.float32))
             voff += V
 
     positions = np.concatenate(pos_l) if pos_l else np.zeros((0, 3), np.float32)
@@ -139,14 +153,18 @@ def load_gltf(path: str):
     )
 
     skin = None
-    if doc.get("skins") and joints_l:
+    if doc.get("skins") and any_skinned:
         sk = doc["skins"][0]
+        # glTF MAT4 accessors are COLUMN-major; animation.py composes
+        # row-major (world @ inv_bind), so transpose each matrix
+        ibm = None
+        if "inverseBindMatrices" in sk:
+            ibm = _accessor(doc, bufs, sk["inverseBindMatrices"]) \
+                .astype(np.float32).reshape(-1, 4, 4).transpose(0, 2, 1)
         skin = {
             "joints": np.concatenate(joints_l),
             "weights": np.concatenate(weights_l),
-            "inverse_bind": _accessor(doc, bufs, sk["inverseBindMatrices"])
-                .astype(np.float32).reshape(-1, 4, 4)
-                if "inverseBindMatrices" in sk else None,
+            "inverse_bind": ibm,
             "animations": {},
         }
         node_to_joint = {n: j for j, n in enumerate(sk.get("joints", []))}
@@ -160,6 +178,10 @@ def load_gltf(path: str):
                 samp = anim["samplers"][ch["sampler"]]
                 t = _accessor(doc, bufs, samp["input"]).astype(np.float32)
                 v = _accessor(doc, bufs, samp["output"]).astype(np.float32)
+                if tgt["path"] == "rotation":
+                    # glTF quats are (x,y,z,w); animation._quat_to_mat
+                    # consumes (w,x,y,z)
+                    v = v[:, [3, 0, 1, 2]]
                 chans.setdefault(j, {})["t"] = t
                 chans[j][tgt["path"]] = v
             skin["animations"][anim.get("name", f"anim{len(skin['animations'])}")] = chans

@@ -315,6 +315,10 @@ def test_gltf_loader(tmp_path):
     assert (m.positions == pos).all()
     assert skin["joints"].shape == (4, 4)
     assert skin["animations"]["wave"][0]["rotation"].shape == (2, 4)
+    # conventions converted for animation.py: glTF (x,y,z,w) identity
+    # quat (0,0,0,1) surfaces as (w,x,y,z) = (1,0,0,0)
+    np.testing.assert_allclose(
+        skin["animations"]["wave"][0]["rotation"][0], [1, 0, 0, 0])
     # GLB container
     js = json.dumps(doc).encode()
     js += b" " * ((4 - len(js) % 4) % 4)
@@ -324,6 +328,51 @@ def test_gltf_loader(tmp_path):
     pg.write_bytes(glb)
     m2, _ = load_gltf(str(pg))
     assert m2.num_verts == 4
+
+    # --- mixed skinned + unskinned primitives stay ALIGNED, normalized
+    # ubyte weights divide by 255, column-major IBM transposes ---
+    wts_u8 = np.full((4, 4), 0, np.uint8)
+    wts_u8[:, 0] = 255
+    ibm_cm = np.eye(4, dtype=np.float32)
+    ibm_cm[3, :3] = (2.0, 3.0, 4.0)   # column-major translation slots
+    blobs2 = [pos.tobytes(), idx.tobytes(), joints.tobytes(),
+              wts_u8.tobytes(), ibm_cm.reshape(1, 16).tobytes()]
+    offs2, buf2 = [], b""
+    for b in blobs2:
+        offs2.append(len(buf2))
+        buf2 += b + b"\0" * ((4 - len(b) % 4) % 4)
+    doc2 = {
+        "asset": {"version": "2.0"},
+        "buffers": [{"byteLength": len(buf2),
+                     "uri": "data:application/octet-stream;base64,"
+                            + base64.b64encode(buf2).decode()}],
+        "bufferViews": [{"buffer": 0, "byteOffset": offs2[i],
+                         "byteLength": len(blobs2[i])} for i in range(5)],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5123, "count": 6, "type": "SCALAR"},
+            {"bufferView": 2, "componentType": 5121, "count": 4, "type": "VEC4"},
+            {"bufferView": 3, "componentType": 5121, "count": 4, "type": "VEC4",
+             "normalized": True},
+            {"bufferView": 4, "componentType": 5126, "count": 1, "type": "MAT4"},
+        ],
+        "meshes": [{"primitives": [
+            {"attributes": {"POSITION": 0}, "indices": 1},     # unskinned
+            {"attributes": {"POSITION": 0, "JOINTS_0": 2,
+                            "WEIGHTS_0": 3}, "indices": 1},     # skinned
+        ]}],
+        "nodes": [{"mesh": 0, "skin": 0}, {"name": "bone"}],
+        "skins": [{"joints": [1], "inverseBindMatrices": 4}],
+    }
+    p2 = tmp_path / "mixed.gltf"
+    p2.write_text(json.dumps(doc2))
+    m3, skin3 = load_gltf(str(p2))
+    assert m3.num_verts == 8                      # both primitives merged
+    assert skin3["joints"].shape == (8, 4)        # aligned with vertices
+    assert (skin3["weights"][:4] == 0).all()      # unskinned prefix zeroed
+    np.testing.assert_allclose(skin3["weights"][4:, 0], 1.0)   # /255
+    # row-major after transpose: translation in column 3
+    np.testing.assert_allclose(skin3["inverse_bind"][0][:3, 3], [2, 3, 4])
 
 
 def test_mesh_and_state_text_io(tmp_path):
@@ -635,11 +684,16 @@ def test_fbx_ngon_triangulation():
     from w3d.scene.read_fbx import _tri_faces
     # one quad 0,1,2,3 then one pentagon 4..8
     poly = np.array([0, 1, 2, ~3, 4, 5, 6, 7, ~8], np.int64)
-    tris = _tri_faces(poly)
+    tris, corners = _tri_faces(poly)
     assert tris.shape == (2 + 3, 3)
     np.testing.assert_array_equal(tris[0], (0, 1, 2))
     np.testing.assert_array_equal(tris[1], (0, 2, 3))
     np.testing.assert_array_equal(tris[2], (4, 5, 6))
+    # polygon-vertex SLOTS (for ByPolygonVertex attributes) track the
+    # flat PolygonVertexIndex positions
+    np.testing.assert_array_equal(corners[0], (0, 1, 2))
+    np.testing.assert_array_equal(corners[1], (0, 2, 3))
+    np.testing.assert_array_equal(corners[2], (4, 5, 6))
 
 
 def test_fbx_ascii_rejected():

@@ -138,6 +138,66 @@ def test_hollow_cylinder_polygons():
             assert 0.85 < r < 1.1
 
 
+def test_hollow_cylinder_negative_axis():
+    """get_min_dim uses |component|: a -z (or -y) axis must still pick a
+    PERPENDICULAR basis vector — the raw-comparison bug collapsed every
+    quad onto the cylinder axis line."""
+    for src in ("c 0 0 2  0 0 0  1.0 0.9  8\n",      # -z axis
+                "c 0 2 0  0 0 0  1.0 0.9  8\n"):     # -y axis
+        sp = _parse_str(src)
+        assert not sp.skipped and len(sp.cobjs) == 8
+        for c in sp.cobjs:
+            # quads have real extent (not collapsed to a line)
+            pts = np.asarray(c.pts)
+            assert np.linalg.norm(pts.max(0) - pts.min(0)) > 0.5
+
+
+def test_scale_zero_rejected_without_sticking():
+    """'m 0' is skipped AND must not leave a zero scale applied to later
+    geometry."""
+    sp = _parse_str("m 0\nS 1 1 1 0.5\n")
+    assert sp.skipped.get("m") == 1
+    assert sp.cobjs[0].r1 == 0.5          # scale stayed 1.0
+
+
+def test_rand_spheres_honor_transform():
+    """rand_spheres placements follow the active transform like every
+    other command."""
+    sp0 = _parse_str("rand_spheres 4  0 0 0  1.0 0.1 0.2\n",
+                     sphere_gen_seed=7)
+    sp1 = _parse_str("t 5 0 0\nm 2\nrand_spheres 4  0 0 0  1.0 0.1 0.2\n",
+                     sphere_gen_seed=7)
+    assert len(sp0.cobjs) == len(sp1.cobjs) == 4
+    for a, b in zip(sp0.cobjs, sp1.cobjs):
+        assert abs(b.r1 - 2.0 * a.r1) < 1e-6            # radius scaled
+        assert abs(b.p1[0] - (2.0 * a.p1[0] + 5.0)) < 1e-4   # x scaled+shifted
+
+
+def test_tj_removes_t_junctions_between_parsed_cubes():
+    """'tj 1' triggers same-material T-junction subdivision on PARSED
+    cobjs (grouping by layer VALUE; identity grouping made it a no-op)."""
+    sp = _parse_str("tj 1\nB 0 2 0 1 0 1\nB 0 1 0 1 1 2\n")
+    xs = sorted({c.p1[0] for c in sp.cobjs} | {c.p2[0] for c in sp.cobjs})
+    assert xs == [0.0, 1.0, 2.0]          # bottom cube split at x=1
+    vol = sum((c.p2[0] - c.p1[0]) * (c.p2[1] - c.p1[1])
+              * (c.p2[2] - c.p1[2]) for c in sp.cobjs)
+    assert abs(vol - 3.0) < 1e-9
+
+
+def test_model_instances_add_collision(tmp_path):
+    """'Z' placements re-instance the model's collision polygons at the
+    transform (physics must collide with every placed copy)."""
+    obj = tmp_path / "tri.obj"
+    obj.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    scene = tmp_path / "scene.txt"
+    scene.write_text(f"O {obj.name} 0 0 0\nZ 0  10 0 0\n")
+    sp = SC.parse_coll_obj_file(str(scene))
+    polys = [c for c in sp.cobjs if c.shape == SC.COLL_POLYGON]
+    assert len(polys) == 2                # identity + one instance
+    xs = sorted(np.asarray(p.pts)[:, 0].min() for p in polys)
+    assert abs(xs[0] - 0.0) < 1e-6 and abs(xs[1] - 10.0) < 1e-5
+
+
 def test_polygon_split_beyond_quad():
     sp = _parse_str("P 5  0 0 0  1 0 0  1 1 0  0.5 1.5 0  0 1 0  0.1\n")
     assert not sp.skipped
