@@ -66,9 +66,9 @@ def run_ground(config: str, frames: int, num_objects: int,
     return scene
 
 
-def run_tiled(frames: int, seed: int):
+def run_tiled(frames: int, seed: int, chunk: int = 16):
     import numpy as np
-    from .models.world import TiledWorld
+    from .models.world import make_tiled_world
     from .terrain.tiles import TileManager
     from .terrain.mesh import TerrainConfig
     from .utils.constants import WorldConst
@@ -78,34 +78,36 @@ def run_tiled(frames: int, seed: int):
     # full live city over a flat region (gen_cities + traffic init)
     cw = CA.build_city(np.zeros((128, 128), np.float32), num_cities=1,
                        num_cars=64, num_peds=128, seed=seed)
-    # building AI in the same frame loop (the reference's city frame
+    # building AI in the same fused frame (the reference's city frame
     # covers cars+peds+building people): one furnished tower with
     # people riding its stairs/elevators
     from .city import floorplan as CF
-    from .city import people as CPE
     from .city import room_content as CRC
     interior = CF.gen_interior((0.0, 0.0, 0.0, 1.2, 0.9, 0.4), 3, 0.08,
                                seed=seed)
     objs = CRC.furnish_rooms(interior, 0.08, seed=seed)
-    bsim = CPE.BuildingPeopleSim(interior, 48, seed=seed, room_objs=objs)
-    w = TiledWorld(tile_mgr=tm, road_graph=cw.graph, cars=cw.cars,
-                   peds=cw.peds, stoplights=cw.stoplights,
-                   ped_nav=cw.ped_nav, building_people=[bsim])
+    w = make_tiled_world(tm, cw, builders=[(interior, 48, objs)],
+                         seed=seed, chunk=chunk, num_birds=8)
     cam = 0.0
-    for i in range(frames):
+    i = 0
+    while i < frames:
+        k = min(chunk, frames - i)
         t0 = time.perf_counter()
-        created, deleted = w.step(cam, 0.0)
-        cam += 0.8
-        bp = w.building_people[0].people if w.building_people else None
-        acts = (np.bincount(np.asarray(bp.activity), minlength=5).tolist()
-                if bp is not None else [])
-        print(json.dumps({"frame": i, "mode": "tiled",
+        created, deleted = w.step_chunk(cam, 0.0, frames=k)
+        cam += 0.8 * k
+        acts = (np.bincount(w.last_probe[:, 4].astype(np.int32),
+                            minlength=5).tolist()
+                if w.last_probe is not None else [])
+        dt = (time.perf_counter() - t0) / k
+        print(json.dumps({"frame": i + k - 1, "mode": "tiled",
+                          "chained": k,
                           "tiles": len(tm.tiles),
                           "cars": int(w.cars.seg.shape[0]),
                           "peds": int(w.peds.x.shape[0]),
                           "bldg_people_acts": acts,
                           "created": len(created), "deleted": len(deleted),
-                          "ms": round((time.perf_counter() - t0) * 1e3, 1)}))
+                          "ms": round(dt * 1e3, 1)}))
+        i += k
     return w
 
 
@@ -186,13 +188,15 @@ def main(argv=None):
     ap.add_argument("--mode", choices=("ground", "tiled", "universe"),
                     default="ground")
     ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--chunk", type=int, default=32,
+                    help="frames chained per device dispatch (tiled mode)")
     ap.add_argument("--objects", type=int, default=2000)
     ap.add_argument("--seed", type=int, default=1)
     args = ap.parse_args(argv)
     if args.mode == "ground":
         run_ground(args.config, args.frames, args.objects)
     elif args.mode == "tiled":
-        run_tiled(args.frames, args.seed)
+        run_tiled(args.frames, args.seed, chunk=args.chunk)
     else:
         run_universe(args.frames, args.seed)
 

@@ -235,19 +235,13 @@ def make_people(graph: NavGraph, n: int, seed: int = 0) -> PeopleState:
     return assign_goals(st, graph, [int(s) for s in starts], rg)
 
 
-def assign_goals(st: PeopleState, graph: NavGraph, cur_rooms, rg: RandGen,
-                 forced_dest: int | None = None, room_objs=None,
-                 use_elevator_prob: float = 0.5):
-    """Host: route each person to a random destination room (the ai state
-    machine's choose-destination step), expanded to door waypoints.
-    `forced_dest` routes everyone to one room — the ai_target_player /
-    zombie mode (building_navigation.cpp:1216-1255).
-
-    Floor-crossing trips pick the elevator with `use_elevator_prob` (the
-    reference's stairs-vs-elevator choice).  With `room_objs` (a
-    room_content.RoomObjects), arriving in a room with a bed / chair /
-    couch queues a SLEEP / SIT activity (ai sitting & lying,
-    building_navigation.cpp:2864,3573)."""
+def plan_paths(graph: NavGraph, cur_rooms, rg: RandGen,
+               forced_dest: int | None = None, room_objs=None,
+               use_elevator_prob: float = 0.5):
+    """Host path-planning core shared by assign_goals and the fused
+    city step's mirror-based reroute: route each listed person to a
+    random (or forced) destination room and return the padded numpy
+    path arrays (px, py, pf, pe, plen, end_act, end_dur)."""
     n = len(cur_rooms)
     R = len(graph.centers)
     px = np.zeros((n, MAX_PATH), np.float32)
@@ -278,6 +272,26 @@ def assign_goals(st: PeopleState, graph: NavGraph, cur_rooms, rg: RandGen,
                 eact[i], edur[i] = ACT_SLEEP, 200 + rg.rand() % 200
             elif kinds & sit_kinds and rg.randd() < 0.5:
                 eact[i], edur[i] = ACT_SIT, 100 + rg.rand() % 100
+    return px, py, pf, pe, plen, eact, edur
+
+
+def assign_goals(st: PeopleState, graph: NavGraph, cur_rooms, rg: RandGen,
+                 forced_dest: int | None = None, room_objs=None,
+                 use_elevator_prob: float = 0.5):
+    """Host: route each person to a random destination room (the ai state
+    machine's choose-destination step), expanded to door waypoints.
+    `forced_dest` routes everyone to one room — the ai_target_player /
+    zombie mode (building_navigation.cpp:1216-1255).
+
+    Floor-crossing trips pick the elevator with `use_elevator_prob` (the
+    reference's stairs-vs-elevator choice).  With `room_objs` (a
+    room_content.RoomObjects), arriving in a room with a bed / chair /
+    couch queues a SLEEP / SIT activity (ai sitting & lying,
+    building_navigation.cpp:2864,3573)."""
+    n = len(cur_rooms)
+    px, py, pf, pe, plen, eact, edur = plan_paths(
+        graph, cur_rooms, rg, forced_dest=forced_dest, room_objs=room_objs,
+        use_elevator_prob=use_elevator_prob)
     return st._replace(path_x=jnp.asarray(px), path_y=jnp.asarray(py),
                        path_f=jnp.asarray(pf), path_e=jnp.asarray(pe),
                        path_len=jnp.asarray(plen),

@@ -119,42 +119,96 @@ def ground_frames_chained(objects, env, cobjs, table, ripples, player,
 
 @dataclass
 class TiledWorld:
-    """WMODE_INF_TERRAIN session: streamed tiles + city + traffic."""
+    """WMODE_INF_TERRAIN session: streamed tiles + one fused city sim.
+
+    The whole per-frame city compute — stoplights, cars, pedestrians,
+    helicopters, birds, elevator cars, building people — lives in ONE
+    device CityState advanced by `city_step.city_frames_chained`, K
+    frames per dispatch.  Host work per chunk: tile streaming (already
+    async/double-buffered in TileManager) + building-people goal
+    re-routing.  This realizes the reference's 4.65 ms 3-thread city
+    frame (display_world.cpp:1295-1309) as an amortized chained
+    dispatch instead of ~10 un-chained ones per frame."""
 
     tile_mgr: object
     road_graph: object = None
-    cars: object = None
-    peds: object = None
-    stoplights: object = None
     ped_nav: object = None
-    building_people: list = field(default_factory=list)  # BuildingPeopleSim
+    city: object = None          # city_step.CityState
+    bldg: object = None          # city_step.MergedBuildingPeople
+    pads: object = None          # [P, 3] heli pads (device)
+    perches: object = None       # [P, 3] bird perches (device)
+    chunk: int = 16
     frame: int = 0
-    key: object = field(default_factory=lambda: jax.random.key(0))
+    last_probe: object = None    # latest people_probe fetch (host numpy)
+
+    def step_chunk(self, cam_x: float, cam_y: float,
+                   frames: int | None = None):
+        """Advance K frames: tiles (host, overlapped) + one chained
+        city dispatch + the per-chunk host re-route phase."""
+        from ..city import city_step as CS
+
+        k = self.chunk if frames is None else frames
+        created, deleted = self.tile_mgr.update(cam_x, cam_y)
+        if self.city is not None:
+            self.city = CS.city_frames_chained(
+                self.city, self.road_graph, self.ped_nav,
+                self.pads, self.perches, k)
+            if self.bldg is not None and self.city.people is not None:
+                # single packed fetch; reroute decisions + display stats
+                # both come from it (no per-field device pulls)
+                self.last_probe = np.asarray(
+                    CS.people_probe(self.city.people))
+                self.city = self.city._replace(
+                    people=self.bldg.reroute(self.city.people,
+                                             probe=self.last_probe))
+        self.frame += k
+        return created, deleted
 
     def step(self, cam_x: float, cam_y: float):
-        """display_inf_terrain: tile streaming + stoplight/car/ped
-        updates + building AI (the reference's 3-thread city frame
-        covers cars, peds AND building people together,
-        display_world.cpp:1295-1309; the OMP split becomes sequential
-        jitted dispatches; next_city_frame, city_gen.cpp:3801)."""
-        from ..city import traffic as CT
+        """One un-chained frame (compat/debug path)."""
+        return self.step_chunk(cam_x, cam_y, frames=1)
 
-        created, deleted = self.tile_mgr.update(cam_x, cam_y)
-        if self.stoplights is not None:
-            self.stoplights = CT.step_stoplights(self.stoplights)
-        if self.cars is not None:
-            self.cars = CT.step_cars(self.cars, self.road_graph,
-                                     jax.random.fold_in(self.key, self.frame),
-                                     stoplights=self.stoplights)
-        if self.peds is not None:
-            self.peds = CT.step_peds(self.peds,
-                                     jax.random.fold_in(self.key, 1 << 20 | self.frame),
-                                     nav=self.ped_nav,
-                                     stoplights=self.stoplights)
-        for sim in self.building_people:
-            sim.step()       # walkers + elevator cars + re-routing
-        self.frame += 1
-        return created, deleted
+    # convenience views
+    @property
+    def cars(self):
+        return self.city.cars if self.city is not None else None
+
+    @property
+    def peds(self):
+        return self.city.peds if self.city is not None else None
+
+    @property
+    def stoplights(self):
+        return self.city.stoplights if self.city is not None else None
+
+
+def make_tiled_world(tile_mgr, city_world=None, builders=(), seed: int = 0,
+                     chunk: int = 16, num_birds: int = 0) -> TiledWorld:
+    """Assemble a TiledWorld from a `city.assemble.CityWorld` plus
+    furnished interiors (`builders` = [(interior, n_people, room_objs)])."""
+    from ..city import city_step as CS
+    from ..city import traffic as CT
+    import jax.numpy as jnp
+
+    if city_world is None:
+        return TiledWorld(tile_mgr=tile_mgr, chunk=chunk)
+    bldg = CS.MergedBuildingPeople(builders, seed=seed) if builders else None
+    birds = None
+    perches = None
+    if num_birds > 0:
+        perches = jnp.asarray(CT.bird_perches(None, city_world.buildings))
+        birds = CT.make_birds(num_birds, np.asarray(perches), seed=seed)
+    cs = CS.CityState(
+        stoplights=city_world.stoplights, cars=city_world.cars,
+        peds=city_world.peds,
+        people=bldg.people if bldg is not None else None,
+        elev=bldg.elev if bldg is not None else CS.make_elevator_bank(1),
+        helis=city_world.helis, birds=birds,
+        key=jax.random.key(seed))
+    return TiledWorld(tile_mgr=tile_mgr, road_graph=city_world.graph,
+                      ped_nav=city_world.ped_nav, city=cs, bldg=bldg,
+                      pads=city_world.helipads, perches=perches,
+                      chunk=chunk)
 
 
 # ---------------------------------------------------------------------------
