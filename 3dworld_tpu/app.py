@@ -112,7 +112,8 @@ def run_tiled(frames: int, seed: int, chunk: int = 16):
 
 
 def run_universe(frames: int, seed: int,
-                 ship_defs: str = "/root/reference/universe/ship_defs.txt"):
+                 ship_defs: str = "/root/reference/universe/ship_defs.txt",
+                 chunk: int = 32):
     import os
     import jax
     from .models.world import UniverseWorld
@@ -162,15 +163,21 @@ def run_universe(frames: int, seed: int,
             fleet = make_fleet(jax.random.key(seed), 64)
     w = UniverseWorld(state=UniverseState(), fleet=fleet, fleet_tbl=tbl)
     pos = [0.0, 0.0, 0.0]
-    for i in range(frames):
+    i = 0
+    while i < frames:
+        k = min(chunk, frames - i)
         t0 = time.perf_counter()
-        created, freed = w.step(tuple(pos))
-        pos[0] += 0.5
-        print(json.dumps({"frame": i, "mode": "universe",
+        created, freed = w.step_chunk(tuple(pos), frames=k)
+        pos[0] += 0.5 * k
+        alive = int(np.asarray(w.fleet.alive).sum())
+        dt = (time.perf_counter() - t0) / k
+        print(json.dumps({"frame": i + k - 1, "mode": "universe",
+                          "chained": k,
                           "cells_created": len(created),
                           "cells_freed": len(freed),
-                          "ships_alive": int(w.fleet.alive.sum()),
-                          "ms": round((time.perf_counter() - t0) * 1e3, 1)}))
+                          "ships_alive": alive,
+                          "ms": round(dt * 1e3, 1)}))
+        i += k
     return w
 
 
@@ -198,7 +205,7 @@ def main(argv=None):
     elif args.mode == "tiled":
         run_tiled(args.frames, args.seed, chunk=args.chunk)
     else:
-        run_universe(args.frames, args.seed)
+        run_universe(args.frames, args.seed, chunk=args.chunk)
 
 
 if __name__ == "__main__":

@@ -227,30 +227,37 @@ class UniverseWorld:
     frame: int = 0
     key: object = field(default_factory=lambda: jax.random.key(1))
 
-    def step(self, player_pos, controls=()):
+    def step_chunk(self, player_pos, frames: int = 1, controls=()):
         """draw_universe: player thrust commands + process_ships + lazy
-        cell gen.  `controls` = [(tdir, speed, hyperspeed), ...] for this
-        frame (u_ship::thrust inputs)."""
+        cell gen.  `controls` = [(tdir, speed, hyperspeed), ...] applied
+        before the chunk (u_ship::thrust inputs).  The fleet advances
+        `frames` steps in ONE chained dispatch
+        (ships.fleet_frames_chained); cell paging runs at chunk
+        granularity — cells span 10 units, so a sub-chunk camera move
+        never crosses more cells than the endpoint check sees."""
         from ..universe import ships as USH
 
         if self.player_ship is not None:
             for (tdir, speed, hyper) in controls:
                 self.player_ship = USH.player_thrust(
                     self.player_ship, tdir, speed, hyper)
-            self.player_ship = USH.player_ship_frame(self.player_ship)
+            for _ in range(frames):
+                self.player_ship = USH.player_ship_frame(self.player_ship)
             player_pos = (float(self.player_ship.px),
                           float(self.player_ship.py),
                           float(self.player_ship.pz))
         created, freed = self.state.update(player_pos)
         if self.fleet is not None:
+            key = jax.random.fold_in(self.key, self.frame)
             if self.fleet_tbl is not None:
-                self.fleet = USH.step_fleet(
-                    self.fleet, jax.random.fold_in(self.key, self.frame),
-                    tbl=jnp.asarray(self.fleet_tbl),
+                self.fleet = USH.fleet_frames_chained(
+                    self.fleet, key, frames, tbl=jnp.asarray(self.fleet_tbl),
                     abomin_id=USH.USC_ABOMIN_ID,
                     reaper_id=USH.USC_REAPER_ID)
             else:
-                self.fleet = USH.step_fleet(
-                    self.fleet, jax.random.fold_in(self.key, self.frame))
-        self.frame += 1
+                self.fleet = USH.fleet_frames_chained(self.fleet, key, frames)
+        self.frame += frames
         return created, freed
+
+    def step(self, player_pos, controls=()):
+        return self.step_chunk(player_pos, frames=1, controls=controls)

@@ -268,6 +268,39 @@ def step_fleet(f: FleetState, key, tbl=None,
                       dx=ndx, dy=ndy, dz=ndz, state_val=sv)
 
 
+@functools.partial(jax.jit, static_argnames=("frames", "abomin_id",
+                                             "reaper_id"))
+def fleet_frames_chained(f: FleetState, key, frames: int, tbl=None,
+                         abomin_id: int = CLS_ABOMINATION,
+                         reaper_id: int = CLS_REAPER,
+                         fire_pts=None) -> FleetState:
+    """K combat frames in ONE dispatch (lax.scan over step_fleet) so the
+    live universe loop amortizes the relay round trip, exactly like the
+    ground/tiled chained steps.  `tbl`/`fire_pts` ride as closure
+    constants (loop-invariant arrays stay out of the scan carry)."""
+    tblj = jnp.asarray(SHIP_CLASSES if tbl is None else tbl)
+    fp = None if fire_pts is None else jnp.asarray(fire_pts)
+    # materialize optional fields so the scan carry structure is stable
+    # (step_fleet fills these defaults in its output)
+    n = f.px.shape[0]
+    if f.ai is None:
+        f = f._replace(ai=jnp.full((n,), AI_ATT_ENEMY, jnp.int32))
+    if f.attacked is None:
+        f = f._replace(attacked=jnp.zeros((n,), bool))
+    if f.dx is None:
+        f = f._replace(dx=jnp.ones(n), dy=jnp.zeros(n), dz=jnp.zeros(n))
+    if f.state_val is None:
+        f = f._replace(state_val=jnp.zeros(n))
+
+    def body(c, k):
+        return step_fleet(c, k, tbl=tblj, abomin_id=abomin_id,
+                          reaper_id=reaper_id, fire_pts=fp), None
+
+    keys = jax.random.split(key, frames)
+    out, _ = jax.lax.scan(body, f, keys)
+    return out
+
+
 def gen_asteroid_belt(key, system_radius: float, n: int = 256):
     """Asteroid belt: torus distribution around the star (asteroid.cpp
     belt gen); returns (x, y, z, radius) SoA."""
@@ -577,24 +610,28 @@ def fleet_from_defs(defs, key, fleets=None):
                     spread_list.extend([4.0 * spawn_d] * cnt)
     if not cls_list:
         raise ValueError("no fleets with ships in defs")
+    # host-side numpy build: every stray jnp op here used to compile its
+    # own XLA program over the relay (~19 compiles, ~9 s of init); only
+    # the position draw touches the device, everything else uploads with
+    # the first step
     n = len(cls_list)
-    cls = jnp.asarray(cls_list, jnp.int32)
-    oh = jax.nn.one_hot(cls, tbl.shape[0], dtype=jnp.float32)
-    tblj = jnp.asarray(tbl)
-    centers = jnp.asarray(pos_list, jnp.float32)
-    spread = jnp.asarray(spread_list, jnp.float32)[:, None]
-    u = jax.random.uniform(key, (n, 3), minval=-1.0, maxval=1.0)
+    cls = np.asarray(cls_list, np.int32)
+    tbl_np = np.asarray(tbl, np.float32)
+    centers = np.asarray(pos_list, np.float32)
+    spread = np.asarray(spread_list, np.float32)[:, None]
+    u = np.asarray(jax.random.uniform(key, (n, 3), minval=-1.0, maxval=1.0))
     pos = centers + u * spread
+    z = np.zeros(n, np.float32)
     state = FleetState(
         px=pos[:, 0], py=pos[:, 1], pz=pos[:, 2],
-        vx=jnp.zeros(n), vy=jnp.zeros(n), vz=jnp.zeros(n),
-        cls=cls, align=jnp.asarray(align_list, jnp.int32),
-        armor=oh @ tblj[:, 2], shields=oh @ tblj[:, 3],
-        cooldown=jnp.zeros(n), alive=jnp.ones(n, bool),
-        ai=jnp.asarray(ai_list, jnp.int32),
-        attacked=jnp.zeros(n, bool),
-        dx=jnp.ones(n), dy=jnp.zeros(n), dz=jnp.zeros(n),
-        state_val=jnp.zeros(n),
+        vx=z, vy=z, vz=z,
+        cls=cls, align=np.asarray(align_list, np.int32),
+        armor=tbl_np[cls, 2], shields=tbl_np[cls, 3],
+        cooldown=z, alive=np.ones(n, bool),
+        ai=np.asarray(ai_list, np.int32),
+        attacked=np.zeros(n, bool),
+        dx=np.ones(n, np.float32), dy=z, dz=z,
+        state_val=z,
     )
     return state, tbl, offs, nparts
 

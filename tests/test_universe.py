@@ -383,3 +383,21 @@ def test_orbital_motion():
         assert abs(d - m.orbit_r) < 1e-6 * max(m.orbit_r, 1.0)
     bodies = UG.system_body_positions(sy, 10.0)
     assert len(bodies) >= len(sy.planets)
+
+
+def test_fleet_frames_chained_matches_single():
+    """K chained fleet frames == K single step_fleet dispatches."""
+    import numpy as np
+    from w3d.universe import ships as USH
+    k = jax.random.key(9)
+    f = USH.make_fleet(k, 48)
+    chained = USH.fleet_frames_chained(f, jax.random.key(3), 5)
+    single = f
+    for kk in jax.random.split(jax.random.key(3), 5):
+        single = USH.step_fleet(single, kk)
+    np.testing.assert_allclose(np.asarray(chained.px),
+                               np.asarray(single.px), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(chained.alive),
+                                  np.asarray(single.alive))
+    np.testing.assert_allclose(np.asarray(chained.shields),
+                               np.asarray(single.shields), atol=1e-4)
