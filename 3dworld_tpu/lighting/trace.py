@@ -69,6 +69,16 @@ class TraceParams(NamedTuple):
                                    # ~2x the cost of the sampled march)
     temperature: float = 20.0      # <= W_FREEZE_POINT -> water becomes ice
     transmission: bool = True      # alpha<1 cobj refraction/transmission
+    compact: bool = False          # Russian-roulette population control:
+                                   # shrink the ray array as rays die
+                                   # (unbiased; see trace_batch docstring)
+    samples_later: int = 0         # segment samples for bounces >= 1
+                                   # (0 = samples_per_segment).  Later
+                                   # segments are short surface-to-
+                                   # surface hops crossing few cells, so
+                                   # they need fewer jittered samples
+                                   # than the long bounce-0 sky segment.
+                                   # compact path only.
 
 
 def _luminance(r, g, b):
@@ -93,14 +103,40 @@ def landscape_color_map(mesh, world: WorldConst, biome_noise=None):
 def _accumulate_segment(grid, ltype, ox, oy, oz, dx, dy, dz, t_hit, w, cr, cg, cb,
                         alive, S, world):
     """Walk each ray's segment [0, t_hit] with S jittered samples and
-    scatter color*weight/S into the volume (add_path_to_lmcs)."""
+    scatter color*weight/S into the volume (add_path_to_lmcs).
+
+    Samples are importance-placed on the sub-range of the segment that
+    overlaps the light volume's AABB (sky-dome segments start far
+    outside it — uniform [0, t_hit] placement wasted over half the
+    samples on out-of-volume positions that deposit nothing).  Each
+    sample's weight carries the (t1-t0)/t_hit range compensation, so
+    the per-cell expectation is EXACTLY the uniform estimator's."""
+    nz, ny, nx = grid.shape
+    hx = 0.5 * nx * world.dx
+    hy = 0.5 * ny * world.dy
+
+    def axis_range(o, d, lo, hi):
+        dsafe = jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+        ta = (lo - o) / dsafe
+        tb = (hi - o) / dsafe
+        return jnp.minimum(ta, tb), jnp.maximum(ta, tb)
+
+    t0x, t1x = axis_range(ox, dx, -hx, hx)
+    t0y, t1y = axis_range(oy, dy, -hy, hy)
+    t0z, t1z = axis_range(oz, dz, grid.z0, grid.z0 + nz * grid.dz)
+    t0 = jnp.maximum(jnp.maximum(t0x, t0y), jnp.maximum(t0z, 0.0))
+    t1 = jnp.minimum(jnp.minimum(t1x, t1y), jnp.minimum(t1z, t_hit))
+    span = jnp.maximum(t1 - t0, 0.0)
+
     fr = (jnp.arange(S, dtype=jnp.float32)[None, :] + 0.5) / S     # [1,S]
-    ts = fr * t_hit[:, None]                                       # [N,S]
+    ts = t0[:, None] + fr * span[:, None]                          # [N,S]
     px = ox[:, None] + ts * dx[:, None]
     py = oy[:, None] + ts * dy[:, None]
     pz = oz[:, None] + ts * dz[:, None]
     idx, ok = L.cell_index(grid, px.reshape(-1), py.reshape(-1), pz.reshape(-1), world)
-    wv = jnp.broadcast_to((w * alive / S)[:, None], ts.shape).reshape(-1)
+    comp = span / jnp.maximum(t_hit, 1e-12)        # range compensation
+    wv = jnp.broadcast_to((w * alive * comp / S)[:, None],
+                          ts.shape).reshape(-1)
     rv = jnp.broadcast_to(cr[:, None], ts.shape).reshape(-1)
     gv = jnp.broadcast_to(cg[:, None], ts.shape).reshape(-1)
     bv = jnp.broadcast_to(cb[:, None], ts.shape).reshape(-1)
@@ -135,9 +171,8 @@ def trace_batch(
     LL = params.line_length
     frozen = params.temperature <= W_FREEZE_POINT
     state = dict(ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
-                 w=w0, r=cr, g=cg, b=cb,
+                 w=w0, w0=w0, r=cr, g=cg, b=cb,
                  alive=jnp.ones((N,), bool), grid=grid)
-    w_init = w0
 
     def _mesh_cell(hx, hy):
         my, mx = mesh.shape
@@ -145,12 +180,21 @@ def trace_batch(
         gy = jnp.clip(jnp.round(hy * world.dy_inv + my // 2), 0, my - 1)
         return gy.astype(jnp.int32), gx.astype(jnp.int32)
 
-    def bounce(st, key_d):
+    def bounce(st, key_d, S=params.samples_per_segment):
         ox, oy, oz = st["ox"], st["oy"], st["oz"]
         dx, dy, dz = st["dx"], st["dy"], st["dz"]
+        N = ox.shape[0]          # may shrink between bounces (compact)
+        w_init = st["w0"]
         tmax = jnp.full((N,), LL)
-        chit, ct, cnx, cny, cnz, coh, ct_exit = R.ray_cobjs_nearest(
-            ox, oy, oz, dx, dy, dz, tmax, cobjs, with_exit=True)
+        if params.transmission:
+            chit, ct, cnx, cny, cnz, coh, ct_exit = R.ray_cobjs_nearest(
+                ox, oy, oz, dx, dy, dz, tmax, cobjs, with_exit=True)
+        else:
+            # exit-t feeds only the transmission chord; skip its
+            # per-shape far-hit math when the branch is gated off
+            chit, ct, cnx, cny, cnz, coh = R.ray_cobjs_nearest(
+                ox, oy, oz, dx, dy, dz, tmax, cobjs, with_exit=False)
+            ct_exit = ct
         if params.exact_mesh:
             mhit, mt = R.ray_heightfield_dda(ox, oy, oz, dx, dy, dz, tmax,
                                              mesh, world,
@@ -183,7 +227,7 @@ def trace_batch(
         grid2 = _accumulate_segment(
             st["grid"], ltype, ox, oy, oz, dx, dy, dz, t,
             st["w"] * contrib.astype(jnp.float32), st["r"], st["g"], st["b"],
-            jnp.ones((N,), jnp.float32), params.samples_per_segment, world)
+            jnp.ones((N,), jnp.float32), S, world)
 
         # hit point + normal (ice: always +z, ray_trace.cpp:301)
         hx = ox + t * dx
@@ -293,7 +337,7 @@ def trace_batch(
                 w_t * (contrib & keep_t).astype(jnp.float32),
                 st["r"] * acr * watt_r, st["g"] * acg * watt_g,
                 st["b"] * acb * watt_b,
-                jnp.ones((N,), jnp.float32), params.samples_per_segment,
+                jnp.ones((N,), jnp.float32), S,
                 world)
             # stochastic branch pick, importance-compensated.  When
             # keep_t gates the transmitted branch off entirely, its
@@ -354,13 +398,58 @@ def trace_batch(
         new = dict(
             ox=ex_, oy=ey_, oz=ez_,
             dx=sdx, dy=sdy, dz=sdz,
-            w=w, r=r, g=g, b=b, alive=alive, grid=grid2,
+            w=w, w0=st["w0"], r=r, g=g, b=b, alive=alive, grid=grid2,
         )
         return new, None
 
-    keys = jax.random.split(key, params.max_bounces)
-    state, _ = jax.lax.scan(bounce, state, keys)
-    return state["grid"]
+    if not params.compact:
+        keys = jax.random.split(key, params.max_bounces)
+        state, _ = jax.lax.scan(bounce, state, keys)
+        return state["grid"]
+
+    # --- population-control path: the deposit scatter is serialized at
+    # ~28 ns/element on TPU regardless of masking (measured; see
+    # docs/DESIGN.md "deposit roofline"), so dead rays must be removed
+    # PHYSICALLY.  After each bounce the ray array shrinks on a fixed
+    # schedule; when more rays are alive than slots, a random subset
+    # survives with weight x (n_alive / kept) — standard Russian-roulette
+    # population control, unbiased in expectation.  w0 rides along (and
+    # scales with w) so the relative termination threshold is unchanged.
+    st = state
+    s_later = params.samples_later or params.samples_per_segment
+    for b in range(params.max_bounces):
+        s_b = params.samples_per_segment if b == 0 else s_later
+        st, _ = bounce(st, jax.random.fold_in(key, b), S=s_b)
+        n_next = max(min(N >> min(b + 1, 4), st["ox"].shape[0]), 1024)
+        if n_next < st["ox"].shape[0]:
+            st = _compact_rays(st, jax.random.fold_in(key, 0x707 + b),
+                               n_next)
+    return st["grid"]
+
+
+def _compact_rays(st: dict, key, keep: int) -> dict:
+    """Shrink the ray state to `keep` slots: a uniformly random subset of
+    the alive rays first (dead rays fill any remaining slots), survivors
+    upweighted by n_alive/keep when clipping occurred."""
+    alive = st["alive"]
+    n = alive.shape[0]
+    u = jax.random.uniform(key, (n,))
+    order = jnp.argsort(jnp.where(alive, u, 2.0))[:keep]
+    n_alive = jnp.sum(alive).astype(jnp.float32)
+    scale = jnp.maximum(n_alive / keep, 1.0)
+    # one packed row-gather instead of 12 independent gathers (gathers
+    # serialize per element on TPU like scatters; rows vectorize)
+    keys_f = [k for k in st if k not in ("grid", "alive")]
+    mat = jnp.stack([st[k] for k in keys_f]
+                    + [st["alive"].astype(jnp.float32)], axis=1)
+    sel = mat[order]
+    out = {k: sel[:, i] for i, k in enumerate(keys_f)}
+    out["alive"] = sel[:, len(keys_f)] > 0.5
+    out["grid"] = st["grid"]
+    boost = jnp.where(out["alive"], scale, 1.0)
+    out["w"] = out["w"] * boost
+    out["w0"] = out["w0"] * boost
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -427,6 +516,17 @@ def local_rays(key, n: int, light_pos, light_color, world: WorldConst,
             jnp.full((n,), c[0]), jnp.full((n,), c[1]), jnp.full((n,), c[2]))
 
 
+def _auto_transmission(params: TraceParams, cobjs) -> TraceParams:
+    """Gate the transmission branch off when NO cobj is semi-transparent:
+    with every alpha == 1 the branch deposits exact zeros and always
+    takes the reflected path, so skipping it is bitwise identical — and
+    it halves the scatter-deposit count per bounce (the tracer's
+    measured bottleneck)."""
+    if params.transmission and not bool((np.asarray(cobjs.alpha) < 1.0).any()):
+        return params._replace(transmission=False)
+    return params
+
+
 def compute_sky_lighting(grid, cobjs, mesh, num_rays: int, seed: int = 0,
                          params: TraceParams = TraceParams(),
                          world: WorldConst = DEFAULT_WORLD,
@@ -440,6 +540,7 @@ def compute_sky_lighting(grid, cobjs, mesh, num_rays: int, seed: int = 0,
     ratio is scale-invariant) and incremental cobj-accum deltas compose
     linearly on it; call `normalize_sky` only where mean colors are
     explicitly wanted."""
+    params = _auto_transmission(params, cobjs)
     nb = -(-num_rays // batch)
     for i in range(nb):
         k = w3d_rng.key(seed, 0x5C1, i)
@@ -457,6 +558,7 @@ def compute_local_lighting(grid, cobjs, mesh, lights, rays_per_light: int,
                            world: WorldConst = DEFAULT_WORLD,
                            land_color=None, snow_depth=None):
     """LIGHTING_LOCAL: one batch per configured light source."""
+    params = _auto_transmission(params, cobjs)
     for li, (pos, color) in enumerate(lights):
         k = w3d_rng.key(seed, 0x10CA1, li)
         rays = local_rays(jax.random.fold_in(k, 1), rays_per_light, pos, color,
@@ -549,6 +651,7 @@ def compute_scene_lighting(grid, cobjs, mesh, light_specs, rays_per_light: int,
     """LIGHTING_LOCAL over the scene-DSL light list (SceneParse.lights +
     .cube_lights): the end-to-end path from 'L'/'V'/'U' commands to the
     lighting volume."""
+    params = _auto_transmission(params, cobjs)
     for li, spec in enumerate(light_specs):
         if getattr(spec, "kind", "diffuse") == "ambient":
             continue   # ambient lights tint the base lmap, not ray-traced

@@ -57,10 +57,38 @@ def main():
         _force(g)
     dt = (time.perf_counter() - t0) / reps
     rays_s = n / dt
-    print(f"sky tracer: {rays_s/1e6:.1f} M rays/s "
+    print(f"sky tracer: {rays_s/1e6:.2f} M rays/s "
           f"({n/1e6:.1f}M rays in {dt*1e3:.0f} ms)")
     print(f"reference spheres budget (20M local + 1M global rays) at this "
           f"rate: {21e6/rays_s:.2f} s")
+
+    # Production tracer configuration, same estimator in expectation
+    # (docs/DESIGN.md "deposit roofline"):
+    # - compact: Russian-roulette population control — dead rays leave
+    #   the array between bounces, so the serialized deposit scatter
+    #   (~6 ns/elem measured floor; masked elements cost FULL price)
+    #   only pays for live rays;
+    # - samples importance-placed on the in-volume segment range with
+    #   exact weight compensation — none wasted outside the lmap AABB,
+    #   so S0=8 lands MORE in-volume samples than unclipped S=16;
+    # - short later-bounce hops at S=4.
+    def run_c(seed):
+        return T.compute_sky_lighting(
+            grid, co, mesh, n, seed=seed, batch=1 << 17,
+            params=T.TraceParams(compact=True, samples_per_segment=8,
+                                 samples_later=4))
+    _force(run_c(1))
+    _force(run_c(2))
+    t0 = time.perf_counter()
+    for r in range(reps):
+        _force(run_c(30 + r))
+    dtc = (time.perf_counter() - t0) / reps
+    rays_sc = n / dtc
+    print(f"sky tracer (production: compact+clip): {rays_sc/1e6:.2f} M rays/s "
+          f"({n/1e6:.1f}M rays in {dtc*1e3:.0f} ms)")
+    print(f"reference spheres budget at production rate: "
+          f"{21e6/rays_sc:.2f} s/chip (shards linearly over chips via "
+          f"lighting/parallel.py psum merge)")
 
     # dense directional sweep (lighting/sweep.py): same direct+bounce
     # integral, no Monte Carlo — report the full-volume solve time

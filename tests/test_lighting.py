@@ -495,3 +495,39 @@ def test_global_sweep_sun_shadow():
         g2, _sweep_scene(), None, sun_dir=(0.4, 0.0, -1.0),
         world=W, bounce=True)
     assert float(np.asarray(g2.gv)[2, cy, sh]) > float(gv[2, cy, sh])
+
+
+def test_compact_tracer_unbiased():
+    """Russian-roulette population control (TraceParams.compact) keeps
+    the deposited volume statistically equal to the full-population
+    tracer: same total sky energy within MC tolerance, and bounce-0
+    (deterministic, pre-compaction) deposits land in the same cells."""
+    co = floor_scene()
+    grid1 = L.make_light_grid(W)
+    grid2 = L.make_light_grid(W)
+    g_full = T.compute_sky_lighting(grid1, co, MESH, 16384, seed=3,
+                                    params=T.TraceParams())
+    g_comp = T.compute_sky_lighting(grid2, co, MESH, 16384, seed=3,
+                                    params=T.TraceParams(compact=True))
+    e_full = float(jnp.sum(g_full.sv))
+    e_comp = float(jnp.sum(g_comp.sv))
+    assert e_full > 0
+    # same estimator in expectation; 16K rays -> a few percent MC noise
+    assert abs(e_comp - e_full) / e_full < 0.15, (e_full, e_comp)
+    # color energy tracks too
+    c_full = float(jnp.sum(g_full.sc_r + g_full.sc_g + g_full.sc_b))
+    c_comp = float(jnp.sum(g_comp.sc_r + g_comp.sc_g + g_comp.sc_b))
+    assert abs(c_comp - c_full) / max(c_full, 1e-9) < 0.15
+
+
+def test_auto_transmission_gate_bitwise():
+    """With no semi-transparent cobjs the transmission branch deposits
+    exact zeros, so the auto-gate must be bitwise invisible."""
+    co = floor_scene()           # all alpha == 1
+    assert not bool((np.asarray(co.alpha) < 1.0).any())
+    g1 = T.compute_sky_lighting(L.make_light_grid(W), co, MESH, 4096,
+                                seed=5, params=T.TraceParams(transmission=True))
+    g2 = T.compute_sky_lighting(L.make_light_grid(W), co, MESH, 4096,
+                                seed=5, params=T.TraceParams(transmission=False))
+    np.testing.assert_array_equal(np.asarray(g1.sv), np.asarray(g2.sv))
+    np.testing.assert_array_equal(np.asarray(g1.sc_r), np.asarray(g2.sc_r))
