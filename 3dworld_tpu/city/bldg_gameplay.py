@@ -117,6 +117,35 @@ _PROPS.update({
     RC.F_CELL_WALL:     (0.0, 0.0, False, False, 0.0),
     RC.F_TANK:          (3000.0, 900.0, False, False, 0.0),
     RC.F_CONV_BELT:     (2500.0, 700.0, False, False, 0.0),
+    # round-4 depth-pass kinds: restaurant/bar, datacenter, machine
+    # internals, shelf contents, basement pipe network
+    RC.F_STOOL:         (25.0, 12.0, True, False, 0.0),
+    RC.F_BAR:           (900.0, 500.0, False, False, 0.0),
+    RC.F_CASH_REG:      (250.0, 30.0, True, False, 0.0),
+    RC.F_WINE_RACK:     (300.0, 120.0, False, False, 0.0),
+    RC.F_MENU_BOARD:    (40.0, 10.0, False, False, 0.0),
+    RC.F_SERVER:        (1200.0, 25.0, True, False, 0.0),
+    RC.F_CABLE_TRAY:    (0.0, 0.0, False, False, 0.0),
+    RC.F_VENT_TILE:     (0.0, 0.0, False, False, 0.0),
+    RC.F_PDU:           (800.0, 90.0, False, False, 0.0),
+    RC.F_CRAC:          (5000.0, 400.0, False, False, 0.0),
+    RC.F_GAUGE:         (15.0, 1.0, False, False, 0.0),
+    RC.F_VALVE:         (20.0, 2.0, False, False, 0.0),
+    RC.F_HOSE:          (10.0, 3.0, False, False, 0.0),
+    RC.F_BREAKER_PANEL: (120.0, 40.0, False, False, 0.0),
+    RC.F_LADDER:        (80.0, 25.0, False, False, 0.0),
+    RC.F_CATWALK:       (0.0, 0.0, False, False, 0.0),
+    RC.F_PAINT_CAN:     (12.0, 10.0, True, False, 0.0),
+    RC.F_BALL:          (8.0, 1.0, True, False, 0.0),
+    RC.F_SPRAYCAN:      (4.0, 1.0, True, False, 0.0),
+    RC.F_TRASHCAN:      (15.0, 8.0, True, False, 0.0),
+    RC.F_FIRE_EXT:      (50.0, 15.0, True, False, 0.0),
+    RC.F_FLASHLIGHT:    (10.0, 1.0, True, False, 0.0),
+    RC.F_SEWER_PIPE:    (0.0, 0.0, False, False, 0.0),
+    RC.F_CW_PIPE:       (0.0, 0.0, False, False, 0.0),
+    RC.F_HW_PIPE:       (0.0, 0.0, False, False, 0.0),
+    RC.F_GAS_PIPE:      (0.0, 0.0, False, False, 0.0),
+    RC.F_PIPE_RISER:    (0.0, 0.0, False, False, 0.0),
 })
 MAX_CARRY_WEIGHT = 200.0  # lbs, reference player_inventory weight limit
 

@@ -22,7 +22,7 @@ from ..utils.rng import RandGen
  R_STORAGE, R_LIBRARY, R_RETAIL, R_SERVER, R_LAUNDRY, R_UTILITY,
  R_CONFERENCE, R_CLASSROOM, R_CAFETERIA, R_GAME, R_JAIL, R_HOSPITAL,
  R_FACTORY, R_DATACENTER, R_RESTAURANT, R_PARKING,
- R_OPERATING, R_WAITING, R_HOTEL, R_WAREHOUSE) = range(27)
+ R_OPERATING, R_WAITING, R_HOTEL, R_WAREHOUSE, R_BAR) = range(28)
 
 # furniture kinds
 (F_BED, F_TOILET, F_SINK, F_TUB, F_COUNTER, F_FRIDGE, F_STOVE, F_TABLE,
@@ -52,7 +52,20 @@ from ..utils.rng import RandGen
 # industrial kinds (building_machines.cpp): chem tanks and conveyor
 # belts in factory machine grids
 F_TANK, F_CONV_BELT = 69, 70
-NUM_FURNITURE_KINDS = 71
+# round-4 depth pass — restaurant/bar fittings (building_room_obj_place
+# dining/bar paths), datacenter fittings (server rows + cable trays),
+# machine internals (building_machines.cpp gauges/valves/breaker
+# panels), shelf/rack content variety (building_room_obj_expand.cpp
+# TYPE_PAINTCAN/TYPE_LG_BALL/TYPE_SPRAYCAN/TYPE_FLASHLIGHT/TYPE_FEXT),
+# and the basement pipe network types (building_basement.cpp:853-864
+# sewer / cold water / hot water / gas + vertical risers)
+(F_STOOL, F_BAR, F_CASH_REG, F_WINE_RACK, F_MENU_BOARD,
+ F_SERVER, F_CABLE_TRAY, F_VENT_TILE, F_PDU, F_CRAC,
+ F_GAUGE, F_VALVE, F_HOSE, F_BREAKER_PANEL, F_LADDER, F_CATWALK,
+ F_PAINT_CAN, F_BALL, F_SPRAYCAN, F_TRASHCAN, F_FIRE_EXT, F_FLASHLIGHT,
+ F_SEWER_PIPE, F_CW_PIPE, F_HW_PIPE, F_GAS_PIPE,
+ F_PIPE_RISER) = range(71, 98)
+NUM_FURNITURE_KINDS = 98
 
 # building types (building_defs.h:137 BTYPE_*; the subset with distinct
 # interior content models here)
@@ -78,10 +91,6 @@ _RECIPES = {
                    (F_WHITEBOARD, 1, True, 0.3, 0.02, 0.2), (F_TV, 1, True, 0.25, 0.05, 0.18)],
     R_GAME: [(F_POOL_TABLE, 1, False, 0.35, 0.2, 0.14), (F_COUCH, 1, True, 0.4, 0.16, 0.14),
              (F_TV, 1, True, 0.3, 0.06, 0.2)],
-    R_DATACENTER: [(F_SERVER_RACK_ROW, 6, False, 0.5, 0.12, 0.35),
-                   (F_DESK, 1, True, 0.2, 0.12, 0.14)],
-    R_RESTAURANT: [(F_BOOTH, 4, True, 0.25, 0.15, 0.12), (F_TABLE, 3, False, 0.15, 0.15, 0.12),
-                   (F_CHAIR, 6, False, 0.08, 0.08, 0.12), (F_COUNTER, 1, True, 0.35, 0.12, 0.18)],
 }
 
 
@@ -233,7 +242,7 @@ def assign_room_types(interior, rg: RandGen, is_office_bldg: bool = False,
             roll = rg.rand() % 16
             types.append({0: R_SERVER, 1: R_STORAGE, 2: R_CONFERENCE,
                           3: R_CLASSROOM, 4: R_CAFETERIA, 5: R_DATACENTER,
-                          6: R_RESTAURANT,
+                          6: R_RESTAURANT, 8: R_BAR,
                           7: R_HOSPITAL}.get(roll, R_OFFICE))
             continue
         if area < 0.02:
@@ -345,12 +354,22 @@ def _surface_items(out, pl, rg, ri, kind, idx, x, y, z_top, w, d, scale):
     elif kind == F_STOVE:
         on_top(F_PAN, 0.05, 0.05, 0.02, x + 0.25 * w, y + 0.25 * d)
     elif kind == F_RACK:
-        # retail/storage rack contents (building_room_obj_expand)
-        n = 2 + rg.rand() % 4
+        # retail/storage rack contents — the full expand variety
+        # (building_room_obj_expand.cpp get_shelf_objects: boxes,
+        # bottles, plates, paint cans, balls, spray cans, flashlights)
+        n = 2 + rg.rand() % 5
+        sizes = {F_BOX: (0.04, 0.04, 0.04), F_BOTTLE: (0.02, 0.02, 0.04),
+                 F_PLATE: (0.03, 0.03, 0.01),
+                 F_PAINT_CAN: (0.025, 0.025, 0.035),
+                 F_BALL: (0.03, 0.03, 0.03),
+                 F_SPRAYCAN: (0.015, 0.015, 0.04),
+                 F_FLASHLIGHT: (0.015, 0.04, 0.015)}
+        ks = list(sizes)
         for i in range(n):
-            k = (F_BOX, F_BOTTLE, F_PLATE)[rg.rand() % 3]
-            on_top(k, 0.04, 0.04, 0.04 if k == F_BOX else 0.02,
-                   x + (0.05 + 0.8 * i / n) * w, y + 0.25 * d)
+            k = ks[rg.rand() % len(ks)]
+            fw, fd, fz = sizes[k]
+            on_top(k, fw, fd, fz, x + (0.05 + 0.8 * i / n) * w,
+                   y + (0.1 + 0.5 * rg.randd()) * d)
     elif kind == F_NIGHTSTAND:
         on_top(F_LAVALAMP if rg.rand() % 4 == 0 else F_LAMP,
                0.04, 0.04, 0.08, x + 0.2 * w, y + 0.2 * d)
@@ -1069,6 +1088,8 @@ def _gen_factory(out, pl, rg, ri, room, z0, fh, scale):
                         z0 + min(0.9 * fh, 2.25 * 0.5 * m_u))
             else:
                 mi = out.add(ri, F_MACHINE, x1, y1, z0, x2, y2, z0 + mh)
+                _machine_internals(out, rg, ri, mi, x1, y1, x2, y2, z0,
+                                   mh, fh)
                 if rg.randd() < 0.5:    # connecting pipe up to the ceiling
                     cxp = 0.5 * (x1 + x2)
                     cyp = 0.5 * (y1 + y2)
@@ -1094,8 +1115,33 @@ def _gen_factory(out, pl, rg, ri, room, z0, fh, scale):
         p = pl.try_place(0.7 * fh, 0.5 * fh, True)
         if p:
             x, y, rot = p
-            out.add(ri, F_MACHINE, x, y, z0, x + 0.7 * fh, y + 0.5 * fh,
-                    z0 + 0.7 * fh, rot=rot)
+            mi = out.add(ri, F_MACHINE, x, y, z0, x + 0.7 * fh,
+                         y + 0.5 * fh, z0 + 0.7 * fh, rot=rot)
+            _machine_internals(out, rg, ri, mi, x, y, x + 0.7 * fh,
+                               y + 0.5 * fh, z0, 0.7 * fh, fh)
+    # breaker panel + wall ladder (building_machines.cpp / industrial
+    # wall details) and a catwalk spanning the machine rows
+    p = pl.try_place(0.25 * fh, 0.04 * fh, True)
+    if p:
+        x, y, rot = p
+        out.add(ri, F_BREAKER_PANEL, x, y, z0 + 0.35 * fh,
+                x + 0.25 * fh, y + 0.04 * fh, z0 + 0.7 * fh, rot=rot)
+    p = pl.try_place(0.12 * fh, 0.05 * fh, True)
+    if p:
+        x, y, rot = p
+        out.add(ri, F_LADDER, x, y, z0, x + 0.12 * fh, y + 0.05 * fh,
+                z0 + 0.9 * fh, rot=rot)
+    if nrows >= 2 and ncols >= 2:
+        # catwalk across the middle of the grid with railings
+        cw_v = 0.5 * (v1 + v2)
+        x1, y1, x2, y2 = mk(lo[dim] + 0.1 * fh, cw_v - 0.12 * fh,
+                            hi[dim] - 0.1 * fh, cw_v + 0.12 * fh)
+        ci = out.add(ri, F_CATWALK, x1, y1, z0 + 0.62 * fh, x2, y2,
+                     z0 + 0.66 * fh)
+        out.add(ri, F_RAILING, x1, y1, z0 + 0.66 * fh, x2,
+                y1 + 0.02 * fh, z0 + 0.82 * fh, parent=ci)
+        out.add(ri, F_RAILING, x1, y2 - 0.02 * fh, z0 + 0.66 * fh, x2,
+                y2, z0 + 0.82 * fh, parent=ci)
 
 
 def _gen_hotel_room(out, pl, rg, ri, room, z0, fh, scale):
@@ -1197,6 +1243,219 @@ def _gen_warehouse(out, pl, rg, ri, room, z0, fh, scale):
                     z0 + 0.35 * fh)
 
 
+def _gen_restaurant(out, pl, rg, ri, room, z0, fh, scale):
+    """Restaurant dining room (the reference's restaurant retail-space
+    path, building_room_obj_place.cpp dining/booth placement): booths
+    along the walls with tables between the benches, free-standing
+    dining tables with chairs and place settings, a service counter
+    with cash register and menu board, and a trashcan by the door."""
+    r = room
+    rw, rh = r.x2 - r.x1, r.y2 - r.y1
+    dim = 0 if rw >= rh else 1
+    lo, hi, mk = _axis_helpers(room, dim)
+    # booths along both long walls: bench | table | bench groups
+    bw = 0.55 * fh                       # booth group width along wall
+    bd = 0.42 * fh                       # depth into the room
+    n = max(int((hi[dim] - lo[dim] - fh) / (bw + 0.15 * fh)), 0)
+    for side in (0, 1):
+        v = (lo, hi)[side][1 - dim]
+        vs = 1.0 if side == 0 else -1.0
+        for i in range(n):
+            u = lo[dim] + 0.5 * fh + i * (bw + 0.15 * fh)
+            x1, y1, x2, y2 = mk(u, v, u + bw, v + vs * bd)
+            if pl.blocks_door(x1, y1, x2, y2) or pl.overlaps(x1, y1, x2, y2):
+                continue
+            pl.commit(x1, y1, x2, y2)
+            bi = out.add(ri, F_BOOTH, x1, y1, z0, x2, y2, z0 + 0.35 * fh)
+            # table slab between the benches, plates on it
+            tx1, ty1, tx2, ty2 = mk(u + 0.18 * bw, v + vs * 0.1 * bd,
+                                    u + 0.82 * bw, v + vs * 0.9 * bd)
+            ti = out.add(ri, F_TABLE, tx1, ty1, z0 + 0.18 * fh,
+                         tx2, ty2, z0 + 0.25 * fh, parent=bi)
+            for _ in range(1 + rg.rand() % 2):
+                px_ = tx1 + rg.randd() * max(tx2 - tx1 - 0.03, 0.01)
+                py_ = ty1 + rg.randd() * max(ty2 - ty1 - 0.03, 0.01)
+                out.add(ri, F_PLATE, px_, py_, z0 + 0.25 * fh,
+                        px_ + 0.03, py_ + 0.03, z0 + 0.255 * fh, parent=ti)
+    # center tables with chairs + settings
+    for _ in range(2 + rg.rand() % 3):
+        _gen_table_and_chairs(out, pl, rg, ri, room, z0, scale, 0.18, 4)
+    # service counter with register + menu board above it
+    p = pl.try_place(0.8 * fh, 0.25 * fh, True, tries=12)
+    if p:
+        x, y, rot = p
+        ci = out.add(ri, F_COUNTER, x, y, z0, x + 0.8 * fh, y + 0.25 * fh,
+                     z0 + 0.35 * fh, rot=rot)
+        out.add(ri, F_CASH_REG, x + 0.05 * fh, y + 0.05 * fh, z0 + 0.35 * fh,
+                x + 0.2 * fh, y + 0.2 * fh, z0 + 0.47 * fh, parent=ci)
+        out.add(ri, F_MENU_BOARD, x, y, z0 + 0.6 * fh,
+                x + 0.6 * fh, y + 0.02, z0 + 0.85 * fh)
+    p = pl.try_place(0.12 * fh, 0.12 * fh, True)
+    if p:
+        x, y, _ = p
+        out.add(ri, F_TRASHCAN, x, y, z0, x + 0.12 * fh, y + 0.12 * fh,
+                z0 + 0.3 * fh)
+
+
+def _gen_bar(out, pl, rg, ri, room, z0, fh, scale):
+    """Bar room (the reference's bar retail space): a long bar counter
+    with stool row in front and wine racks + bottle shelves behind, a
+    wall TV, a few booths, and sometimes a pool table."""
+    r = room
+    rw, rh = r.x2 - r.x1, r.y2 - r.y1
+    dim = 0 if rw >= rh else 1
+    lo, hi, mk = _axis_helpers(room, dim)
+    bar_len = min(hi[dim] - lo[dim] - fh, 2.2 * fh)
+    if bar_len > 0.6 * fh:
+        u = lo[dim] + 0.5 * fh
+        v = lo[1 - dim] + 0.35 * fh
+        x1, y1, x2, y2 = mk(u, v, u + bar_len, v + 0.22 * fh)
+        if not (pl.blocks_door(x1, y1, x2, y2)
+                or pl.overlaps(x1, y1, x2, y2)):
+            pl.commit(x1, y1, x2, y2)
+            bi = out.add(ri, F_BAR, x1, y1, z0, x2, y2, z0 + 0.38 * fh)
+            # bottles ON the bar
+            for _ in range(2 + rg.rand() % 3):
+                bx = x1 + rg.randd() * max(x2 - x1 - 0.03, 0.01)
+                by = y1 + rg.randd() * max(y2 - y1 - 0.03, 0.01)
+                out.add(ri, F_BOTTLE, bx, by, z0 + 0.38 * fh,
+                        bx + 0.02, by + 0.02, z0 + 0.45 * fh, parent=bi)
+            # stool row in FRONT of the bar
+            ns = max(int(bar_len / (0.25 * fh)), 1)
+            for i in range(ns):
+                su = u + (i + 0.5) * bar_len / ns
+                sx1, sy1, sx2, sy2 = mk(su - 0.05 * fh, v + 0.26 * fh,
+                                        su + 0.05 * fh, v + 0.36 * fh)
+                out.add(ri, F_STOOL, sx1, sy1, z0, sx2, sy2, z0 + 0.22 * fh)
+            # wine racks + back shelf BEHIND the bar (against the wall)
+            wx1, wy1, wx2, wy2 = mk(u, lo[1 - dim] + 0.02,
+                                    u + 0.5 * bar_len,
+                                    lo[1 - dim] + 0.12 * fh)
+            wi = out.add(ri, F_WINE_RACK, wx1, wy1, z0, wx2, wy2,
+                         z0 + 0.6 * fh)
+            for _ in range(3 + rg.rand() % 4):
+                bx = wx1 + rg.randd() * max(wx2 - wx1 - 0.02, 0.01)
+                bz = z0 + (0.1 + 0.4 * rg.randd()) * fh
+                out.add(ri, F_BOTTLE, bx, wy1, bz, bx + 0.02, wy2,
+                        bz + 0.06 * fh, parent=wi)
+    p = pl.try_place(0.3 * fh, 0.05 * fh, True)
+    if p:
+        x, y, rot = p
+        out.add(ri, F_TV, x, y, z0 + 0.55 * fh, x + 0.3 * fh,
+                y + 0.05 * fh, z0 + 0.8 * fh, rot=rot)
+    if rg.rand_bool():
+        p = pl.try_place(0.5 * fh, 0.3 * fh, False)
+        if p:
+            x, y, rot = p
+            out.add(ri, F_POOL_TABLE, x, y, z0, x + 0.5 * fh,
+                    y + 0.3 * fh, z0 + 0.22 * fh, rot=rot)
+    for _ in range(1 + rg.rand() % 2):
+        _gen_table_and_chairs(out, pl, rg, ri, room, z0, scale, 0.14, 2)
+
+
+def _gen_datacenter(out, pl, rg, ri, room, z0, fh, scale):
+    """Datacenter hall (the reference's datacenter sub-rooms,
+    building_room_obj_place.cpp server-row placement): hot/cold aisle
+    rack rows with individual servers racked in each row, overhead
+    cable trays running across the rows with per-row drops, vent tiles
+    in the cold aisles, a PDU at each row end, CRAC units against the
+    walls, and an operator desk."""
+    r = room
+    rw, rh = r.x2 - r.x1, r.y2 - r.y1
+    dim = 0 if rw >= rh else 1
+    lo, hi, mk = _axis_helpers(room, dim)
+    row_len = (hi[dim] - lo[dim]) - 1.2 * fh
+    if row_len < 0.8 * fh:
+        return
+    row_w, aisle = 0.3 * fh, 0.5 * fh
+    pitch = row_w + aisle
+    v1 = lo[1 - dim] + 0.5 * fh
+    v2 = hi[1 - dim] - 0.5 * fh
+    nrows = max(int((v2 - v1 + aisle) / pitch), 0)
+    u1 = lo[dim] + 0.6 * fh
+    rack_h = 0.7 * fh
+    rows_done = []
+    for k in range(nrows):
+        v = v1 + k * pitch
+        x1, y1, x2, y2 = mk(u1, v, u1 + row_len, v + row_w)
+        if pl.blocks_door(x1, y1, x2, y2) or pl.overlaps(x1, y1, x2, y2):
+            continue
+        pl.commit(x1, y1, x2, y2)
+        rk = out.add(ri, F_SERVER_RACK_ROW, x1, y1, z0, x2, y2, z0 + rack_h)
+        rows_done.append(v)
+        # individual servers racked along the row, 3 levels
+        nsrv = max(int(row_len / (0.22 * fh)), 1)
+        for lvl in range(3):
+            sz = z0 + (0.08 + 0.2 * lvl) * fh
+            for s in range(nsrv):
+                if rg.randd() < 0.2:
+                    continue        # empty slots
+                su = u1 + s * row_len / nsrv
+                sx1, sy1, sx2, sy2 = mk(su + 0.01, v + 0.03 * fh,
+                                        su + 0.18 * fh, v + row_w - 0.03 * fh)
+                out.add(ri, F_SERVER, sx1, sy1, sz, sx2, sy2,
+                        sz + 0.12 * fh, parent=rk)
+        # PDU at the row end
+        px1, py1, px2, py2 = mk(u1 + row_len + 0.02, v,
+                                u1 + row_len + 0.14 * fh, v + row_w)
+        if not pl.overlaps(px1, py1, px2, py2):
+            pl.commit(px1, py1, px2, py2)
+            out.add(ri, F_PDU, px1, py1, z0, px2, py2, z0 + 0.55 * fh)
+        # cold-aisle vent tiles in front of the row
+        nv = max(int(row_len / (0.4 * fh)), 1)
+        for t in range(nv):
+            tu = u1 + (t + 0.25) * row_len / nv
+            tx1, ty1, tx2, ty2 = mk(tu, v - 0.3 * aisle,
+                                    tu + 0.2 * fh, v - 0.05 * aisle)
+            out.add(ri, F_VENT_TILE, tx1, ty1, z0, tx2, ty2, z0 + 0.004)
+    # overhead cable trays run PERPENDICULAR to the rows, with a drop
+    # to each row they cross (building datacenter cable routing)
+    if rows_done:
+        tr = 0.05 * fh
+        for frac in (0.3, 0.7):
+            u = lo[dim] + frac * (hi[dim] - lo[dim])
+            x1, y1, x2, y2 = mk(u - tr, v1 - aisle, u + tr,
+                                rows_done[-1] + row_w + 0.2 * fh)
+            ti = out.add(ri, F_CABLE_TRAY, x1, y1, z0 + 0.88 * fh,
+                         x2, y2, z0 + 0.92 * fh)
+            for v in rows_done:
+                dx1, dy1, dx2, dy2 = mk(u - 0.02 * fh, v + 0.3 * row_w,
+                                        u + 0.02 * fh, v + 0.7 * row_w)
+                out.add(ri, F_HOSE, dx1, dy1, z0 + rack_h, dx2, dy2,
+                        z0 + 0.88 * fh, parent=ti)
+    # CRAC units against the walls + operator desk
+    for _ in range(2):
+        p = pl.try_place(0.45 * fh, 0.3 * fh, True)
+        if p:
+            x, y, rot = p
+            out.add(ri, F_CRAC, x, y, z0, x + 0.45 * fh, y + 0.3 * fh,
+                    z0 + 0.8 * fh, rot=rot)
+    p = pl.try_place(0.5 * fh, 0.3 * fh, True)
+    if p:
+        x, y, rot = p
+        di = out.add(ri, F_DESK, x, y, z0, x + 0.5 * fh, y + 0.3 * fh,
+                     z0 + 0.25 * fh, rot=rot)
+        _surface_items(out, pl, rg, ri, F_DESK, di, x, y, z0 + 0.25 * fh,
+                       0.5 * fh, 0.3 * fh, scale)
+
+
+def _machine_internals(out, rg, ri, mi, x1, y1, x2, y2, z0, mh, fh):
+    """Per-machine detail (building_machines.cpp:100-400 machine part
+    gen: gauges, valves, vents, connecting hoses): a gauge + valve on
+    the front face and sometimes a side vent."""
+    w = x2 - x1
+    d = y2 - y1
+    gx = x1 + 0.2 * w
+    out.add(ri, F_GAUGE, gx, y1 - 0.012 * fh, z0 + 0.6 * mh,
+            gx + 0.08 * w, y1, z0 + 0.6 * mh + 0.08 * w, parent=mi)
+    vx = x1 + 0.6 * w
+    out.add(ri, F_VALVE, vx, y1 - 0.02 * fh, z0 + 0.35 * mh,
+            vx + 0.1 * w, y1, z0 + 0.35 * mh + 0.1 * w, parent=mi)
+    if rg.rand_bool():
+        out.add(ri, F_DUCT, x2, y1 + 0.3 * d, z0 + 0.7 * mh,
+                x2 + 0.05 * fh, y1 + 0.6 * d, z0 + 0.85 * mh, parent=mi)
+
+
 def _hall_lockers(out, pl, rg, ri, room, z0, fh, scale):
     """School hallway lockers (building_school.cpp locker rows): banks
     of lockers along both long walls, skipping doorways."""
@@ -1230,6 +1489,8 @@ def _init_gens():
         R_CAFETERIA: _gen_cafeteria, R_WAITING: _gen_waiting,
         R_HOTEL: _gen_hotel_room, R_WAREHOUSE: _gen_warehouse,
         R_FACTORY: _gen_factory,
+        R_RESTAURANT: _gen_restaurant, R_BAR: _gen_bar,
+        R_DATACENTER: _gen_datacenter,
     })
 
 
@@ -1298,7 +1559,85 @@ def furnish_rooms(interior, floor_height: float, seed: int,
                               rot=rot)
                 _surface_items(out, pl, rg, ri, kind, idx, x, y, z0 + h,
                                w, d, scale)
+    add_basement_pipes(interior, out, fh, rg)
     return out
+
+
+def add_basement_pipes(interior, out: RoomObjects, fh: float,
+                       rg: RandGen) -> int:
+    """Basement utility pipe network (building_basement.cpp:853-864 +
+    building_pipes.cpp): every water fixture placed on the floors above
+    (toilets, sinks, tubs, washers) gets a vertical riser dropping into
+    the basement; risers join a main trunk run along the basement
+    ceiling through L-shaped branch segments, one parallel run per pipe
+    type — sewer (largest), cold water, hot water, gas — and the trunk
+    exits through an exterior wall.  Returns the number of pipe objects
+    added (0 when the interior has no basement)."""
+    basement = None
+    b_ri = -1
+    for ri, room in enumerate(interior.rooms):
+        if room.floor < 0:
+            basement = room
+            b_ri = ri
+            break
+    if basement is None:
+        return 0
+    z1 = getattr(interior, "z1", 0.0)
+    ceil_z = z1                        # basement ceiling = ground floor
+    # fixture connection points (get_pipe_basement_water_connections)
+    water_kinds = {F_TOILET, F_SINK, F_TUB, F_WASHER}
+    gas_kinds = {F_STOVE, F_FURNACE, F_WATER_HEATER, F_DRYER}
+    conns = []
+    for i, k in enumerate(out.kinds):
+        if k in water_kinds or k in gas_kinds:
+            (x1, y1, _zz1, x2, y2, _zz2) = out.cubes[i]
+            cx = 0.5 * (x1 + x2)
+            cy = 0.5 * (y1 + y2)
+            if basement.x1 < cx < basement.x2 and \
+                    basement.y1 < cy < basement.y2:
+                conns.append((cx, cy, k in gas_kinds))
+    if not conns:
+        return 0
+    n0 = len(out.cubes)
+    # pipe types: (kind, radius in fh units, z offset below ceiling)
+    # sewer is the largest and lowest (add_basement_pipes order)
+    ptypes = ((F_SEWER_PIPE, 0.035, 0.10), (F_CW_PIPE, 0.018, 0.16),
+              (F_HW_PIPE, 0.015, 0.20), (F_GAS_PIPE, 0.012, 0.24))
+    rw = basement.x2 - basement.x1
+    rh = basement.y2 - basement.y1
+    long_x = rw >= rh
+    for (kind, prf, zoff) in ptypes:
+        pr = prf * fh
+        zc = ceil_z - zoff * fh
+        gas = kind == F_GAS_PIPE
+        pts = [(cx, cy) for (cx, cy, g) in conns if g == gas]
+        if not pts:
+            continue
+        # trunk along the long axis through the mean lateral position
+        lat = sum((p[1] if long_x else p[0]) for p in pts) / len(pts)
+        lat += (rg.randd() - 0.5) * 0.1 * (rh if long_x else rw)
+        if long_x:
+            lat = min(max(lat, basement.y1 + 2 * pr), basement.y2 - 2 * pr)
+            # trunk exits through the -x wall (main sewer line exit)
+            out.add(b_ri, kind, basement.x1 - 0.05 * fh, lat - pr, zc - pr,
+                    basement.x2 - 0.2 * rw * rg.randd(), lat + pr, zc + pr)
+        else:
+            lat = min(max(lat, basement.x1 + 2 * pr), basement.x2 - 2 * pr)
+            out.add(b_ri, kind, lat - pr, basement.y1 - 0.05 * fh, zc - pr,
+                    lat + pr, basement.y2 - 0.2 * rh * rg.randd(), zc + pr)
+        ti = len(out.cubes) - 1
+        for (cx, cy) in pts:
+            # vertical riser from the ceiling down to the pipe level
+            out.add(b_ri, F_PIPE_RISER, cx - pr, cy - pr, zc,
+                    cx + pr, cy + pr, ceil_z, parent=ti)
+            # L-branch from the riser to the trunk
+            if long_x:
+                out.add(b_ri, kind, cx - pr, min(cy, lat), zc - pr,
+                        cx + pr, max(cy, lat), zc + pr, parent=ti)
+            else:
+                out.add(b_ri, kind, min(cx, lat), cy - pr, zc - pr,
+                        max(cx, lat), cy + pr, zc + pr, parent=ti)
+    return len(out.cubes) - n0
 
 
 def furnish_buildings(buildings, params, seed: int = 1):

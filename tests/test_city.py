@@ -1437,3 +1437,130 @@ def test_mall_stores_reachable_by_people():
     stores = [ri for ri in range(len(i.rooms)) if ri not in halls]
     connected = sum(1 for ri in stores if g.adj[ri])
     assert connected >= 0.8 * len(stores), (connected, len(stores))
+
+
+def test_restaurant_bar_datacenter_composites():
+    """Round-4 depth pass: restaurant (booths with tables + plates,
+    service counter with register + menu board), bar (bar counter,
+    stools in front, wine rack with bottles behind), datacenter (rack
+    rows with racked servers, overhead cable trays with drops, vent
+    tiles, PDUs, CRAC units)."""
+    import numpy as np
+    from w3d.city import floorplan as CF, room_content as RC
+    i = CF.gen_interior((0.0, 0.0, 0.0, 2.0, 1.6, 0.4), 2, 0.1, seed=5)
+    big = max(range(len(i.rooms)),
+              key=lambda ri: 0 if i.rooms[ri].is_hallway
+              else i.rooms[ri].area)
+    room = i.rooms[big]
+
+    def run(gen):
+        objs = RC.RoomObjects()
+        rg = RC.RandGen(7, 9)
+        objs.room_types = [RC.R_HALL] * len(i.rooms)
+        pl = RC._Placer(rg, room, [], 0.05)
+        gen(objs, pl, rg, big, room, 0.0, 0.1, 0.5)
+        return np.asarray(objs.kinds), objs
+
+    k, objs = run(RC._gen_restaurant)
+    assert (k == RC.F_BOOTH).sum() >= 2
+    assert (k == RC.F_PLATE).sum() >= 1
+    assert (k == RC.F_CASH_REG).sum() == 1
+    assert (k == RC.F_MENU_BOARD).sum() == 1
+    # booth tables are parented to their booth
+    ti = [j for j in range(len(k)) if k[j] == RC.F_TABLE
+          and objs.parent[j] >= 0]
+    assert ti and all(objs.kinds[objs.parent[j]] == RC.F_BOOTH for j in ti)
+
+    k, objs = run(RC._gen_bar)
+    assert (k == RC.F_BAR).sum() == 1
+    assert (k == RC.F_STOOL).sum() >= 3
+    assert (k == RC.F_WINE_RACK).sum() == 1
+    assert (k == RC.F_BOTTLE).sum() >= 3
+
+    k, objs = run(RC._gen_datacenter)
+    nrows = (k == RC.F_SERVER_RACK_ROW).sum()
+    assert nrows >= 2
+    assert (k == RC.F_SERVER).sum() >= 3 * nrows     # racked servers
+    assert (k == RC.F_CABLE_TRAY).sum() == 2
+    assert (k == RC.F_VENT_TILE).sum() >= nrows
+    assert (k == RC.F_PDU).sum() >= 1
+    assert (k == RC.F_CRAC).sum() >= 1
+    # servers are parented to rack rows
+    si = [j for j in range(len(k)) if k[j] == RC.F_SERVER]
+    assert all(objs.kinds[objs.parent[j]] == RC.F_SERVER_RACK_ROW
+               for j in si)
+
+
+def test_machine_internals_and_catwalk():
+    """Factory machines carry nested gauges/valves (building_machines
+    part gen) and big floors get a railed catwalk + breaker panel."""
+    import numpy as np
+    from w3d.city import floorplan as CF, room_content as RC
+    i = CF.gen_interior((0.0, 0.0, 0.0, 2.0, 1.6, 0.4), 2, 0.1, seed=5)
+    big = max(range(len(i.rooms)),
+              key=lambda ri: 0 if i.rooms[ri].is_hallway
+              else i.rooms[ri].area)
+    room = i.rooms[big]
+    objs = RC.RoomObjects()
+    rg = RC.RandGen(7, 9)
+    objs.room_types = [RC.R_HALL] * len(i.rooms)
+    pl = RC._Placer(rg, room, [], 0.05)
+    RC._gen_factory(objs, pl, rg, big, room, 0.0, 0.1, 0.5)
+    k = np.asarray(objs.kinds)
+    n_mach = int((k == RC.F_MACHINE).sum())
+    assert (k == RC.F_GAUGE).sum() == n_mach     # one gauge per machine
+    assert (k == RC.F_VALVE).sum() == n_mach
+    gi = [j for j in range(len(k)) if k[j] == RC.F_GAUGE]
+    assert all(objs.kinds[objs.parent[j]] == RC.F_MACHINE for j in gi)
+    assert (k == RC.F_BREAKER_PANEL).sum() <= 1
+    if (k == RC.F_CATWALK).sum():
+        assert (k == RC.F_RAILING).sum() >= 2    # railed both sides
+
+
+def test_basement_pipe_network():
+    """Basement pipe network (building_basement.cpp:853-864 +
+    building_pipes.cpp): fixtures above get risers joining per-type
+    trunk runs (sewer/cold/hot/gas) under the basement ceiling."""
+    import numpy as np
+    from w3d.city import floorplan as CF, room_content as RC
+    i = CF.gen_interior((0.0, 0.0, 0.0, 0.6, 0.45, 0.4), 3, 0.08, seed=5,
+                        has_basement=True)
+    assert any(r.floor < 0 for r in i.rooms)
+    objs = RC.furnish_rooms(i, 0.08, seed=5)
+    k = np.asarray(objs.kinds)
+    # the house has bathrooms/kitchen -> water fixtures -> pipes exist
+    n_sewer = int((k == RC.F_SEWER_PIPE).sum())
+    n_cw = int((k == RC.F_CW_PIPE).sum())
+    n_risers = int((k == RC.F_PIPE_RISER).sum())
+    assert n_sewer >= 2, "trunk + at least one branch"
+    assert n_cw >= 2
+    assert n_risers >= 2
+    # pipes live in the basement room and hug its ceiling (z just
+    # below the ground-floor slab at z=0)
+    for j in range(len(k)):
+        if objs.kinds[j] in (RC.F_SEWER_PIPE, RC.F_CW_PIPE, RC.F_HW_PIPE,
+                             RC.F_GAS_PIPE):
+            assert i.rooms[objs.rooms[j]].floor < 0
+            (x1, y1, z1, x2, y2, z2) = objs.cubes[j]
+            assert -0.04 < z1 < z2 <= 0.0 + 1e-6
+    # risers are parented to their trunk pipe
+    ri_ = [j for j in range(len(k)) if k[j] == RC.F_PIPE_RISER]
+    assert all(objs.parent[j] >= 0 for j in ri_)
+
+
+def test_rack_content_variety():
+    """Shelf-rack expand variety (building_room_obj_expand.cpp
+    get_shelf_objects): racks stock paint cans, balls, spray cans and
+    flashlights in addition to boxes/bottles/plates."""
+    import numpy as np
+    from w3d.city import floorplan as CF, room_content as RC
+    seen = set()
+    for seed in range(8):
+        i = CF.gen_interior((0.0, 0.0, 0.0, 0.6, 0.45, 0.4), 4, 0.08,
+                            seed=seed)
+        objs = RC.furnish_rooms(i, 0.08, seed, is_office_bldg=True)
+        for j, kk in enumerate(objs.kinds):
+            if objs.parent[j] >= 0 and \
+                    objs.kinds[objs.parent[j]] == RC.F_RACK:
+                seen.add(kk)
+    assert len(seen) >= 5, f"rack contents too uniform: {seen}"
