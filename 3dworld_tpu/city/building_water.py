@@ -114,6 +114,131 @@ def float_room_objects(objs, bw: BasementWater, interior=None):
     return out, floated
 
 
+MAX_SPLASHES = 40          # building_water.cpp:10
+TICKS_PER_SECOND = 40.0
+SPLASH_MIN_HEIGHT = 0.0005  # removal threshold (building_water.cpp:78)
+
+
+@dataclass
+class Splash:
+    x: float
+    y: float
+    radius: float
+    height: float
+    bounds: tuple              # (x1, y1, x2, y2) wall-clipped extent
+
+
+class SplashManager:
+    """Water-surface splash rings (building_splash_manager_t,
+    building_water.cpp:30-96): splashes expand volume-preservingly and
+    decay; a new splash near the previous one merges (height added
+    scaled by area ratio); the set is capped at MAX_SPLASHES by
+    evicting the lowest splash."""
+
+    def __init__(self):
+        self.splashes: list[Splash] = []
+        self.time = 0.0
+
+    def add_splash(self, x, y, radius, height, bounds):
+        if self.splashes:
+            prev = self.splashes[-1]
+            if (x - prev.x) ** 2 + (y - prev.y) ** 2 < (0.25 * radius) ** 2 \
+                    and prev.radius < 2.0 * radius:
+                # merge: add volumes (height scaled by area ratio)
+                prev.height += height * (radius * radius
+                                         / (prev.radius * prev.radius))
+                prev.bounds = (min(prev.bounds[0], bounds[0]),
+                               min(prev.bounds[1], bounds[1]),
+                               max(prev.bounds[2], bounds[2]),
+                               max(prev.bounds[3], bounds[3]))
+                return
+        self.splashes.append(Splash(x, y, radius, height, tuple(bounds)))
+        if len(self.splashes) > MAX_SPLASHES:
+            low = min(range(len(self.splashes)),
+                      key=lambda i: self.splashes[i].height)
+            self.splashes.pop(low)
+
+    def next_frame(self, ref_dist: float, fticks: float = 1.0,
+                   is_pool: bool = False):
+        """Expand + decay every splash (building_water.cpp:64-79):
+        radius grows 0.25*ref_dist per second (fticks clamped to 100ms),
+        height falls volume-preservingly (damped 0.25+0.75x in pools)."""
+        if not self.splashes:
+            return
+        self.time += fticks
+        if self.time > 600 * TICKS_PER_SECOND:
+            self.time = 0.0
+        timestep = min(fticks, 4.0) / TICKS_PER_SECOND
+        exp_dist = 0.25 * ref_dist * timestep
+        for s in self.splashes:
+            prev_area = s.radius * s.radius
+            s.radius += exp_dist
+            hc = prev_area / (s.radius * s.radius)
+            if is_pool:
+                hc = 0.25 + 0.75 * hc
+            s.height *= hc
+        self.splashes = [s for s in self.splashes
+                         if s.height >= SPLASH_MIN_HEIGHT]
+
+
+def calc_splash_bounds(interior, x, y, num_rays: int = 90):
+    """Wall-clipped splash propagation extent
+    (building_t::calc_splash_bounds, building_water.cpp:139-166): cast
+    NUM_RAYS 2D rays from the splash point, clip each against the
+    interior wall segments and the basement footprint, and return the
+    union bounding box — a splash in one room doesn't ring through
+    walls, it spreads through doorways with the water."""
+    walls = np.asarray(getattr(interior, "walls", ()) or
+                       np.zeros((0, 6), np.float32), np.float32)
+    bx1 = min((r.x1 for r in interior.rooms), default=x)
+    by1 = min((r.y1 for r in interior.rooms), default=y)
+    bx2 = max((r.x2 for r in interior.rooms), default=x)
+    by2 = max((r.y2 for r in interior.rooms), default=y)
+    ray_len = (bx2 - bx1) ** 2 + (by2 - by1) ** 2
+    ang = 2.0 * np.pi * np.arange(num_rays) / num_rays
+    dx = np.sin(ang)
+    dy = np.cos(ang)
+    # clip to the footprint first (get_line_clip_xy)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tx = np.where(dx > 0, (bx2 - x) / dx,
+                      np.where(dx < 0, (bx1 - x) / dx, ray_len))
+        ty = np.where(dy > 0, (by2 - y) / dy,
+                      np.where(dy < 0, (by1 - y) / dy, ray_len))
+    t = np.minimum(np.minimum(tx, ty), ray_len)
+    # clip against each wall's xy rectangle (clip_ray_to_walls)
+    for (wx1, wy1, _z1, wx2, wy2, _z2) in walls:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv_dx = np.where(np.abs(dx) < 1e-12, 1e12 * np.sign(dx + 1e-30), 1.0 / dx)
+            inv_dy = np.where(np.abs(dy) < 1e-12, 1e12 * np.sign(dy + 1e-30), 1.0 / dy)
+            t1x = (wx1 - x) * inv_dx
+            t2x = (wx2 - x) * inv_dx
+            t1y = (wy1 - y) * inv_dy
+            t2y = (wy2 - y) * inv_dy
+        tmin = np.maximum(np.minimum(t1x, t2x), np.minimum(t1y, t2y))
+        tmax = np.minimum(np.maximum(t1x, t2x), np.maximum(t1y, t2y))
+        hit = (tmin < tmax) & (tmax > 0) & (tmin > 0)
+        t = np.where(hit, np.minimum(t, tmin), t)
+    ex = x + t * dx
+    ey = y + t * dy
+    return (float(ex.min()), float(ey.min()), float(ex.max()), float(ey.max()))
+
+
+def check_for_water_splash(interior, bw: BasementWater, sm: SplashManager,
+                           x: float, y: float, z: float,
+                           size: float = 1.0, radius: float = 0.02):
+    """Register a splash when the point is in the water volume
+    (building_t::check_for_water_splash, building_water.cpp:124-138).
+    Returns True when a splash was added (callers use it to alert
+    zombies via the building sound system, register_building_sound)."""
+    if not bw.is_underwater(z) and abs(z - bw.water_z) > 0.05:
+        return False
+    if bw.level <= 1e-6:
+        return False
+    bounds = calc_splash_bounds(interior, x, y)
+    sm.add_splash(x, y, radius, size, bounds)
+    return True
+
+
 def room_fill_geometry(interior, bw: BasementWater):
     """Water-surface volumes per flooded basement room: (x1,y1,z1,
     x2,y2,z2) cubes clipped to each room's footprint and the water level

@@ -84,12 +84,19 @@ class BuildingIndirManager:
 
     world: WorldConst = DEFAULT_WORLD
     rays_per_light: int = 1024
+    slice_rays: int = 0        # rays per process_one call (0 = all at
+    # once).  With a slice budget, a light's volume builds up
+    # incrementally across calls — the reference's background thread
+    # merges partial ray blocks the same way, so gameplay sees each
+    # light's contribution fade in rather than pop
+    # (building_lighting.cpp:1040 block loop + update merge)
     params: TR.TraceParams = TR.TraceParams(max_bounces=3,
                                             samples_per_segment=8,
                                             mesh_steps=8)
     lights: dict = field(default_factory=dict)    # ix -> (pos, color)
     enabled: dict = field(default_factory=dict)   # ix -> bool
     volumes: dict = field(default_factory=dict)   # ix -> LightGrid
+    remaining: dict = field(default_factory=dict)  # ix -> rays left
     queue: deque = field(default_factory=deque)
 
     def register_light(self, ix: int, pos, color, enabled: bool = True):
@@ -101,11 +108,20 @@ class BuildingIndirManager:
         self.enabled[ix] = enabled
         if changed or ix not in self.volumes:
             self.volumes.pop(ix, None)
+            self.remaining[ix] = self.rays_per_light
             self.enqueue(ix)
 
     def enqueue(self, ix: int):
         if ix not in self.queue:
             self.queue.append(ix)
+
+    def prioritize(self, ix: int):
+        """Front-queue one light — the reference traces the player's
+        CURRENT room light before the backlog (cur_light handling,
+        building_lighting.cpp:900+)."""
+        if ix in self.queue:
+            self.queue.remove(ix)
+        self.queue.appendleft(ix)
 
     def set_enabled(self, ix: int, enabled: bool):
         """Toggling costs nothing — the cached volume just joins/leaves
@@ -117,8 +133,10 @@ class BuildingIndirManager:
         return len(self.queue)
 
     def process_one(self, cobjs, mesh, seed: int = 0) -> int | None:
-        """Trace the next queued light into its own volume; returns the
-        light ix processed (None if idle)."""
+        """Trace the next queued light's next ray slice, ACCUMULATING
+        into its cached volume; a light with budget left re-enqueues so
+        big bakes interleave (incremental background merge).  Returns
+        the light ix processed (None if idle)."""
         while self.queue:
             ix = self.queue.popleft()
             if ix in self.lights:
@@ -126,14 +144,26 @@ class BuildingIndirManager:
         else:
             return None
         pos, color = self.lights[ix]
-        key = jax.random.key(seed * 7919 + ix)
+        left = self.remaining.get(ix, self.rays_per_light)
+        n = min(self.slice_rays, left) if self.slice_rays else left
+        done_so_far = self.rays_per_light - left
+        key = jax.random.key(seed * 7919 + ix * 131 + done_so_far)
+        # every ray carries weight 1/rays_per_light exactly like the
+        # single-shot bake (ray_weight/n with ray_weight = n/R), so the
+        # slices sum to the full bake in expectation
         ox, oy, oz, dx, dy, dz, w, cr, cg, cb = TR.local_rays(
-            key, self.rays_per_light, pos, color, self.world)
-        grid = L.make_light_grid(self.world)
+            key, n, pos, color, self.world,
+            ray_weight=float(n) / self.rays_per_light)
+        grid = self.volumes.get(ix)
+        if grid is None:
+            grid = L.make_light_grid(self.world)
         grid = TR.trace_batch(grid, cobjs, mesh, ox, oy, oz, dx, dy, dz,
                               w, cr, cg, cb, key, ltype=L.LIGHTING_LOCAL,
                               params=self.params, world=self.world)
         self.volumes[ix] = grid
+        self.remaining[ix] = left - n
+        if self.remaining[ix] > 0:
+            self.enqueue(ix)
         return ix
 
     @classmethod

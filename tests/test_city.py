@@ -1564,3 +1564,65 @@ def test_rack_content_variety():
                     objs.kinds[objs.parent[j]] == RC.F_RACK:
                 seen.add(kk)
     assert len(seen) >= 5, f"rack contents too uniform: {seen}"
+
+
+def test_splash_manager_and_bounds():
+    """Building water splashes (building_splash_manager_t,
+    building_water.cpp:30-96): merge-with-previous, MAX_SPLASHES cap
+    evicting the lowest, volume-preserving expand+decay, and
+    wall-clipped propagation bounds (calc_splash_bounds :139-166)."""
+    import numpy as np
+    from w3d.city import floorplan as CF, building_water as BW
+    sm = BW.SplashManager()
+    bounds = (0.0, 0.0, 1.0, 1.0)
+    sm.add_splash(0.5, 0.5, 0.1, 1.0, bounds)
+    # nearby smaller splash merges into the previous one
+    sm.add_splash(0.51, 0.5, 0.1, 1.0, bounds)
+    assert len(sm.splashes) == 1
+    assert sm.splashes[0].height > 1.5          # volumes added
+    # cap: overflow evicts the LOWEST splash
+    for i in range(BW.MAX_SPLASHES + 5):
+        sm.add_splash(5.0 + i, 5.0, 0.05, 0.01 * (i + 1), bounds)
+    assert len(sm.splashes) <= BW.MAX_SPLASHES
+    # decay: expanding rings lose height volume-preservingly, and tiny
+    # splashes get culled
+    h0 = sm.splashes[0].height
+    r0 = sm.splashes[0].radius
+    for _ in range(200):
+        sm.next_frame(ref_dist=0.5, fticks=1.0)
+        if not sm.splashes:
+            break
+    assert not sm.splashes or sm.splashes[0].height < h0
+    if sm.splashes:
+        assert sm.splashes[0].radius > r0
+
+    # wall-clipped bounds: a splash in one room must not extend past a
+    # solid wall except through doorways
+    i = CF.gen_interior((0.0, 0.0, 0.0, 1.0, 0.8, 0.3), 2, 0.1, seed=3,
+                        has_basement=True)
+    r0_ = i.rooms[1] if len(i.rooms) > 1 else i.rooms[0]
+    cx = 0.5 * (r0_.x1 + r0_.x2)
+    cy = 0.5 * (r0_.y1 + r0_.y2)
+    b = BW.calc_splash_bounds(i, cx, cy)
+    assert b[0] <= cx <= b[2] and b[1] <= cy <= b[3]
+    # bounded by the building footprint
+    assert b[0] >= -0.01 and b[2] <= 1.01
+    assert b[1] >= -0.01 and b[3] <= 0.81
+
+
+def test_check_for_water_splash_gating():
+    """Splashes register only at/below the water surface
+    (point_in_water_area gate, building_water.cpp:124-138)."""
+    from w3d.city import floorplan as CF, building_water as BW
+    i = CF.gen_interior((0.0, 0.0, 0.0, 1.0, 0.8, 0.3), 2, 0.1, seed=3,
+                        has_basement=True)
+    bw = BW.BasementWater(floor_height=0.1, basement_z1=-0.1,
+                          num_levels=1, level=0.06)
+    sm = BW.SplashManager()
+    assert BW.check_for_water_splash(i, bw, sm, 0.5, 0.4, -0.05)
+    assert len(sm.splashes) == 1
+    # far above the surface: no splash
+    assert not BW.check_for_water_splash(i, bw, sm, 0.5, 0.4, 0.2)
+    # dry basement: no splash
+    dry = BW.BasementWater(floor_height=0.1, basement_z1=-0.1, level=0.0)
+    assert not BW.check_for_water_splash(i, dry, sm, 0.5, 0.4, -0.09)

@@ -531,3 +531,54 @@ def test_auto_transmission_gate_bitwise():
                                 seed=5, params=T.TraceParams(transmission=False))
     np.testing.assert_array_equal(np.asarray(g1.sv), np.asarray(g2.sv))
     np.testing.assert_array_equal(np.asarray(g1.sc_r), np.asarray(g2.sc_r))
+
+
+def test_indir_incremental_slices_match_single_shot():
+    """Sliced background bakes (slice_rays) accumulate to the same
+    expected volume as one full bake: the mean deposited energy per
+    light matches within MC tolerance, and partial progress is visible
+    between slices (incremental background merge,
+    building_lighting.cpp:1040)."""
+    from w3d.lighting import building_indir as BI
+    from w3d.city import floorplan as CF
+    interior = CF.gen_interior((0.0, 0.0, 0.0, 1.0, 0.8, 0.3), 3, 0.1,
+                               seed=3)
+    bbox = (0.0, 0.0, 0.0, 1.0, 0.8, 0.3)
+    full = BI.BuildingIndirManager.for_building(interior, bbox, res=16,
+                                                rays_per_light=2048)
+    # keep only one light for a clean comparison
+    keep = min(full.lights)
+    for ix in [i for i in full.lights if i != keep]:
+        full.lights.pop(ix)
+    full.queue.clear()
+    full.enqueue(keep)
+    full.remaining[keep] = full.rays_per_light
+    full.process_all(seed=1)
+    e_full = float(jnp.sum(full.volumes[keep].lc_r))
+
+    sliced = BI.BuildingIndirManager.for_building(interior, bbox, res=16,
+                                                  rays_per_light=2048)
+    sliced.slice_rays = 512
+    for ix in [i for i in sliced.lights if i != keep]:
+        sliced.lights.pop(ix)
+    sliced.queue.clear()
+    sliced.enqueue(keep)
+    sliced.remaining[keep] = sliced.rays_per_light
+    n1 = sliced.process_one(sliced.cobjs, sliced.mesh, seed=1)
+    assert n1 == keep
+    e_part = float(jnp.sum(sliced.volumes[keep].lc_r))
+    assert sliced.pending == 1          # re-enqueued with budget left
+    sliced.process_all(seed=1)
+    e_sliced = float(jnp.sum(sliced.volumes[keep].lc_r))
+    assert e_full > 0
+    assert 0 < e_part < 0.6 * e_sliced         # partial progress visible
+    assert abs(e_sliced - e_full) / e_full < 0.25, (e_sliced, e_full)
+
+
+def test_indir_prioritize_fronts_queue():
+    from w3d.lighting import building_indir as BI
+    mgr = BI.BuildingIndirManager()
+    for i in range(4):
+        mgr.register_light(i, (0.0, 0.0, float(i)), (1, 1, 1))
+    mgr.prioritize(3)
+    assert mgr.queue[0] == 3
