@@ -87,7 +87,8 @@ def run_tiled(frames: int, seed: int, chunk: int = 16):
                                seed=seed)
     objs = CRC.furnish_rooms(interior, 0.08, seed=seed)
     w = make_tiled_world(tm, cw, builders=[(interior, 48, objs)],
-                         seed=seed, chunk=chunk, num_birds=8)
+                         seed=seed, chunk=chunk, num_birds=8,
+                         num_trains=2)
     cam = 0.0
     i = 0
     while i < frames:

@@ -146,9 +146,11 @@ class CityState(NamedTuple):
     helis: CT.HeliState | None
     birds: CT.BirdState | None
     key: jax.Array
+    trains: CT.TrainState | None = None
 
 
-def _one_frame(cs: CityState, graph, nav, pads, perches) -> CityState:
+def _one_frame(cs: CityState, graph, nav, pads, perches,
+               rail=None) -> CityState:
     key, k1, k2, k3, k4 = jax.random.split(cs.key, 5)
     sl = CT.step_stoplights(cs.stoplights)
     cars = CT.step_cars(cs.cars, graph, k1, stoplights=sl)
@@ -159,6 +161,9 @@ def _one_frame(cs: CityState, graph, nav, pads, perches) -> CityState:
     birds = cs.birds
     if birds is not None:
         birds = CT.step_birds(birds, perches, k4)
+    trains = cs.trains
+    if trains is not None and rail is not None:
+        trains = CT.step_trains(trains, rail)
     people, elev = cs.people, cs.elev
     if people is not None:
         call_floor, has_call = elevator_calls_device(people,
@@ -166,19 +171,20 @@ def _one_frame(cs: CityState, graph, nav, pads, perches) -> CityState:
         elev = step_elevator_bank(elev, call_floor, has_call)
         people = CPE.step_people(people, elev.z)
     return CityState(stoplights=sl, cars=cars, peds=peds, people=people,
-                     elev=elev, helis=helis, birds=birds, key=key)
+                     elev=elev, helis=helis, birds=birds, key=key,
+                     trains=trains)
 
 
 @functools.partial(jax.jit, static_argnames=("frames",))
 def city_frames_chained(cs: CityState, graph: CT.RoadGraph,
                         nav: CT.PedNav, pads, perches,
-                        frames: int) -> CityState:
+                        frames: int, rail=None) -> CityState:
     """K city frames in ONE dispatch (lax.scan): the whole 3-thread
     reference city frame — traffic, crowds, building people, elevator
-    cars, helicopters, birds — chained on device."""
+    cars, helicopters, birds, trains — chained on device."""
 
     def body(c, _):
-        return _one_frame(c, graph, nav, pads, perches), None
+        return _one_frame(c, graph, nav, pads, perches, rail=rail), None
 
     out, _ = jax.lax.scan(body, cs, None, length=frames)
     return out

@@ -137,6 +137,7 @@ class TiledWorld:
     bldg: object = None          # city_step.MergedBuildingPeople
     pads: object = None          # [P, 3] heli pads (device)
     perches: object = None       # [P, 3] bird perches (device)
+    rail: object = None          # traffic.RailLine (trains ride it)
     chunk: int = 16
     frame: int = 0
     last_probe: object = None    # latest people_probe fetch (host numpy)
@@ -152,7 +153,7 @@ class TiledWorld:
         if self.city is not None:
             self.city = CS.city_frames_chained(
                 self.city, self.road_graph, self.ped_nav,
-                self.pads, self.perches, k)
+                self.pads, self.perches, k, rail=self.rail)
             if self.bldg is not None and self.city.people is not None:
                 # single packed fetch; reroute decisions + display stats
                 # both come from it (no per-field device pulls)
@@ -183,7 +184,8 @@ class TiledWorld:
 
 
 def make_tiled_world(tile_mgr, city_world=None, builders=(), seed: int = 0,
-                     chunk: int = 16, num_birds: int = 0) -> TiledWorld:
+                     chunk: int = 16, num_birds: int = 0,
+                     num_trains: int = 0) -> TiledWorld:
     """Assemble a TiledWorld from a `city.assemble.CityWorld` plus
     furnished interiors (`builders` = [(interior, n_people, room_objs)])."""
     from ..city import city_step as CS
@@ -198,17 +200,28 @@ def make_tiled_world(tile_mgr, city_world=None, builders=(), seed: int = 0,
     if num_birds > 0:
         perches = jnp.asarray(CT.bird_perches(None, city_world.buildings))
         birds = CT.make_birds(num_birds, np.asarray(perches), seed=seed)
+    rail = None
+    trains = None
+    if num_trains > 0 and city_world.net.blocks:
+        # rail line along the city's -y edge (railroad segments along
+        # the connector route, roads.cpp railroads)
+        xs = [b[0] for b in city_world.net.blocks] + \
+            [b[2] for b in city_world.net.blocks]
+        ys = [b[1] for b in city_world.net.blocks]
+        y = min(ys) - 1.0
+        rail = CT.gen_railroad([(min(xs), y), (max(xs), y)])
+        trains = CT.make_trains(num_trains, 1, seed=seed)
     cs = CS.CityState(
         stoplights=city_world.stoplights, cars=city_world.cars,
         peds=city_world.peds,
         people=bldg.people if bldg is not None else None,
         elev=bldg.elev if bldg is not None else CS.make_elevator_bank(1),
         helis=city_world.helis, birds=birds,
-        key=jax.random.key(seed))
+        key=jax.random.key(seed), trains=trains)
     return TiledWorld(tile_mgr=tile_mgr, road_graph=city_world.graph,
                       ped_nav=city_world.ped_nav, city=cs, bldg=bldg,
                       pads=city_world.helipads, perches=perches,
-                      chunk=chunk)
+                      rail=rail, chunk=chunk)
 
 
 # ---------------------------------------------------------------------------
