@@ -22,7 +22,7 @@ import numpy as np
 
 
 def run_ground(config: str, frames: int, num_objects: int,
-               chain: int = 8):
+               chain: int = 32):
     """Ground-mode loop.  Scenes without platforms chain `chain` frames
     per device dispatch (models.world.ground_frames_chained) so the live
     rate approaches the on-device rate instead of paying the relay
