@@ -137,9 +137,9 @@ def parse_city_models(path: str, include_objects: bool = True) -> dict:
                         toks[2:], is_heli, is_person, kind))
                 elif include_objects:
                     name = toks[1][:-len("_model")]
-                    out["objects"].setdefault(name, []).append(
-                        parse_city_model_tokens(toks[2:], False, False,
-                                                name))
+                    spec = parse_city_model_tokens(toks[2:], False, False,
+                                                   name)
+                    out["objects"].setdefault(name, []).append(spec)
             except (StopIteration, ValueError):
                 continue   # malformed row: nonfatal, like the reference
     return out
@@ -338,6 +338,68 @@ def city_instances(cars=None, graph=None, peds=None, helis=None,
                 transforms=_yaw_transforms(hx[sel], hy[sel], hz[sel],
                                            yaw[sel]),
                 color=color))
+    return out
+
+
+# furniture kind -> object-model name (the OBJ_MODEL_* binding of
+# building_obj_model_loader: room objects render as config-driven model
+# files; names match the `city <name>_model` rows of config_city.txt)
+def _room_model_names():
+    from . import room_content as RC
+    return {
+        RC.F_TOILET: "toilet", RC.F_SINK: "sink", RC.F_TUB: "tub",
+        RC.F_FRIDGE: "fridge", RC.F_STOVE: "stove",
+        RC.F_COUCH: "couch", RC.F_TV: "tv", RC.F_LAMP: "lamp",
+        RC.F_WASHER: "washer", RC.F_DRYER: "dryer",
+        RC.F_HANGER: "hanger", RC.F_CLOTHES: "clothing",
+        RC.F_HOSPITAL_BED: "hospital_bed",
+        RC.F_OPERATING_TABLE: "operating_table",
+        RC.F_CURTAIN: "hospital_curtain",
+        RC.F_POOL_TABLE: "pool_table",
+        RC.F_CEIL_LIGHT: "ceiling_fan",
+        RC.F_STOOL: "bar_stool", RC.F_CASH_REG: "cash_register",
+        RC.F_FIRE_EXT: "fire_ext", RC.F_PLANT: "plant",
+        RC.F_MACHINE: "ex_machine",
+    }
+
+
+def room_object_instances(objs, specs: dict | None = None,
+                          base_dir: str = ".", seed: int = 0,
+                          offset=(0.0, 0.0, 0.0)) -> list:
+    """InstanceSets for furnished room objects whose kinds bind to an
+    object model (building_obj_model_loader's OBJ_MODEL_* draw path):
+    one set per model name, transforms at each placed object's cube
+    with its facing rotation; kinds without a model row (or with no
+    parsed specs) keep their cube representation and are skipped here."""
+    from . import room_content as RC
+    specs = specs or {}
+    obj_specs = specs.get("objects", {})
+    names = _room_model_names()
+    by_name = {}
+    for j, kind in enumerate(objs.kinds):
+        name = names.get(kind)
+        if name is None or name not in obj_specs:
+            continue
+        by_name.setdefault(name, []).append(j)
+    out = []
+    rots = {0: 0.0, 1: 0.5 * np.pi, 2: np.pi, 3: 1.5 * np.pi}
+    for name, idxs in sorted(by_name.items()):
+        sp = obj_specs[name][0]
+        mesh = resolve_mesh(sp, base_dir)
+        x = np.empty(len(idxs), np.float32)
+        y = np.empty(len(idxs), np.float32)
+        z = np.empty(len(idxs), np.float32)
+        yaw = np.empty(len(idxs), np.float32)
+        for k, j in enumerate(idxs):
+            (x1, y1, z1, x2, y2, _z2) = objs.cubes[j]
+            x[k] = 0.5 * (x1 + x2) + offset[0]
+            y[k] = 0.5 * (y1 + y2) + offset[1]
+            z[k] = z1 + offset[2]
+            yaw[k] = rots.get(int(objs.rot[j]), 0.0)
+        out.append(InstanceSet(
+            kind=name, model_index=0, mesh=mesh,
+            transforms=_yaw_transforms(x, y, z, yaw),
+            color=(sp.custom_color if sp.fixed_color_id == -2 else None)))
     return out
 
 

@@ -132,3 +132,27 @@ def test_tiled_world_instances_end_to_end():
                                     base_dir=os.path.dirname(CITY_CFG))
     assert sum(s.transforms.shape[0] for s in sets if s.kind == "car") == 12
     assert sum(s.transforms.shape[0] for s in sets if s.kind == "ped") == 8
+
+
+def test_room_object_instances(specs):
+    """Furnished room objects bind to the shipped object-model rows
+    (building_obj_model_loader OBJ_MODEL_* path): toilets/sinks/stoves
+    etc. export as per-model InstanceSets at their placed cubes."""
+    from w3d.city import floorplan as CF, room_content as CRC
+    from w3d.city import model_instances as MI2
+    interior = CF.gen_interior((0.0, 0.0, 0.0, 0.6, 0.45, 0.4), 4, 0.08,
+                               seed=3)
+    objs = CRC.furnish_rooms(interior, 0.08, seed=3)
+    sets = MI2.room_object_instances(objs, specs=specs,
+                                     base_dir=os.path.dirname(CITY_CFG))
+    assert sets, "a furnished house binds at least one object model"
+    names = {s.kind for s in sets}
+    # houses always have bathrooms + kitchen fixtures
+    assert names & {"toilet", "sink", "stove", "fridge", "tub"}
+    total = sum(s.transforms.shape[0] for s in sets)
+    bound_kinds = set(MI2._room_model_names())
+    expect = sum(1 for k in objs.kinds if k in bound_kinds
+                 and MI2._room_model_names()[k] in specs["objects"])
+    assert total == expect
+    for s in sets:
+        assert np.isfinite(s.transforms).all()
