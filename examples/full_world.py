@@ -115,6 +115,26 @@ def main(out_dir="/tmp"):
     stats["traffic"] = {"cars": 32, "trains": trains,
                         "helipads": int(len(pads))}
 
+    # --- fused live city frame (one chained dispatch) + instanced
+    #     model export driven by the sim (round-4 path)
+    from w3d.city import city_step as CS
+    from w3d.city import model_instances as MIN
+    sl = TF.build_stoplights(net, seed=5)
+    nav = TF.build_ped_nav(net)
+    peds = TF.make_peds(64, net.blocks, seed=7)
+    cstate = CS.CityState(stoplights=sl, cars=cars, peds=peds,
+                          people=None, elev=CS.make_elevator_bank(1),
+                          helis=None, birds=None, key=jax.random.key(4))
+    cstate = CS.city_frames_chained(cstate, graph, nav, None, None, 16)
+    spec_path = "/root/reference/scene_config/config_city.txt"
+    specs = (MIN.parse_city_models(spec_path)
+             if os.path.exists(spec_path) else {})
+    inst = MIN.city_instances(cars=cstate.cars, graph=graph,
+                              peds=cstate.peds, specs=specs, seed=4)
+    stats["city_frame"] = {
+        "chained": 16, "instanced_models": len(inst),
+        "instances": int(sum(s.transforms.shape[0] for s in inst))}
+
     # --- vegetation on one tile
     from w3d.terrain import biomes as B
     tile_z = hm[:64, :64]
