@@ -42,6 +42,39 @@ class GroundScene:
     parse: SC.SceneParse = None
     platforms: PP.PlatformSet = None
     triggers: PP.TriggerSet = None
+    voxel: object = None        # VoxelGrid for voxel-landscape scenes
+
+
+def voxel_params_from_config(cfg):
+    """`voxel <param> <val>` sub-config rows -> VoxelParams
+    (voxel_params_t keyword block, 3DWorld.cpp voxel kwm)."""
+    from ..voxel import grid as VG
+    v = cfg.voxel
+
+    def num(k, d):
+        try:
+            return float(v[k])
+        except (KeyError, ValueError):
+            return d
+
+    return VG.VoxelParams(
+        xsize=int(num("xsize", 64)), ysize=int(num("ysize", 64)),
+        zsize=int(num("zsize", 32)),
+        num_blocks=int(num("num_blocks", 12)),
+        isolevel=num("isolevel", 0.0),
+        elasticity=num("elasticity", 0.5),
+        mag=num("mag", 1.0), freq=num("freq", 1.0),
+        atten_thresh=num("atten_thresh", 1.0),
+        z_gradient=num("z_gradient", 0.0),
+        radius_val=num("radius_val", 0.5),
+        invert=bool(int(num("invert", 0))),
+        normalize_to_1=bool(int(num("normalize_to_1", 1))),
+        make_closed_surface=bool(int(num("make_closed_surface", 1))),
+        remove_unconnected=int(num("remove_unconnected", 1)),
+        atten_at_edges=int(num("atten_at_edges", 0)),
+        atten_top_mode=int(num("atten_top_mode", 0)),
+        geom_rseed=int(num("geom_rseed", 123)),
+    )
 
 
 def load_scene(config_path: str, num_objects: int = 0,
@@ -74,6 +107,24 @@ def load_scene(config_path: str, num_objects: int = 0,
                 break
     if terrain is None:
         terrain = TM.gen_terrain(tcfg, world)
+
+    # voxel landscape (create_voxel_landscape, 3DWorld.cpp:2178 +
+    # gen_voxel_landscape): the procedural voxel terrain generates from
+    # the scene's `voxel` sub-config and its top surface fuses into the
+    # physics heightfield (the reference adds voxel cobjs; the ball/mesh
+    # interaction path here collides with the column-top surface —
+    # VoxelCollider serves exact triangle queries for gameplay/edits)
+    voxel = None
+    if cfg.create_voxel_landscape and cfg.voxel:
+        from ..voxel import grid as VG
+        vp = voxel_params_from_config(cfg)
+        voxel = VG.make_voxel_grid(vp, world)
+        vsurf = VG.top_surface(voxel, vp.isolevel,
+                               out_shape=terrain.mesh_height.shape)
+        fused = jnp.maximum(terrain.mesh_height,
+                            jnp.where(jnp.isfinite(vsurf), vsurf,
+                                      terrain.mesh_height))
+        terrain = terrain._replace(mesh_height=fused)
 
     # coll objects (resolved against the config dir + search dirs)
     cobjs = None
@@ -127,4 +178,5 @@ def load_scene(config_path: str, num_objects: int = 0,
         light_grid=LM.make_light_grid(world),
         sphere_mats=sphere_mats,
         parse=parse, platforms=platforms, triggers=triggers,
+        voxel=voxel,
     )

@@ -225,3 +225,32 @@ def make_voxel_grid(params: VoxelParams, world: WorldConst = DEFAULT_WORLD,
     if params.remove_unconnected:
         val = remove_unconnected(val, params.isolevel)
     return VoxelGrid(values=val, lo_pos=lo, vsz=vsz)
+
+
+def top_surface(grid: VoxelGrid, isolevel: float,
+                out_shape: tuple | None = None) -> jax.Array:
+    """Per-column top height of the solid region (solid = value <
+    isolevel, the voxel convention — higher values are more open).
+
+    Returns [ny, nx] world-z heights (-inf where a column has no solid
+    voxel); with `out_shape` the surface is resampled to (my, mx) by
+    nearest column — this is what fuses the voxel landscape into the
+    physics heightfield (voxel terrain cobjs collapse to their top
+    surface for the ball/mesh interaction path)."""
+    val = grid.values
+    nz = val.shape[0]
+    solid = val < isolevel
+    any_solid = jnp.any(solid, axis=0)
+    # highest solid layer per column
+    top_k = nz - 1 - jnp.argmax(solid[::-1], axis=0)
+    h = grid.lo_pos[2] + (top_k.astype(jnp.float32) + 1.0) * grid.vsz[2]
+    surf = jnp.where(any_solid, h, -jnp.inf)
+    if out_shape is not None and out_shape != surf.shape:
+        my, mx = out_shape
+        ny, nx = surf.shape
+        iy = jnp.clip(((jnp.arange(my) + 0.5) * ny / my - 0.5).astype(
+            jnp.int32), 0, ny - 1)
+        ix = jnp.clip(((jnp.arange(mx) + 0.5) * nx / mx - 0.5).astype(
+            jnp.int32), 0, nx - 1)
+        surf = surf[iy][:, ix]
+    return surf

@@ -124,6 +124,40 @@ def bench_physics(jax, pair_every: int = PHYS_PAIR_EVERY):
     return 1.0 / dt
 
 
+def bench_live_tiled(jax, chunk: int = 32, chunks: int = 6):
+    """Steady live tiled-city frame time (the app's own loop: tile
+    streaming + fused chained city dispatch + host reroute) — the
+    reference's city frame is 10 ms serial / 4.65 ms 3-thread
+    (display_world.cpp:1295-1309)."""
+    import numpy as np
+    from w3d.models.world import make_tiled_world
+    from w3d.terrain.tiles import TileManager
+    from w3d.terrain.mesh import TerrainConfig
+    from w3d.utils.constants import WorldConst
+    from w3d.city import assemble as CA
+    from w3d.city import floorplan as CF
+    from w3d.city import room_content as CRC
+
+    tm = TileManager(cfg=TerrainConfig(mesh_seed=1),
+                     world=WorldConst(mesh_x=64, mesh_y=64), tile_size=64)
+    cw = CA.build_city(np.zeros((128, 128), np.float32), num_cities=1,
+                       num_cars=64, num_peds=128, seed=1)
+    interior = CF.gen_interior((0.0, 0.0, 0.0, 1.2, 0.9, 0.4), 3, 0.08,
+                               seed=1)
+    objs = CRC.furnish_rooms(interior, 0.08, seed=1)
+    w = make_tiled_world(tm, cw, builders=[(interior, 48, objs)], seed=1,
+                         chunk=chunk, num_birds=8, num_trains=2)
+    cam = 0.0
+    times = []
+    for i in range(chunks):
+        t0 = time.perf_counter()
+        w.step_chunk(cam, 0.0, frames=chunk)
+        cam += 0.8 * chunk
+        times.append((time.perf_counter() - t0) / chunk)
+    times = sorted(times[2:])               # drop compile chunks
+    return times[len(times) // 2] * 1e3     # median ms/frame
+
+
 def _preflight(attempts: int = 6, per_wait: int = 300) -> bool:
     """The axon relay can wedge remotely (observed: a killed mid-compile
     client left the pool claim stuck for hours).  Probe with a tiny
@@ -165,6 +199,10 @@ def main():
     # conservative every-substep cadence reported alongside (VERDICT r3
     # item 8: keep exactness-vs-throughput visible)
     phys_every = bench_physics(jax, pair_every=1)
+    try:
+        live_tiled = round(bench_live_tiled(jax), 2)
+    except Exception:
+        live_tiled = None
     r_t = tiles / BASE_TILES_PER_SEC
     r_p = phys / BASE_PHYS_FPS
     combined = (r_t * r_p) ** 0.5
@@ -179,6 +217,7 @@ def main():
         "terrain_tiles_per_sec": round(tiles, 1),
         "physics_frames_per_sec_10k": round(phys, 1),
         "physics_fps_pair_every_1": round(phys_every, 1),
+        "live_tiled_city_ms_per_frame": live_tiled,
         "pair_cadence": f"exact banded pass every {PHYS_PAIR_EVERY} of "
                         f"{PHYS_SUBSTEPS} substeps (reference: once/frame)",
         "measured_cpu_tiles_per_sec": MEASURED_CPU_TILES_PER_SEC,

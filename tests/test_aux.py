@@ -18,6 +18,7 @@ from w3d.models.world import ground_frame
 W = WorldConst(mesh_x=64, mesh_y=64)
 
 
+@pytest.mark.slow
 def test_snow_lands_on_surfaces():
     mesh = jnp.zeros((64, 64))
     sp = SC.SceneParse()

@@ -183,6 +183,7 @@ def _glass_wall_scene(alpha):
     return SC.pack_cobjs(sp)
 
 
+@pytest.mark.slow
 def test_transmission_through_glass():
     """Light passes through an alpha<1 wall into the far half of the
     volume (ray_trace.cpp:407-458); an opaque wall blocks it."""
@@ -497,6 +498,7 @@ def test_global_sweep_sun_shadow():
     assert float(np.asarray(g2.gv)[2, cy, sh]) > float(gv[2, cy, sh])
 
 
+@pytest.mark.slow
 def test_compact_tracer_unbiased():
     """Russian-roulette population control (TraceParams.compact) keeps
     the deposited volume statistically equal to the full-population
@@ -533,6 +535,7 @@ def test_auto_transmission_gate_bitwise():
     np.testing.assert_array_equal(np.asarray(g1.sc_r), np.asarray(g2.sc_r))
 
 
+@pytest.mark.slow
 def test_indir_incremental_slices_match_single_shot():
     """Sliced background bakes (slice_rays) accumulate to the same
     expected volume as one full bake: the mean deposited energy per

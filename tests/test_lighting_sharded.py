@@ -60,6 +60,7 @@ def test_sharded_bake_deterministic(dev_mesh):
     np.testing.assert_array_equal(np.asarray(a.sc_r), np.asarray(b.sc_r))
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device_statistically(dev_mesh):
     """8 devices x N rays == 1 device x 8N rays in expectation: total
     deposited sky energy within MC tolerance."""
@@ -87,6 +88,7 @@ def test_sharded_global_bake(dev_mesh):
     assert gv.sum() > 0
 
 
+@pytest.mark.slow
 def test_sharded_bake_accumulates_onto_existing(dev_mesh):
     """Baking onto a non-zero grid adds the delta (the input contents
     must not be multiplied by the device count through the psum)."""

@@ -78,6 +78,7 @@ def test_museum_model_loads_into_cobjs(museum_dir):
     assert min(zs) >= 0.4                 # floor lifted by +0.5 tz
 
 
+@pytest.mark.slow
 def test_museum_scene_collides_and_traces(museum_dir):
     from w3d.physics import step as PS, types as PT
     from w3d.utils.constants import WorldConst

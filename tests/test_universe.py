@@ -101,10 +101,16 @@ def test_blast_and_weapons():
     st4 = GG.apply_blast(st3, 0.0, 0.0, 0.0, 1.0, 50000.0)
     assert int(st4.status[0]) == 1
     st5 = GG.fire_weapon(st, [5], GG.WEAPON_INDEX["rocket"], (0, 0, 1),
-                         (1, 0, 0), table)
+                         (1, 0, 0), table, key=7)
     assert int(st5.otype[5]) == PT.type_id("ROCKET")
-    # fire velocity = v_add + v_mult * |shooter_vel| (stationary: 3.1)
-    assert abs(float(st5.vx[5]) - 3.1) < 1e-4
+    # fire SPEED = v_add + v_mult * |shooter_vel| (stationary: 3.1); the
+    # direction carries the weapon's firing_error jitter (seeded by the
+    # global fire counter when no key is given), so only the magnitude
+    # is deterministic — asserting vx was order-dependent across the
+    # suite
+    speed = float(np.sqrt(st5.vx[5] ** 2 + st5.vy[5] ** 2
+                          + st5.vz[5] ** 2))
+    assert abs(speed - 3.1) < 1e-4
 
 
 def test_smiley_ai_seek_and_flee():

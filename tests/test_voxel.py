@@ -1,5 +1,6 @@
 """Voxel engine tests: 3D noise, grid pipeline, marching tets, brushes."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 import w3d
@@ -289,3 +290,35 @@ def test_marching_tets_lod_levels():
                     + (np.asarray(vy)[m] - 8) ** 2
                     + (np.asarray(vz)[m] - 8) ** 2)
         assert abs(r.mean() - 5.0) < 0.6
+
+
+@pytest.mark.slow
+def test_voxel_landscape_scene_loads_and_steps():
+    """config_voxels.txt (create_voxel_landscape): the voxel terrain
+    generates from the `voxel` sub-config, its top surface fuses into
+    the physics heightfield, and objects settle ON it."""
+    import numpy as np
+    from w3d.scene.loader import load_scene
+    from w3d.models.world import ground_frame
+    scene = load_scene("/root/reference/scene_config/config_voxels.txt",
+                       num_objects=64)
+    assert scene.voxel is not None
+    nz, ny, nx = scene.voxel.shape
+    assert (nx, ny, nz) == (512, 512, 64)      # shipped sub-config sizes
+    # the fused heightfield rises above the base terrain somewhere
+    hm = np.asarray(scene.terrain.mesh_height)
+    assert np.isfinite(hm).all()
+    for _ in range(12):
+        scene = ground_frame(scene, substeps=2, obj_collisions=False)
+    pz = np.asarray(scene.objects.pz)
+    st = np.asarray(scene.objects.status)
+    live = st > 0
+    assert live.any()
+    # nothing sinks below the voxel surface floor
+    from w3d.physics.step import sample_mesh
+    import jax.numpy as jnp
+    h, _, _, _ = sample_mesh(scene.terrain.mesh_height,
+                             jnp.asarray(scene.objects.px),
+                             jnp.asarray(scene.objects.py), scene.world)
+    rad = np.asarray(scene.table.radius)[np.asarray(scene.objects.otype)]
+    assert (pz[live] >= np.asarray(h)[live] + 0.5 * rad[live] - 1e-3).all()

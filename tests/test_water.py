@@ -139,6 +139,7 @@ def test_precipitation_accumulation():
     assert float(accum.sum()) == af        # frozen: no melt
 
 
+@pytest.mark.slow
 def test_snow_deflects_off_steep_surfaces():
     """Deflection bounces (snow.cpp:484-540): flakes hitting a surface
     too steep to hold snow shed off and land on the ground below instead
