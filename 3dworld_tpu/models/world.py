@@ -71,6 +71,12 @@ def ground_frame(scene: GroundScene, substeps: int = 4,
     inside = wpz > scene.terrain.mesh_height
     depth = jnp.maximum(wpz - scene.terrain.mesh_height, 0.0)
     ripples, _ = WR.step_ripples(scene.ripples, inside, depth)
+    # smoke diffusion over the lmcell grid every frame
+    # (distribute_smoke, smoke.cpp:184; stored in lmcell.smoke)
+    if scene.light_grid is not None and \
+            bool(jnp.any(scene.light_grid.smoke > 0.0)):
+        scene.light_grid = scene.light_grid._replace(
+            smoke=WSM.diffuse_smoke(scene.light_grid.smoke))
     scene.objects = st
     scene.ripples = ripples
     return scene
@@ -83,7 +89,8 @@ import functools
                                              "obj_collisions", "world"))
 def ground_frames_chained(objects, env, cobjs, table, ripples, player,
                           move_xy, world: WorldConst, frames: int,
-                          substeps: int = 4, obj_collisions: bool = True):
+                          substeps: int = 4, obj_collisions: bool = True,
+                          smoke=None):
     """K ground frames in ONE dispatch (lax.scan): physics + ripples +
     player per frame, chained on-device so the live app loop amortizes
     the per-dispatch relay/host round trip (~28 ms on the axon tunnel)
@@ -100,17 +107,21 @@ def ground_frames_chained(objects, env, cobjs, table, ripples, player,
     depth = jnp.maximum(wpz - env.mesh_height, 0.0)
 
     def body(carry, mv):
-        st, rip, ply = carry
+        st, rip, ply, smk = carry
         st = PS.step_objects(st, env, cobjs, table, substeps=substeps,
                              world=world, obj_collisions=obj_collisions)
         rip, _ = WR.step_ripples(rip, inside, depth)
         ply = PL.step_player(ply, env.mesh_height, cobjs, mv[0], mv[1],
                              False, world=world)
-        return (st, rip, ply), jnp.sum(st.status > 0)
+        if smk is not None:       # distribute_smoke each frame
+            smk = WSM.diffuse_smoke(smk)
+        return (st, rip, ply, smk), jnp.sum(st.status > 0)
 
-    (st, rip, ply), live = jax.lax.scan(
-        body, (objects, ripples, player), move_xy, length=frames)
-    return st, rip, ply, live
+    (st, rip, ply, smoke), live = jax.lax.scan(
+        body, (objects, ripples, player, smoke), move_xy, length=frames)
+    if smoke is None:
+        return st, rip, ply, live
+    return st, rip, ply, live, smoke
 
 
 # ---------------------------------------------------------------------------

@@ -222,3 +222,27 @@ def test_float_downstream_drifts_toward_spill():
     dx2, _ = WV.float_downstream(px, py, pz, rad, labels, water, mesh,
                                  sx, sy, sz, jnp.zeros(len(sx)), W)
     assert float(dx2[0]) == 0.0
+
+
+def test_ground_frame_diffuses_smoke():
+    """The ground frame loop steps smoke diffusion over the lmcell grid
+    each frame (distribute_smoke, smoke.cpp:184; display loop)."""
+    from w3d.models.world import ground_frames_chained
+    from w3d.gameplay import player as PL
+    from w3d.models import physics_model as PM
+    from w3d.utils.constants import WorldConst
+    world = WorldConst(mesh_x=32, mesh_y=32, mesh_z=8)
+    sw = PM.build_spheres_world(num_objects=32, world=world)
+    from w3d.water import ripples as WRp
+    rip = WRp.make_ripples(32, 32)
+    ply = PL.make_player(0.0, 0.0, 1.0)
+    smoke = jnp.zeros((8, 32, 32)).at[2, 16, 16].set(10.0)
+    mv = jnp.zeros((4, 2))
+    out = ground_frames_chained(sw.state, sw.env, sw.cobjs, sw.table, rip,
+                                ply, mv, world, 4, substeps=1,
+                                obj_collisions=False, smoke=smoke)
+    st, rip2, ply2, live, smoke2 = out
+    s2 = np.asarray(smoke2)
+    assert s2[2, 16, 16] < 10.0                  # source diffused away
+    assert (s2 > 0).sum() > 1                    # spread to neighbors
+    assert s2.sum() <= 10.0 + 1e-3               # no creation
