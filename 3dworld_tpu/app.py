@@ -46,15 +46,21 @@ def run_ground(config: str, frames: int, num_objects: int,
                               "player_z": round(float(ply.z[0]), 3),
                               "ms": round((time.perf_counter() - t0) * 1e3, 1)}))
         return scene
+    smoke = (scene.light_grid.smoke if scene.smoke_active else None)
     i = 0
     while i < frames:
         k = min(chain, frames - i)
         t0 = time.perf_counter()
         mv = jnp.stack([jnp.cos(0.2 * (i + jnp.arange(k))),
                         jnp.sin(0.2 * (i + jnp.arange(k)))], axis=-1)
-        st, rip, ply, live = ground_frames_chained(
+        out = ground_frames_chained(
             scene.objects, scene.env, scene.cobjs, scene.table,
-            scene.ripples, ply, mv, scene.world, k)
+            scene.ripples, ply, mv, scene.world, k, smoke=smoke)
+        if smoke is None:
+            st, rip, ply, live = out
+        else:
+            st, rip, ply, live, smoke = out
+            scene.light_grid = scene.light_grid._replace(smoke=smoke)
         live_last = int(np.asarray(live)[-1])
         scene.objects, scene.ripples = st, rip
         dt = (time.perf_counter() - t0) / k

@@ -194,7 +194,7 @@ def calc_splash_bounds(interior, x, y, num_rays: int = 90):
     by1 = min((r.y1 for r in interior.rooms), default=y)
     bx2 = max((r.x2 for r in interior.rooms), default=x)
     by2 = max((r.y2 for r in interior.rooms), default=y)
-    ray_len = (bx2 - bx1) ** 2 + (by2 - by1) ** 2
+    ray_len = float(np.hypot(bx2 - bx1, by2 - by1))   # footprint diagonal
     ang = 2.0 * np.pi * np.arange(num_rays) / num_rays
     dx = np.sin(ang)
     dy = np.cos(ang)

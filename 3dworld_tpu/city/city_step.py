@@ -38,9 +38,11 @@ import jax.numpy as jnp
 
 from . import traffic as CT
 from . import people as CPE
+from .floorplan import ElevatorCar
 
-DOOR_TICKS = 20           # floorplan.ElevatorCar.DOOR_TICKS
-ELEV_SPEED = 0.05         # floors per tick
+# single source of truth: the device bank replays ElevatorCar exactly
+DOOR_TICKS = ElevatorCar.DOOR_TICKS
+ELEV_SPEED = ElevatorCar.SPEED
 
 
 class ElevatorBank(NamedTuple):
@@ -190,9 +192,10 @@ def city_frames_chained(cs: CityState, graph: CT.RoadGraph,
     return out
 
 
-def city_frame_single(cs: CityState, graph, nav, pads, perches) -> CityState:
+def city_frame_single(cs: CityState, graph, nav, pads, perches,
+                      rail=None) -> CityState:
     """One un-chained frame (host-stepping debug path)."""
-    return city_frames_chained(cs, graph, nav, pads, perches, 1)
+    return city_frames_chained(cs, graph, nav, pads, perches, 1, rail=rail)
 
 
 @jax.jit
@@ -322,23 +325,3 @@ class MergedBuildingPeople:
             jnp.asarray(eact_full), jnp.asarray(edur_full))
 
 
-def reroute_finished(people: CPE.PeopleState, graph, rg,
-                     room_objs=None) -> CPE.PeopleState:
-    """Host phase between chunks: assign new goals to everyone who
-    finished a path (people.assign_goals over the finished subset)."""
-    need = CPE.people_need_goals(people)
-    if not need.any():
-        return people
-    idx = np.where(need)[0]
-    cx = np.asarray(people.x)
-    cy = np.asarray(people.y)
-    cf = np.asarray(people.floor)
-    centers = graph.centers
-    cur = []
-    for i in idx:
-        d = (centers[:, 0] - cx[i]) ** 2 + (centers[:, 1] - cy[i]) ** 2 \
-            + 1e6 * (centers[:, 2] - round(float(cf[i]))) ** 2
-        cur.append(int(np.argmin(d)))
-    sub = CPE.assign_goals(CPE._take(people, idx), graph, cur, rg,
-                           room_objs=room_objs)
-    return CPE._put(people, idx, sub)

@@ -186,11 +186,28 @@ def _fallback_mesh(kind: str) -> Model3d:
                    face_normals=ei, face_uvs=ei)
 
 
+_MESH_CACHE: dict = {}
+
+
 def resolve_mesh(spec: CityModelSpec, base_dir: str = ".") -> Model3d:
     """Load the spec's model through the format loaders with the spec's
     swap/rot/scale transform applied (geom_xform handling in
     read_assimp_model / model3d load); missing or unsupported files get
-    the procedural fallback (nonfatal skip, city_building_params.cpp)."""
+    the procedural fallback (nonfatal skip, city_building_params.cpp).
+    Resolved meshes are cached per (spec identity, base_dir) — the
+    reference likewise loads each model once into city_model_loader_t;
+    per-frame exports must not re-read files."""
+    ck = (spec.fn, spec.kind, spec.xy_rot, spec.swap_xz, spec.swap_yz,
+          spec.scale, spec.centered, base_dir)
+    hit = _MESH_CACHE.get(ck)
+    if hit is not None:
+        return hit
+    out = _resolve_mesh_uncached(spec, base_dir)
+    _MESH_CACHE[ck] = out
+    return out
+
+
+def _resolve_mesh_uncached(spec: CityModelSpec, base_dir: str) -> Model3d:
     path = spec.fn
     if not os.path.isabs(path):
         path = os.path.normpath(os.path.join(base_dir, path))

@@ -139,9 +139,10 @@ class BuildingIndirManager:
         the light ix processed (None if idle)."""
         while self.queue:
             ix = self.queue.popleft()
-            if ix in self.lights:
-                break
-        else:
+            if ix in self.lights and \
+                    self.remaining.get(ix, self.rays_per_light) > 0:
+                break        # skip stale/exhausted entries (prioritize()
+        else:                # on a finished light must not zero-trace)
             return None
         pos, color = self.lights[ix]
         left = self.remaining.get(ix, self.rays_per_light)

@@ -87,9 +87,12 @@ def _sharded_bake(dev_mesh, grid, cobjs, mesh_hf, num_rays, seed, params,
     params = T._auto_transmission(params, cobjs)
     axis = dev_mesh.axis_names[0]
     ndev = int(np.prod([dev_mesh.shape[a] for a in dev_mesh.axis_names]))
-    per_dev = -(-num_rays // ndev)
+    per_dev = -(-num_rays // ndev)       # rounds UP to a device multiple
     nb = -(-per_dev // batch)
-    bsz = min(batch, per_dev)
+    # exact per-batch sizes (the final batch is the remainder, like
+    # compute_sky_lighting): padding it to `batch` would trace up to
+    # ndev*(batch-1) extra constant-weight rays and brighten the grid
+    sizes = [min(batch, per_dev - i * batch) for i in range(nb)]
     ltype = L.LIGHTING_SKY if kind == "sky" else L.LIGHTING_GLOBAL
     seeds = (jnp.arange(ndev, dtype=jnp.uint32)
              + jnp.uint32((seed * 0x9E3779B1) & 0x7FFFFFFF))
@@ -104,7 +107,7 @@ def _sharded_bake(dev_mesh, grid, cobjs, mesh_hf, num_rays, seed, params,
     def bake(grid_in, seed_arr):
         local = _zero_like(grid_in)
         key0 = jax.random.key(seed_arr[0])
-        for i in range(nb):
+        for i, bsz in enumerate(sizes):
             k = jax.random.fold_in(key0, i)
             if kind == "sky":
                 rays = T.sky_rays(jax.random.fold_in(k, 1), bsz, world,

@@ -72,9 +72,10 @@ def ground_frame(scene: GroundScene, substeps: int = 4,
     depth = jnp.maximum(wpz - scene.terrain.mesh_height, 0.0)
     ripples, _ = WR.step_ripples(scene.ripples, inside, depth)
     # smoke diffusion over the lmcell grid every frame
-    # (distribute_smoke, smoke.cpp:184; stored in lmcell.smoke)
-    if scene.light_grid is not None and \
-            bool(jnp.any(scene.light_grid.smoke > 0.0)):
+    # (distribute_smoke, smoke.cpp:184; stored in lmcell.smoke).  Gated
+    # by the HOST flag (set by whoever injects smoke) — probing the
+    # device array per frame would cost a blocking round trip
+    if getattr(scene, "smoke_active", False) and scene.light_grid is not None:
         scene.light_grid = scene.light_grid._replace(
             smoke=WSM.diffuse_smoke(scene.light_grid.smoke))
     scene.objects = st

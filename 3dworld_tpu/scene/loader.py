@@ -43,6 +43,9 @@ class GroundScene:
     platforms: PP.PlatformSet = None
     triggers: PP.TriggerSet = None
     voxel: object = None        # VoxelGrid for voxel-landscape scenes
+    smoke_active: bool = False  # host flag: smoke exists in light_grid
+    # (set by the code that injects smoke; gates per-frame diffusion
+    # without a device probe)
 
 
 def voxel_params_from_config(cfg):

@@ -111,6 +111,7 @@ class Config:
     lighting_file_sky: tuple = ()
     lighting_file_global: tuple = ()
     shadow_map_sz: int = 2048
+    create_voxel_landscape: int = 0            # voxel terrain scenes
     voxel: dict = field(default_factory=dict)  # "voxel <param> <val>" sub-config
     buildings: dict = field(default_factory=dict)
     sphere_gen: dict = field(default_factory=dict)

@@ -104,3 +104,19 @@ def test_sharded_bake_accumulates_onto_existing(dev_mesh):
     # second bake adds a comparable delta on top (not ndev x base)
     assert d2 > d1
     assert d2 < 3.0 * d1
+
+
+def test_sharded_bake_nonmultiple_ray_count(dev_mesh):
+    """A ray budget that is NOT a multiple of ndev*batch must not trace
+    padded extra rays: energy stays comparable to the single-device bake
+    of the same (rounded-up) count."""
+    co = floor_scene()
+    n = 8 * 1500                       # per-device 1500, batch 1024 -> 2 batches of 1024+476
+    sharded = LP.compute_sky_lighting_sharded(
+        dev_mesh, L.make_light_grid(W), co, MESH, num_rays=n, batch=1024,
+        seed=9, world=W)
+    single = T.compute_sky_lighting(
+        L.make_light_grid(W), co, MESH, n, seed=9, world=W, batch=1024)
+    es = float(jnp.sum(sharded.sv))
+    e1 = float(jnp.sum(single.sv))
+    assert abs(es - e1) / e1 < 0.12, (es, e1)
