@@ -43,6 +43,7 @@ def _mk_state(small_city, tower, n_people=12):
     return cs, bldg, graph, nav
 
 
+@pytest.mark.slow
 def test_chained_equals_per_frame(small_city, tower):
     """K chained frames == K single-frame dispatches (same RNG path)."""
     cs, _, graph, nav = _mk_state(small_city, tower)

@@ -47,6 +47,7 @@ def test_sharded_sky_bake_runs_and_merges(dev_mesh):
     assert sv[-1].mean() > 0
 
 
+@pytest.mark.slow
 def test_sharded_bake_deterministic(dev_mesh):
     co = floor_scene()
     grid = L.make_light_grid(W)

@@ -7,6 +7,7 @@ build_world.cpp:310-600 at pod scale.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -87,6 +88,7 @@ def test_halo_pair_fn_cross_boundary_pairs_exist():
     assert crossing > 10, f"only {crossing} cross-boundary contacts"
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device():
     """Full frame step, collisions ON, 8-device mesh vs single device."""
     world = WorldConst()
@@ -115,6 +117,7 @@ def test_sharded_step_matches_single_device():
                                    rtol=2e-4, atol=2e-5, err_msg=f)
 
 
+@pytest.mark.slow
 def test_sharded_step_runs_10k_pair_window():
     """The production config — PAIR_WINDOW band, 10K objects — compiles
     and runs on the 8-device mesh (slab 1280 > window 288)."""

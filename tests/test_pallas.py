@@ -209,6 +209,7 @@ def test_spatial_sort_repair_matches_full_sort():
     assert bool(jnp.all(k[:-1] <= k[1:]))
 
 
+@pytest.mark.slow
 def test_pallas_narrow_phase_matches_xla():
     """VMEM grouped narrow-phase kernel (interpret) vs
     cobjs.deepest_hits_grouped: bitwise on pen and winner fields
