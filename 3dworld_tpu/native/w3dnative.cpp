@@ -156,9 +156,120 @@ PyObject* py_parse_obj(PyObject*, PyObject* args) {
     return t;
 }
 
+// ---------------------------------------------------------------------------
+// Tipsify vertex-cache triangle reordering — the native twin of
+// scene/mesh_opt.py::tipsify (the reference runs this class of mesh
+// optimization in C++: triListOpt.cpp / vertex_opt full_opt path).
+// Mirrors the Python algorithm EXACTLY (same tie-breaking, same dead-end
+// stack order) so both produce identical index streams.
+// ---------------------------------------------------------------------------
+
+PyObject* py_tipsify(PyObject*, PyObject* args) {
+    Py_buffer buf;
+    long num_verts_l, cache_size_l;
+    if (!PyArg_ParseTuple(args, "y*ll", &buf, &num_verts_l, &cache_size_l))
+        return nullptr;
+    const int64_t nidx = (int64_t)(buf.len / sizeof(int32_t));
+    const int32_t* idx = (const int32_t*)buf.buf;
+    const int64_t F = nidx / 3;
+    const int64_t V = num_verts_l;
+    const int64_t C = cache_size_l;
+    std::vector<int32_t> out;
+    out.reserve(nidx);
+
+    // CSR adjacency: corners grouped by vertex in corner order (matches
+    // np.argsort(..., kind="stable") on the raveled corner list)
+    std::vector<int64_t> counts(V + 1, 0);
+    for (int64_t i = 0; i < nidx; ++i) ++counts[idx[i] + 1];
+    std::vector<int64_t> offs(V + 1, 0);
+    for (int64_t v = 0; v < V; ++v) offs[v + 1] = offs[v] + counts[v + 1];
+    std::vector<int64_t> adj(nidx);
+    {
+        std::vector<int64_t> cur(offs.begin(), offs.end() - 1);
+        for (int64_t i = 0; i < nidx; ++i) adj[cur[idx[i]]++] = i / 3;
+    }
+    std::vector<int64_t> live(V);
+    for (int64_t v = 0; v < V; ++v) live[v] = offs[v + 1] - offs[v];
+    std::vector<uint8_t> emitted(F, 0);
+    std::vector<int64_t> cache_time(V, -(int64_t)1000000000);
+    int64_t time = C + 1;
+    std::vector<int64_t> dead_end;
+    dead_end.reserve(nidx);
+    int64_t fanning = 0, cursor = 0, n_out = 0;
+    bool have_fan = false;
+
+    auto next_fan_from = [&](int64_t v) -> int64_t {
+        int64_t best = -1, best_pri = -1;
+        for (int64_t s = offs[v]; s < offs[v + 1]; ++s) {
+            const int64_t t = adj[s];
+            if (emitted[t]) continue;
+            for (int k = 0; k < 3; ++k) {
+                const int64_t u = idx[3 * t + k];
+                int64_t pri = 0;
+                if (time - cache_time[u] + 2 * live[u] <= C)
+                    pri = time - cache_time[u];
+                if (live[u] > 0 && pri > best_pri) { best = u; best_pri = pri; }
+            }
+        }
+        return best;
+    };
+
+    while (n_out < F) {
+        if (!have_fan) {
+            fanning = -1;
+            while (!dead_end.empty()) {
+                const int64_t v = dead_end.back();
+                dead_end.pop_back();
+                if (live[v] > 0) { fanning = v; break; }
+            }
+            if (fanning < 0) {
+                while (cursor < V && live[cursor] == 0) ++cursor;
+                fanning = (cursor < V) ? cursor : -1;
+            }
+            if (fanning < 0) break;
+            have_fan = true;
+        }
+        bool any_emitted = false;
+        for (int64_t s = offs[fanning]; s < offs[fanning + 1]; ++s) {
+            const int64_t t = adj[s];
+            if (emitted[t]) continue;
+            emitted[t] = 1;
+            for (int k = 0; k < 3; ++k) out.push_back(idx[3 * t + k]);
+            ++n_out;
+            any_emitted = true;
+            for (int k = 0; k < 3; ++k) {
+                const int64_t u = idx[3 * t + k];
+                --live[u];
+                dead_end.push_back(u);
+                if (time - cache_time[u] > C) { cache_time[u] = time; ++time; }
+            }
+        }
+        const int64_t nxt = next_fan_from(fanning);
+        if (nxt < 0 || !any_emitted) {
+            have_fan = false;
+        } else {
+            fanning = nxt;
+            have_fan = live[fanning] > 0;
+        }
+    }
+    if (n_out < F) {   // disconnected leftovers in input order
+        for (int64_t t = 0; t < F; ++t) {
+            if (emitted[t]) continue;
+            for (int k = 0; k < 3; ++k) out.push_back(idx[3 * t + k]);
+            ++n_out;
+        }
+    }
+    PyBuffer_Release(&buf);
+    return PyBytes_FromStringAndSize((const char*)out.data(),
+                                     (Py_ssize_t)(out.size() * sizeof(int32_t)));
+}
+
 PyMethodDef methods[] = {
     {"parse_obj", py_parse_obj, METH_VARARGS,
      "parse_obj(data: bytes) -> (pos, nrm, uv, fv, fn, ft) packed buffers"},
+    {"tipsify", py_tipsify, METH_VARARGS,
+     "tipsify(int32 indices bytes, num_verts, cache_size) -> reordered "
+     "int32 indices bytes (vertex-cache triangle optimization)"},
     {nullptr, nullptr, 0, nullptr},
 };
 

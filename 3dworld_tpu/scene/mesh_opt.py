@@ -69,12 +69,28 @@ def sort_by_min_ix(indices: np.ndarray, npts_per_prim: int = 3) -> np.ndarray:
 
 
 def tipsify(indices: np.ndarray, num_verts: int,
-            cache_size: int = VBUF_SZ) -> np.ndarray:
+            cache_size: int = VBUF_SZ,
+            use_native: bool = True) -> np.ndarray:
     """Linear-speed vertex-cache triangle reordering (Tipsify).
 
     Replaces vert_optimizer's full_opt path (vertex_opt.cpp:46-50).
     Returns reordered triangle indices [F*3].
-    """
+
+    The hot path runs in the native C++ module (w3dnative.tipsify — the
+    reference's mesh optimization is likewise native, triListOpt.cpp);
+    the Python implementation below is the fallback and the test oracle
+    (both produce IDENTICAL streams — same tie-breaks, same dead-end
+    stack order)."""
+    if use_native and np.asarray(indices).size:
+        from ..native import get_native
+        nat = get_native()
+        if nat is not None and hasattr(nat, "tipsify"):
+            arr = np.ascontiguousarray(np.asarray(indices, np.int32)
+                                       .reshape(-1))
+            out = nat.tipsify(arr.tobytes(), int(num_verts),
+                              int(cache_size))
+            return np.frombuffer(out, np.int32).astype(
+                np.asarray(indices).dtype)
     tris = np.asarray(indices, np.int64).reshape(-1, 3)
     F = len(tris)
     if F == 0:

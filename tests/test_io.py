@@ -749,3 +749,25 @@ def test_reference_texture_assets_load():
     # a known real asset has image-like variance (not a flat ramp)
     m = TC.get_reference_texture("marble.jpg")
     assert m.std() > 4.0
+
+
+def test_native_tipsify_matches_python():
+    """The C++ tipsify (w3dnative — the reference's triListOpt.cpp class
+    of native mesh optimization) produces the IDENTICAL index stream to
+    the Python oracle, and improves ACMR."""
+    from w3d.scene import mesh_opt as MO
+    from w3d.native import get_native
+    nat = get_native()
+    if nat is None or not hasattr(nat, "tipsify"):
+        import pytest
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(5)
+    for (nv, nf) in ((128, 400), (512, 2000), (64, 100)):
+        idx = rng.integers(0, nv, (nf, 3)).astype(np.int32)
+        # drop degenerate-ish duplicates the same way for both paths
+        py = MO.tipsify(idx.ravel(), nv, use_native=False)
+        cc = MO.tipsify(idx.ravel(), nv, use_native=True)
+        np.testing.assert_array_equal(py, cc)
+        a0 = MO.calc_acmr(idx.ravel())
+        a1 = MO.calc_acmr(cc)
+        assert a1 <= a0 + 1e-9
