@@ -44,6 +44,7 @@ class GroundScene:
     triggers: PP.TriggerSet = None
     voxel: object = None        # VoxelGrid for voxel-landscape scenes
     smoke_active: bool = False  # host flag: smoke exists in light_grid
+    trees: object = None        # (x, y, z, trunk_r, height) arrays
     # (set by the code that injects smoke; gates per-frame diffusion
     # without a device probe)
 
@@ -129,6 +130,44 @@ def load_scene(config_path: str, num_objects: int = 0,
                                       terrain.mesh_height))
         terrain = terrain._replace(mesh_height=fused)
 
+    # ground-mode trees (regen_trees at gen_scene, Tree.cpp): ntrees
+    # seeded placements above water; each tree's TRUNK registers as a
+    # collision cylinder (the reference's tree cobjs) appended to the
+    # scene's cobj set below
+    trees = None
+    tree_cobjs = []
+    if cfg.ntrees > 0:
+        from ..utils.rng import RandGen
+        trg = RandGen((cfg.rand_seed or 1) + 43, (cfg.rand_seed or 1) * 3 + 7)
+        hm_np = np.asarray(terrain.mesh_height)
+        my, mx = hm_np.shape
+        wz = -1e9 if cfg.disable_water else float(terrain.water_plane_z)
+        tx, ty, tz, tr, th = [], [], [], [], []
+        for _ in range(cfg.ntrees):
+            gx = trg.rand() % mx
+            gy = trg.rand() % my
+            z = float(hm_np[gy, gx])
+            if z <= wz:
+                continue          # no trees under water
+            x = (gx - mx // 2) * world.dx
+            y = (gy - my // 2) * world.dy
+            h = (0.04 + 0.04 * trg.randd()) * world.z_scene
+            r = 0.08 * h
+            tx.append(x)
+            ty.append(y)
+            tz.append(z)
+            tr.append(r)
+            th.append(h)
+        trees = (np.asarray(tx, np.float32), np.asarray(ty, np.float32),
+                 np.asarray(tz, np.float32), np.asarray(tr, np.float32),
+                 np.asarray(th, np.float32))
+        lay = SC.CobjLayer(elasticity=0.4, color=(0.45, 0.33, 0.2, 1.0))
+        for (x, y, z, r, h) in zip(*trees):
+            tree_cobjs.append(SC.RawCobj(
+                SC.COLL_CYLINDER, (float(x), float(y), float(z)),
+                (float(x), float(y), float(z + h)),
+                r1=float(r), r2=float(0.7 * r), layer=lay))
+
     # coll objects (resolved against the config dir + search dirs)
     cobjs = None
     parse = SC.SceneParse()
@@ -139,8 +178,11 @@ def load_scene(config_path: str, num_objects: int = 0,
             p = os.path.join(d, cfg.coll_obj_file)
             if os.path.exists(p):
                 parse = SC.parse_coll_obj_file(p, sphere_gen_seed=cfg.rand_seed)
-                cobjs = SC.pack_cobjs(parse)
                 break
+    if tree_cobjs:
+        parse.cobjs.extend(tree_cobjs)   # trunk cylinders join the scene
+    if parse.cobjs:
+        cobjs = SC.pack_cobjs(parse)
     if cobjs is None:
         cobjs = PC.empty_cobjs(128)
     platforms = PP.build_platforms(parse.platforms)
@@ -181,5 +223,5 @@ def load_scene(config_path: str, num_objects: int = 0,
         light_grid=LM.make_light_grid(world),
         sphere_mats=sphere_mats,
         parse=parse, platforms=platforms, triggers=triggers,
-        voxel=voxel,
+        voxel=voxel, trees=trees,
     )

@@ -356,3 +356,27 @@ def test_hmap_params_and_toggles_bound():
     # config_spheres toggles mesh off and reflections on (display_mode)
     cfg2 = C.load_config("/root/reference/scene_config/config_spheres.txt")
     assert cfg2.display_mode == 0x10
+
+
+def test_ground_trees_register_trunk_cobjs(tmp_path):
+    """ntrees > 0 places trees above water with trunk collision
+    cylinders in the scene cobj set (regen_trees + tree cobjs)."""
+    import numpy as np
+    from w3d.scene.loader import load_scene
+    cfgf = tmp_path / "cfg.txt"
+    cfgf.write_text("ntrees 40\nrand_seed 3\nmesh_seed 3\n"
+                    "num_dodgeballs 8\n")
+    scene = load_scene(str(cfgf), num_objects=8)
+    assert scene.trees is not None
+    tx, ty, tz, tr, th = scene.trees
+    assert len(tx) > 0
+    wz = float(scene.terrain.water_plane_z)
+    assert (tz > wz).all()                 # never under water
+    # trunks live in the cobj set as cylinders
+    from w3d.scene import cobj as SCJ
+    shp = np.asarray(scene.cobjs.shape)
+    assert (shp == SCJ.COLL_CYLINDER).sum() >= len(tx)
+    # objects still step fine with tree trunks present
+    from w3d.models.world import ground_frame
+    s2 = ground_frame(scene, substeps=2)
+    assert np.isfinite(np.asarray(s2.objects.pz)).all()
