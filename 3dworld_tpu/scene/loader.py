@@ -45,6 +45,7 @@ class GroundScene:
     voxel: object = None        # VoxelGrid for voxel-landscape scenes
     smoke_active: bool = False  # host flag: smoke exists in light_grid
     trees: object = None        # (x, y, z, trunk_r, height) arrays
+    scenery: object = None      # veg.scenery.ScenerySet
     # (set by the code that injects smoke; gates per-frame diffusion
     # without a device probe)
 
@@ -168,6 +169,36 @@ def load_scene(config_path: str, num_objects: int = 0,
                 (float(x), float(y), float(z + h)),
                 r1=float(r), r2=float(0.7 * r), layer=lay))
 
+    # scenery (gen_scenery, scenery.cpp): rocks/boulders/logs/stumps
+    # placed over the mesh unless disabled; ROCK kinds register sphere
+    # cobjs (the reference's scenery rock cobjs)
+    scenery = None
+    scenery_cobjs = []
+    if not cfg.disable_scenery:
+        from ..veg import scenery as VS
+        dzdx = np.gradient(np.asarray(terrain.mesh_height), axis=1) / world.dx
+        dzdy = np.gradient(np.asarray(terrain.mesh_height), axis=0) / world.dy
+        norm_z = 1.0 / np.sqrt(dzdx ** 2 + dzdy ** 2 + 1.0)
+        scenery = VS.place_scenery(
+            (cfg.rand_seed or 1) + 101,
+            -(world.mesh_x // 2), -(world.mesh_y // 2),
+            jnp.asarray(terrain.mesh_height), jnp.asarray(norm_z), world)
+        lay_r = SC.CobjLayer(elasticity=0.6, color=(0.5, 0.5, 0.5, 1.0))
+        sx = np.asarray(scenery.x)
+        sy = np.asarray(scenery.y)
+        sz = np.asarray(scenery.z)
+        sk = np.asarray(scenery.kind)
+        ss = np.asarray(scenery.size)
+        sv = np.asarray(scenery.valid)
+        wz = -1e9 if cfg.disable_water else float(terrain.water_plane_z)
+        for i in range(len(sx)):
+            # rock-ish kinds (0/1 of the 5-kind table) get cobjs
+            if sv[i] and sk[i] <= 1 and sz[i] > wz:
+                scenery_cobjs.append(SC.RawCobj(
+                    SC.COLL_SPHERE,
+                    (float(sx[i]), float(sy[i]), float(sz[i])),
+                    r1=float(ss[i]), layer=lay_r))
+
     # coll objects (resolved against the config dir + search dirs)
     cobjs = None
     parse = SC.SceneParse()
@@ -181,6 +212,8 @@ def load_scene(config_path: str, num_objects: int = 0,
                 break
     if tree_cobjs:
         parse.cobjs.extend(tree_cobjs)   # trunk cylinders join the scene
+    if scenery_cobjs:
+        parse.cobjs.extend(scenery_cobjs)  # scenery rock cobjs
     if parse.cobjs:
         cobjs = SC.pack_cobjs(parse)
     if cobjs is None:
@@ -223,5 +256,5 @@ def load_scene(config_path: str, num_objects: int = 0,
         light_grid=LM.make_light_grid(world),
         sphere_mats=sphere_mats,
         parse=parse, platforms=platforms, triggers=triggers,
-        voxel=voxel, trees=trees,
+        voxel=voxel, trees=trees, scenery=scenery,
     )

@@ -380,3 +380,23 @@ def test_ground_trees_register_trunk_cobjs(tmp_path):
     from w3d.models.world import ground_frame
     s2 = ground_frame(scene, substeps=2)
     assert np.isfinite(np.asarray(s2.objects.pz)).all()
+
+
+def test_ground_scenery_rock_cobjs(tmp_path):
+    """Scenery places over the mesh unless disabled (gen_scenery); rock
+    kinds register sphere cobjs; disable_scenery 1 removes everything."""
+    import numpy as np
+    from w3d.scene.loader import load_scene
+    from w3d.scene import cobj as SCJ
+    on = tmp_path / "on.txt"
+    on.write_text("rand_seed 3\nmesh_seed 3\nnum_dodgeballs 4\n")
+    off = tmp_path / "off.txt"
+    off.write_text("rand_seed 3\nmesh_seed 3\nnum_dodgeballs 4\n"
+                   "disable_scenery 1\n")
+    s_on = load_scene(str(on), num_objects=4)
+    s_off = load_scene(str(off), num_objects=4)
+    assert s_on.scenery is not None
+    assert s_off.scenery is None
+    n_on = int((np.asarray(s_on.cobjs.shape) == SCJ.COLL_SPHERE).sum())
+    n_off = int((np.asarray(s_off.cobjs.shape) == SCJ.COLL_SPHERE).sum())
+    assert n_on > n_off
