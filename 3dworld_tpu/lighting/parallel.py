@@ -24,7 +24,19 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:                                    # jax >= 0.8 top-level API
+    from jax import shard_map as _shard_map_raw
+    _REP_KW = "check_vma"
+except ImportError:                     # older jax
+    from jax.experimental.shard_map import shard_map as _shard_map_raw
+    _REP_KW = "check_rep"
+
+
+def shard_map(f, mesh, in_specs, out_specs):
+    """shard_map with the replication/varying check OFF across jax
+    versions (check_rep pre-0.8, check_vma after)."""
+    return _shard_map_raw(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, **{_REP_KW: False})
 
 from ..utils.constants import WorldConst, DEFAULT_WORLD
 from ..utils import rng as w3d_rng
@@ -97,13 +109,13 @@ def _sharded_bake(dev_mesh, grid, cobjs, mesh_hf, num_rays, seed, params,
     seeds = (jnp.arange(ndev, dtype=jnp.uint32)
              + jnp.uint32((seed * 0x9E3779B1) & 0x7FFFFFFF))
 
-    # check_rep off: trace_batch's scan carries start as replicated
-    # constants and become device-varying after the first bounce, which
-    # the varying-manual-axes checker rejects; the psum at the end is
-    # the explicit merge point, so the check adds nothing here
+    # replication check off (see shard_map wrapper): trace_batch's scan
+    # carries start as replicated constants and become device-varying
+    # after the first bounce, which the varying-manual-axes checker
+    # rejects; the psum at the end is the explicit merge point
     @functools.partial(
         shard_map, mesh=dev_mesh,
-        in_specs=(P(), P(axis)), out_specs=P(), check_rep=False)
+        in_specs=(P(), P(axis)), out_specs=P())
     def bake(grid_in, seed_arr):
         local = _zero_like(grid_in)
         key0 = jax.random.key(seed_arr[0])
