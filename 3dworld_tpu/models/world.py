@@ -249,8 +249,42 @@ class UniverseWorld:
     fleet: object = None
     fleet_tbl: object = None      # 40-class table from parsed ship defs
     player_ship: object = None
+    black_holes: list = field(default_factory=list)  # [(pos, radius)]
+    # ($BLACK_HOLE rows, ship_config.cpp; plus generated collapsed stars)
     frame: int = 0
     key: object = field(default_factory=lambda: jax.random.key(1))
+    _HAZARD_PAD = 64              # fixed star-array size (no recompiles)
+
+    def _hazards(self):
+        """Star/black-hole bodies near the fleet: generated systems'
+        stars + configured $BLACK_HOLE entries, padded to a fixed
+        shape.  Returns None when nothing is generated."""
+        pos, rad, bh = [], [], []
+        for (p, r) in self.black_holes:
+            pos.append(tuple(p))
+            rad.append(float(r))
+            bh.append(True)
+        for cell in self.state.cells.values():
+            for g in cell.galaxies:
+                if not g.generated:
+                    continue
+                for sy in g.systems:
+                    pos.append(tuple(cell.pos[d] + sy.pos[d]
+                                     for d in range(3)))
+                    rad.append(float(sy.star.radius))
+                    bh.append(bool(sy.star.is_black_hole))
+        if not pos:
+            return None
+        n = self._HAZARD_PAD
+        pos = pos[:n]
+        rad = rad[:n]
+        bh = bh[:n]
+        pad = n - len(pos)
+        pos += [(1e9, 1e9, 1e9)] * pad
+        rad += [0.0] * pad
+        bh += [False] * pad
+        return (jnp.asarray(pos, jnp.float32), jnp.asarray(rad, jnp.float32),
+                jnp.asarray(bh))
 
     def step_chunk(self, player_pos, frames: int = 1, controls=()):
         """draw_universe: player thrust commands + process_ships + lazy
@@ -281,6 +315,14 @@ class UniverseWorld:
                     reaper_id=USH.USC_REAPER_ID)
             else:
                 self.fleet = USH.fleet_frames_chained(self.fleet, key, frames)
+            # star-heat / black-hole avoidance once per chunk
+            # (u_ship::ai_action hazard branch, u_ship.cpp:995-1012);
+            # hazards only exist where systems have generated
+            hz = self._hazards()
+            if hz is not None:
+                tblh = (jnp.asarray(self.fleet_tbl)
+                        if self.fleet_tbl is not None else None)
+                self.fleet = USH.avoid_hazards(self.fleet, *hz, tbl=tblh)
         self.frame += frames
         return created, freed
 

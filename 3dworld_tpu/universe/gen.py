@@ -70,6 +70,7 @@ class Star:
     radius: float
     temp: float        # color temperature class
     color: tuple = (1.0, 1.0, 0.9)
+    is_black_hole: bool = False   # ustar BLACK_HOLE type
 
 
 @dataclass
@@ -127,7 +128,12 @@ def gen_star(rg: RandGen) -> Star:
     radius = 0.02 * rg.rand_uniform(0.5, 2.0) * (0.5 + t)
     # blackbody-ish color ramp: red -> yellow -> white -> blue
     color = (min(1.0, 1.6 - 0.8 * t), min(1.0, 0.7 + 0.5 * t), min(1.0, 0.3 + 1.2 * t))
-    return Star(radius=radius, temp=t, color=color)
+    # rare black holes (ustar BLACK_HOLE type): derived from the existing
+    # temperature draw so the deterministic generation stream is
+    # unchanged (~1% of stars, the hottest tail collapses)
+    bh = t > 0.993
+    return Star(radius=0.25 * radius if bh else radius, temp=t,
+                color=(0.0, 0.0, 0.0) if bh else color, is_black_hole=bh)
 
 
 def gen_planet(rg: RandGen, star: Star, orbit_r: float) -> Planet:

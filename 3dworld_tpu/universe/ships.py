@@ -519,7 +519,8 @@ def player_ship_frame(s: PlayerShip) -> PlayerShip:
 
 @jax.jit
 def avoid_hazards(f: FleetState, star_pos, star_radius, bhole_mask,
-                  heat_mult: float = 6.0, gmax_dist: float = 0.5):
+                  heat_mult: float = 6.0, gmax_dist: float = 0.5,
+                  tbl=None):
     """Hazard avoidance (u_ship::ai_action, u_ship.cpp:995-1012): ships
     too close to a hot star fly a tangent veering away; near a black
     hole with excessive gravity they thrust directly away.  Applied
@@ -547,8 +548,9 @@ def avoid_hazards(f: FleetState, star_pos, star_radius, bhole_mask,
     ty = f.dy - dp * sy + 0.1 * sy
     tz = f.dz - dp * sz + 0.1 * sz
     tl = jnp.sqrt(tx * tx + ty * ty + tz * tz) + 1e-9
-    oh = jax.nn.one_hot(f.cls, NUM_SHIP_CLASSES, dtype=jnp.float32)
-    vmax = oh @ jnp.asarray(SHIP_CLASSES)[:, 1]
+    tblj = jnp.asarray(SHIP_CLASSES if tbl is None else tbl)
+    oh = jax.nn.one_hot(f.cls, tblj.shape[0], dtype=jnp.float32)
+    vmax = oh @ tblj[:, 1]
     esc = hot | danger_bh
     nvx = jnp.where(danger_bh, vmax * sx,
                     jnp.where(hot, vmax * tx / tl, f.vx))

@@ -407,3 +407,46 @@ def test_fleet_frames_chained_matches_single():
                                   np.asarray(single.alive))
     np.testing.assert_allclose(np.asarray(chained.shields),
                                np.asarray(single.shields), atol=1e-4)
+
+
+def test_universe_world_applies_hazard_avoidance():
+    """The live universe loop feeds generated stars + configured
+    $BLACK_HOLE entries into the hazard-avoidance branch each chunk
+    (u_ship::ai_action, u_ship.cpp:995-1012)."""
+    import numpy as np
+    from w3d.models.world import UniverseWorld
+    from w3d.universe.gen import UniverseState
+    from w3d.universe import ships as USH
+
+    f = USH.make_fleet(jax.random.key(2), 8, num_teams=1, spread=0.01)
+    # park the fleet at the origin next to a configured black hole
+    w = UniverseWorld(state=UniverseState(), fleet=f,
+                      black_holes=[((0.3, 0.0, 0.0), 0.02)])
+    w.step_chunk((0.0, 0.0, 0.0), frames=2)
+    hz = w._hazards()
+    assert hz is not None
+    pos, rad, bh = hz
+    assert bool(bh[0])                       # configured hole present
+    # fleeing ships move AWAY from the hole (-x velocity component)
+    vx = np.asarray(w.fleet.vx)
+    assert (vx <= 0.0).all()
+
+
+def test_gen_star_black_hole_tail():
+    """A small fraction of generated stars collapse to black holes,
+    derived from the existing temperature draw (generation stream
+    unchanged — sampled from real cell streams, where the LCG is warm;
+    a fresh stream's first draw is seed-correlated)."""
+    from w3d.universe import gen as UG
+    stars = []
+    for c in range(8):
+        cell = UG.gen_cell((c, -c, 2 * c + 1))
+        for g in cell.galaxies:
+            for sy in g.systems:
+                stars.append(sy.star)
+    n_bh = sum(1 for st in stars if st.is_black_hole)
+    assert len(stars) > 300
+    assert 0 <= n_bh < 0.05 * len(stars)
+    for st in stars:
+        if st.is_black_hole:
+            assert st.color == (0.0, 0.0, 0.0)
