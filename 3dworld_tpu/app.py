@@ -118,11 +118,13 @@ def run_tiled(frames: int, seed: int, chunk: int = 16):
     return w
 
 
-def run_universe(frames: int, seed: int,
-                 ship_defs: str = "/root/reference/universe/ship_defs.txt",
+def run_universe(frames: int, seed: int, ship_defs: str | None = None,
                  chunk: int = 32):
     import os
     import jax
+    if ship_defs is None:   # asset tree (W3D_ASSET_ROOT) when available
+        from .universe.ship_config import shipped_defs_path
+        ship_defs = shipped_defs_path()
     from .models.world import UniverseWorld
     from .universe.gen import UniverseState
     from .universe import ships as USH
@@ -147,6 +149,7 @@ def run_universe(frames: int, seed: int,
                     ship_defs = cand
         except Exception:
             pass
+    defs = None
     if os.path.exists(ship_defs):
         # the reference config drive: ship classes/weapons/fleets from
         # the shipped ship_def_file (ship_config.cpp)
@@ -168,7 +171,17 @@ def run_universe(frames: int, seed: int,
                 defs, jax.random.key(seed))
         else:
             fleet = make_fleet(jax.random.key(seed), 64)
-    w = UniverseWorld(state=UniverseState(), fleet=fleet, fleet_tbl=tbl)
+    combat = ctbl = None
+    if defs is not None:
+        # full weapon model: projectiles/beams/bays/PD/boarding driven
+        # by the parsed tables, with reserve slots for bay launches
+        from .universe import combat as UCB
+        ctbl = UCB.build_combat_tables(defs)
+        n0 = int(np.asarray(fleet.px).shape[0])
+        fleet = UCB.pad_fleet(fleet, n0 + max(16, n0 // 4))
+        combat = UCB.make_combat_state(fleet, ctbl, pool_size=1024)
+    w = UniverseWorld(state=UniverseState(), fleet=fleet, fleet_tbl=tbl,
+                      combat=combat, combat_tables=ctbl)
     pos = [0.0, 0.0, 0.0]
     i = 0
     while i < frames:

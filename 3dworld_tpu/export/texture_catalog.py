@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import noise as NZ
+from ..utils import assets as _assets
 
 _DEF_SIZE = 128
 
@@ -282,15 +283,16 @@ def resolve_texture_name(name: str) -> str | None:
     return _ALIAS.get(name)
 
 
-# the reference repo ships its real texture tree; when present it is the
-# default asset source (Textures.cpp type-0 file textures)
-REFERENCE_ASSET_DIR = "/root/reference/textures"
+# the asset tree (W3D_ASSET_ROOT, default: the reference checkout when
+# present) ships real texture images; when available it is the default
+# asset source (Textures.cpp type-0 file textures)
+REFERENCE_ASSET_DIR = _assets.asset_path("textures") or ""
 
 
 def _find_asset(name: str, asset_dir: str) -> str | None:
     """Exact relative path first (incl. subdirectories like
     bark/bark1.jpg), then basename with common extensions."""
-    if name.startswith("@"):
+    if not asset_dir or name.startswith("@"):
         return None
     p = os.path.join(asset_dir, name)
     if os.path.exists(p):
@@ -314,7 +316,8 @@ def get_reference_texture(name: str, n: int = _DEF_SIZE,
     when present) wins; '@' generated ids and missing files fall to the
     bespoke procedural entries; name-hashed palettes cover the rest, so
     every reference texture id resolves."""
-    if asset_dir is None and os.path.isdir(REFERENCE_ASSET_DIR):
+    if asset_dir is None and REFERENCE_ASSET_DIR \
+            and os.path.isdir(REFERENCE_ASSET_DIR):
         asset_dir = REFERENCE_ASSET_DIR
     if asset_dir:
         p = _find_asset(name, asset_dir)

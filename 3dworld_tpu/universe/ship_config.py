@@ -597,7 +597,11 @@ def ship_part_geometry(d: ShipDefs, max_parts: int = 8):
 
 
 def shipped_defs_path(name: str = "ship_defs.txt") -> str:
-    return os.path.join("/root/reference/universe", name)
+    """Path to a shipped ship-defs file under the configured asset root
+    (W3D_ASSET_ROOT); falls back to a relative path (callers gate on
+    os.path.exists when the tree is absent)."""
+    from ..utils.assets import asset_path
+    return asset_path("universe", name) or os.path.join("universe", name)
 
 
 def primary_fire_points(d: ShipDefs) -> np.ndarray:

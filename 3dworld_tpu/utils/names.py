@@ -24,8 +24,9 @@ import os
 from functools import lru_cache
 
 from .rng import RandGen
+from .assets import asset_path
 
-TEXT_DATA_DIR = "/root/reference/text_data"
+TEXT_DATA_DIR = asset_path("text_data") or ""
 
 
 # ---------------------------------------------------------------------------
@@ -173,6 +174,8 @@ class MarkovNameGen:
 
 
 def _load_lines(fn: str):
+    if not TEXT_DATA_DIR:
+        return []
     path = os.path.join(TEXT_DATA_DIR, fn)
     if not os.path.isfile(path):
         return []

@@ -13,10 +13,10 @@ TPU formulation:
 * basin fill levels: given per-basin water volume, solve
   sum(max(0, z - h)) * dxdy = V by vectorized bisection with
   segment-sums over the label map;
-* spillover (merging overflowing basins) is handled by re-running the
-  fill with merged volumes when a basin's level exceeds its lowest
-  saddle — currently a host-driven iteration (full spill-graph
-  equalization is a later round).
+* spillover (merging overflowing basins): `update_valleys` union-finds
+  over the saddle graph — overflowing basins merge with their spill
+  neighbor, pool volumes at the union root, and refill to a common
+  level, iterated to fixpoint (spillover.cpp's graph equalization).
 """
 
 from __future__ import annotations

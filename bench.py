@@ -18,6 +18,11 @@ Baselines — two anchors, both recorded (BASELINE.md "Measured baselines"):
 Note: each timed rep uses different inputs — the axon TPU relay memoizes
 identical (executable, input) pairs; results are forced with a host read
 (`block_until_ready` alone has been observed to return early here).
+
+Each metric is the MEDIAN of 5 timed groups after 2 warmups, with the
+relative spread reported (`terrain_spread`/`physics_spread`) and a
+`steady_state_ok` flag (spreads < 15%) so a contended run is visible in
+the output instead of silently swinging the headline.
 """
 
 import json
@@ -43,6 +48,17 @@ PHYS_SUBSTEPS = 10
 # (tests/test_physics.py::test_pair_cadence_fidelity); every-substep
 # costs 2.6x more pair work for no measurable fidelity gain.
 PHYS_PAIR_EVERY = 5
+
+
+def _median_spread(rates):
+    """(median, relative spread) of a list of per-group rates.  Spread =
+    (max-min)/median — the steady-state check: >15% means the machine
+    was contended and the number should not be trusted as a regression
+    signal."""
+    s = sorted(rates)
+    med = s[len(s) // 2]
+    spread = (s[-1] - s[0]) / max(med, 1e-9)
+    return med, spread
 
 
 def bench_terrain(jax):
@@ -75,10 +91,15 @@ def bench_terrain(jax):
     # execution may still overlap warmup work (measured 2.7x slow)
     float(jfn(x0))
     float(jfn(x0 + 3.0 * NUM_TILES))
-    t0 = time.perf_counter()
-    float(jfn(x0 + 7.0 * NUM_TILES))
-    dt = (time.perf_counter() - t0) / reps
-    return NUM_TILES / dt
+    # median-of-5 timed groups (VERDICT r4 weak-1: single-shot numbers
+    # swung +-15% with host contention); each group uses distinct inputs
+    rates = []
+    for g in range(5):
+        t0 = time.perf_counter()
+        float(jfn(x0 + (7.0 + g) * NUM_TILES))
+        dt = (time.perf_counter() - t0) / reps
+        rates.append(NUM_TILES / dt)
+    return _median_spread(rates)
 
 
 def bench_physics(jax, pair_every: int = PHYS_PAIR_EVERY):
@@ -115,13 +136,19 @@ def bench_physics(jax, pair_every: int = PHYS_PAIR_EVERY):
     float(cur.px.sum())
     cur = f(cur)
     float(cur.px.sum())   # second warmup: drain any overlapped work
-    reps = 16
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        cur = f(cur)
-    float(cur.px.sum())
-    dt = (time.perf_counter() - t0) / (reps * frames)
-    return 1.0 / dt
+    # median-of-5 groups of 4 pipelined dispatches each (the 4 un-forced
+    # dispatches amortize the relay RTT exactly as before; grouping +
+    # median makes the official number contention-robust)
+    rates = []
+    for _g in range(5):
+        reps = 4
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            cur = f(cur)
+        float(cur.px.sum())
+        dt = (time.perf_counter() - t0) / (reps * frames)
+        rates.append(1.0 / dt)
+    return _median_spread(rates)
 
 
 def bench_live_tiled(jax, chunk: int = 32, chunks: int = 6):
@@ -194,11 +221,11 @@ def main():
         }))
         return
 
-    tiles = bench_terrain(jax)
-    phys = bench_physics(jax)
+    tiles, tiles_spread = bench_terrain(jax)
+    phys, phys_spread = bench_physics(jax)
     # conservative every-substep cadence reported alongside (VERDICT r3
     # item 8: keep exactness-vs-throughput visible)
-    phys_every = bench_physics(jax, pair_every=1)
+    phys_every, _ = bench_physics(jax, pair_every=1)
     try:
         live_tiled = round(bench_live_tiled(jax), 2)
     except Exception:
@@ -217,6 +244,9 @@ def main():
         "terrain_tiles_per_sec": round(tiles, 1),
         "physics_frames_per_sec_10k": round(phys, 1),
         "physics_fps_pair_every_1": round(phys_every, 1),
+        "terrain_spread": round(tiles_spread, 3),
+        "physics_spread": round(phys_spread, 3),
+        "steady_state_ok": bool(tiles_spread < 0.15 and phys_spread < 0.15),
         "live_tiled_city_ms_per_frame": live_tiled,
         "pair_cadence": f"exact banded pass every {PHYS_PAIR_EVERY} of "
                         f"{PHYS_SUBSTEPS} substeps (reference: once/frame)",
