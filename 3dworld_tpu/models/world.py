@@ -248,6 +248,8 @@ class UniverseWorld:
     state: object
     fleet: object = None
     fleet_tbl: object = None      # 40-class table from parsed ship defs
+    combat: object = None         # combat.CombatState (full weapon model)
+    combat_tables: object = None  # combat.CombatTables
     player_ship: object = None
     black_holes: list = field(default_factory=list)  # [(pos, radius)]
     # ($BLACK_HOLE rows, ship_config.cpp; plus generated collapsed stars)
@@ -306,6 +308,21 @@ class UniverseWorld:
                           float(self.player_ship.py),
                           float(self.player_ship.pz))
         created, freed = self.state.update(player_pos)
+        if self.combat is not None:
+            # full weapon model (universe.combat): projectiles, beams,
+            # bays, point defense, boarding — one chained dispatch
+            from ..universe import combat as UCB
+            key = jax.random.fold_in(self.key, self.frame)
+            self.combat = UCB.combat_frames_chained(
+                self.combat, key, frames, self.combat_tables)
+            hz = self._hazards()
+            if hz is not None:
+                tblh = jnp.asarray(self.combat_tables.cls_tbl)
+                self.combat = self.combat._replace(fleet=USH.avoid_hazards(
+                    self.combat.fleet, *hz, tbl=tblh))
+            self.fleet = self.combat.fleet
+            self.frame += frames
+            return created, freed
         if self.fleet is not None:
             key = jax.random.fold_in(self.key, self.frame)
             if self.fleet_tbl is not None:
