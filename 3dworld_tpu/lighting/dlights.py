@@ -43,6 +43,28 @@ def pack_dlights(entries, capacity: int = MAX_DLIGHTS) -> DLights:
                    r=J(a[:, 4]), g=J(a[:, 5]), b=J(a[:, 6]), enabled=en)
 
 
+def material_sphere_dlights(objects, mat_first: int, mats,
+                            capacity: int = None) -> DLights:
+    """Emissive thrown material spheres as dynamic lights at their LIVE
+    positions (throw_sphere binds a light to the object,
+    sphere_materials.cpp:388-394: add_cube_face_lights/light_radius).
+    Host-side pack: call per frame (or per chained chunk) with the
+    current ObjectState."""
+    import numpy as np
+    ot = np.asarray(objects.otype)
+    alive = np.asarray(objects.status) > 0
+    px = np.asarray(objects.px)
+    py = np.asarray(objects.py)
+    pz = np.asarray(objects.pz)
+    entries = []
+    for i in np.nonzero(alive & (ot >= mat_first))[0]:
+        m = mats[(int(ot[i]) - mat_first) % len(mats)]
+        if m.emissive and m.light_radius > 1e-5:
+            entries.append((px[i], py[i], pz[i], m.light_radius,
+                            *m.diffuse_color))
+    return pack_dlights(entries, capacity or MAX_DLIGHTS)
+
+
 @jax.jit
 def eval_dlights_at(dl: DLights, px, py, pz):
     """Summed dlight RGB at query points [N] (shader-side falloff:

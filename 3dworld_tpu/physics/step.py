@@ -90,7 +90,7 @@ def make_state(pos, vel, otype, table: T.ObjTypeTable) -> ObjectState:
     vel = jnp.asarray(vel, jnp.float32)
     n = pos.shape[0]
     otype = jnp.asarray(otype, jnp.int32)
-    oh = jax.nn.one_hot(otype, T.NUM_TOT_OBJS, dtype=jnp.float32)
+    oh = jax.nn.one_hot(otype, table.health.shape[0], dtype=jnp.float32)
     return ObjectState(
         px=pos[:, 0], py=pos[:, 1], pz=pos[:, 2],
         vx=vel[:, 0], vy=vel[:, 1], vz=vel[:, 2],

@@ -512,7 +512,8 @@ def _read_or_calc_zval(tk: _Tok, pos_xy, xf: Xform):
 
 def parse_coll_obj_file(path: str, sphere_gen_seed: int = 0,
                         xf: Xform | None = None, sp: SceneParse | None = None,
-                        layer: CobjLayer | None = None) -> SceneParse:
+                        layer: CobjLayer | None = None,
+                        sphere_gen: dict | None = None) -> SceneParse:
     """Parse a coll-obj scene file (recursively via 'i' includes).
 
     Matches read_coll_obj_file (build_world.cpp:1186-2080) command by
@@ -591,7 +592,8 @@ def parse_coll_obj_file(path: str, sphere_gen_seed: int = 0,
                 if not os.path.exists(sub):
                     sub2 = tk.toks[tk.i - 1]  # as-given (absolute/cwd)
                     sub = sub2 if os.path.exists(sub2) else sub
-                parse_coll_obj_file(sub, sphere_gen_seed, xf, sp, layer)
+                parse_coll_obj_file(sub, sphere_gen_seed, xf, sp, layer,
+                                    sphere_gen)
             # ---- transforms -------------------------------------------
             elif cmd == "t":
                 d = tk.next_vec()
@@ -1187,9 +1189,13 @@ def parse_coll_obj_file(path: str, sphere_gen_seed: int = 0,
                 pr, rmin, rmax = (xf.scale * tk.next_f(),
                                   xf.scale * tk.next_f(),
                                   xf.scale * tk.next_f())
+                from .sphere_materials import (gen_params_from_config,
+                                               gen_random_material)
+                gp = gen_params_from_config(sphere_gen)
                 rg = RandGen()
-                if sphere_gen_seed != 0:
-                    rg.set_state(sphere_gen_seed, 123)
+                seed = gp.rand_seed or sphere_gen_seed
+                if seed != 0:
+                    rg.set_state(seed, 123)
                 placed = []
                 for _ in range(num):
                     r = rg.rand_uniform(rmin, rmax)
@@ -1205,7 +1211,32 @@ def parse_coll_obj_file(path: str, sphere_gen_seed: int = 0,
                                for q in placed):
                             break
                     placed.append((*pos, r))
+                    # per-sphere randomized MATERIAL (gen_rand_spheres,
+                    # sphere_materials.cpp:517-551): the cobj carries
+                    # hardness->elasticity, density, alpha, light_atten,
+                    # refract_ix; emissive spheres register local light
+                    # sources for the tracer (light_sources_a push)
+                    mat = gen_random_material(rg, gp, r)
+                    save = replace(layer)
+                    layer.elasticity = mat.hardness
+                    layer.color = (*mat.diffuse_color, mat.alpha)
+                    layer.density = mat.density
+                    layer.metalness = mat.metalness
+                    layer.emissive = mat.emissive
+                    layer.specular = mat.specular_mag
+                    layer.spec_color = mat.specular_color
+                    layer.shininess = mat.specular_exp
+                    layer.light_atten = (mat.light_atten
+                                         if gp.enable_light_atten else 0.0)
+                    layer.refract_ix = mat.refract_ix
                     add_cobj(COLL_SPHERE, pos, r1=r)
+                    for k in vars(save):
+                        setattr(layer, k, getattr(save, k))
+                    if mat.light_radius > 1e-5:
+                        add_light(LightSpec(
+                            kind="diffuse", size=mat.light_radius,
+                            pos=pos, color=(*mat.diffuse_color, 1.0),
+                            r_inner=1.01 * r))
             else:
                 sp.skipped[cmd] = sp.skipped.get(cmd, 0) + 1
         except (ValueError, IndexError, AssertionError) as e:

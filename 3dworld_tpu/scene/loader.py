@@ -38,6 +38,7 @@ class GroundScene:
     ripples: WR.RippleState
     light_grid: LM.LightGrid
     sphere_mats: SphereMaterials
+    mat_first: int = -1   # first material type id (-1: no material spheres)
     # full scene-DSL entities (build_world.cpp parser outputs)
     parse: SC.SceneParse = None
     platforms: PP.PlatformSet = None
@@ -208,7 +209,8 @@ def load_scene(config_path: str, num_objects: int = 0,
                   *search_dirs):
             p = os.path.join(d, cfg.coll_obj_file)
             if os.path.exists(p):
-                parse = SC.parse_coll_obj_file(p, sphere_gen_seed=cfg.rand_seed)
+                parse = SC.parse_coll_obj_file(p, sphere_gen_seed=cfg.rand_seed,
+                                               sphere_gen=cfg.sphere_gen)
                 break
     if tree_cobjs:
         parse.cobjs.extend(tree_cobjs)   # trunk cylinders join the scene
@@ -238,8 +240,19 @@ def load_scene(config_path: str, num_objects: int = 0,
         rng.uniform(-0.8 * world.x_scene, 0.8 * world.x_scene, n),
         rng.uniform(-0.8 * world.y_scene, 0.8 * world.y_scene, n),
         rng.uniform(0.3 * world.z_scene, 0.9 * world.z_scene, n)], 1)
+    mat_first = -1
+    if sphere_mats.materials:
+        # thrown spheres ARE material spheres in this scene
+        # (throw_sphere spawns MAT_SPHERE with obj.direction = mat_ix,
+        # sphere_materials.cpp:352-395): each material gets its own type
+        # row (density/hardness/radius), objects cycle the material list
+        table, mat_first = PT.extend_table_with_materials(
+            table, sphere_mats.materials)
+        otypes = mat_first + (np.arange(n) % len(sphere_mats.materials))
+    else:
+        otypes = np.full(n, PT.type_id("BALL"))
     objects = PS.make_state(pos, np.zeros((n, 3), np.float32),
-                            np.full(n, PT.type_id("BALL")), table)
+                            otypes, table)
 
     wind = jnp.asarray(cfg.wind_velocity, jnp.float32)
     wpz = jnp.float32(-1e9 if cfg.disable_water else float(terrain.water_plane_z))
@@ -255,6 +268,7 @@ def load_scene(config_path: str, num_objects: int = 0,
         ripples=WR.make_ripples(world.mesh_y, world.mesh_x),
         light_grid=LM.make_light_grid(world),
         sphere_mats=sphere_mats,
+        mat_first=mat_first,
         parse=parse, platforms=platforms, triggers=triggers,
         voxel=voxel, trees=trees, scenery=scenery,
     )
