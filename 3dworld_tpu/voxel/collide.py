@@ -97,14 +97,25 @@ class VoxelCollider:
     block: int = 8                     # cells per block edge (xy)
     max_tris_per_block: int = 4096  # 8^3 cells * 6 tets * 2 can't exceed this
     tris: dict = field(default_factory=dict)     # (bx, by) -> [T, 3, 3]
+    # "mc": true 256-case marching cubes (voxel.mc256, the reference's
+    # topology, marching_cubes.h:9); "tets": marching-tetrahedra fallback
+    method: str = "mc"
 
     def _extract_block(self, values, bx: int, by: int):
         b = self.block
         vs = values[:, by * b:(by + 1) * b + 1, bx * b:(bx + 1) * b + 1]
-        vx, vy, vz, valid = MC.marching_tets(jnp.asarray(vs),
-                                             self.params.isolevel)
-        t = np.stack([np.asarray(vx), np.asarray(vy), np.asarray(vz)], -1)
-        t = t[np.asarray(valid)][:self.max_tris_per_block]   # [T, 3, 3] cells
+        if self.method == "mc":
+            from . import mc256 as M256
+            verts, valid = M256.marching_cubes(
+                jnp.asarray(vs).transpose(2, 1, 0), self.params.isolevel)
+            t = np.asarray(verts)[np.asarray(valid)]
+            t = t[:self.max_tris_per_block]
+        else:
+            vx, vy, vz, valid = MC.marching_tets(jnp.asarray(vs),
+                                                 self.params.isolevel)
+            t = np.stack([np.asarray(vx), np.asarray(vy), np.asarray(vz)],
+                         -1)
+            t = t[np.asarray(valid)][:self.max_tris_per_block]  # [T, 3, 3]
         sp = self.spacing
         ox, oy, oz = self.origin
         out = np.empty_like(t)
