@@ -370,6 +370,176 @@ def get_cobj_rot_axis(cobjs: CobjSet, i: int, mesh_min_z: float):
     return (closest, axis)
 
 
+def _rodrigues(pts, pivot, axis, angle):
+    """Rotate points about (pivot, axis) by angle (rotate_point /
+    rotate_vector3d, movable_cobj.cpp:538-543)."""
+    import numpy as np
+    ax = np.asarray(axis, np.float64)
+    ax = ax / max(np.linalg.norm(ax), 1e-12)
+    p = np.asarray(pts, np.float64) - pivot
+    c, s = np.cos(angle), np.sin(angle)
+    return (p * c + np.cross(ax, p) * s
+            + ax * (p @ ax)[:, None] * (1 - c)) + pivot
+
+
+def _cube_corners(lo, hi):
+    import numpy as np
+    return np.array([(x, y, z) for z in (lo[2], hi[2])
+                     for y in (lo[1], hi[1]) for x in (lo[0], hi[0])])
+
+
+def _box_to_polygon(cobjs: CobjSet, i: int, corners):
+    """Replace cobj i with the extruded-polygon representation of a
+    rotated box: center-plane quad + rotated z normal + height
+    thickness (the reference converts rotated cubes to polygon cobjs,
+    coll_obj::rotate_about -> was_a_cube)."""
+    import numpy as np
+    from .cobjs import COLL_POLYGON
+    bot = corners[:4][[0, 1, 3, 2]]     # cycle order
+    top = corners[4:][[0, 1, 3, 2]]
+    quad = 0.5 * (bot + top)
+    nr = np.cross(quad[1] - quad[0], quad[3] - quad[0])
+    nr = nr / max(np.linalg.norm(nr), 1e-12)
+    height = float(np.linalg.norm(top[0] - bot[0]))
+    pts = np.asarray(cobjs.pts).copy()
+    pts[i, :4] = quad
+    return cobjs._replace(
+        shape=cobjs.shape.at[i].set(COLL_POLYGON),
+        pts=jnp.asarray(pts),
+        pnorm=cobjs.pnorm.at[i].set(jnp.asarray(nr, jnp.float32)),
+        npts=cobjs.npts.at[i].set(4),
+        r1=cobjs.r1.at[i].set(height),
+        p1=cobjs.p1.at[i].set(jnp.asarray(corners.min(0), jnp.float32)),
+        p2=cobjs.p2.at[i].set(jnp.asarray(corners.max(0), jnp.float32)))
+
+
+def _corners_blocked(corners, cobjs: CobjSet, i: int, mesh_min_z: float,
+                     tol: float = 1e-4):
+    """Any rotated corner below the ground or inside another (cube)
+    cobj — the penetration test the binary search resolves against."""
+    import numpy as np
+    if (corners[:, 2] < mesh_min_z - tol).any():
+        return True
+    lo = np.minimum(np.asarray(cobjs.p1), np.asarray(cobjs.p2))
+    hi = np.maximum(np.asarray(cobjs.p1), np.asarray(cobjs.p2))
+    live = np.asarray(cobjs.shape) == COLL_CUBE
+    for j in np.where(live)[0]:
+        if j == i:
+            continue
+        inside = ((corners > lo[j] + tol) & (corners < hi[j] - tol))
+        if inside.all(axis=1).any():
+            return True
+    return False
+
+
+def rotate_cube_to_rest(cobjs: CobjSet, i: int, mesh_min_z: float,
+                        bisect_iters: int = 20):
+    """Tip an unstable cube about its support-hull pivot until a NEW
+    contact stops it, finding the contact angle by binary search
+    (the get_cobj_rot_axis + rotate_about + binary-delta scheme of
+    movable_cobj.cpp:599-735).  Returns (cobjs', rotated_bool)."""
+    import numpy as np
+    rv = get_cobj_rot_axis(cobjs, i, mesh_min_z)
+    if rv is None:
+        return cobjs, False
+    pivot_xy, axis_xy = rv
+    lo = np.minimum(np.asarray(cobjs.p1[i]), np.asarray(cobjs.p2[i]))
+    hi = np.maximum(np.asarray(cobjs.p1[i]), np.asarray(cobjs.p2[i]))
+    pivot = np.array([pivot_xy[0], pivot_xy[1], lo[2]])
+    axis = np.array([axis_xy[0], axis_xy[1], 0.0])
+    corners = _cube_corners(lo, hi).astype(np.float64)
+    com = corners.mean(0)
+    # rotation sign: the COM must move DOWN (gravity drives the tip)
+    eps = 1e-3
+    if _rodrigues(com[None], pivot, axis, eps)[0, 2] > com[2]:
+        axis = -axis
+    # largest collision-free angle in (0, pi/2]: grow until blocked,
+    # then bisect the contact angle (get_max_cobj_move_delta's
+    # binary-split scheme applied to rotation)
+    a_lo, a_hi = 0.0, np.pi / 2
+    if not _corners_blocked(_rodrigues(corners, pivot, axis, a_hi),
+                            cobjs, i, mesh_min_z):
+        a_lo = a_hi                      # quarter-turn lands flat
+    else:
+        for _ in range(bisect_iters):
+            mid = 0.5 * (a_lo + a_hi)
+            if _corners_blocked(_rodrigues(corners, pivot, axis, mid),
+                                cobjs, i, mesh_min_z):
+                a_hi = mid
+            else:
+                a_lo = mid
+    if a_lo < 1e-4:
+        return cobjs, False              # already in contact
+    out = _rodrigues(corners, pivot, axis, a_lo)
+    return _box_to_polygon(cobjs, i, out), True
+
+
+def mesh_normal_at(mesh, world, x: float, y: float):
+    """Bilinear mesh normal (get_mesh_normal_at,
+    movable_cobj.cpp:484-495) from central height differences."""
+    import numpy as np
+    m = np.asarray(mesh)
+    my, mx = m.shape
+    dx = 2.0 * world.x_scene / max(mx - 1, 1)
+    dy = 2.0 * world.y_scene / max(my - 1, 1)
+    fx = np.clip((x + world.x_scene) / dx, 1, mx - 2)
+    fy = np.clip((y + world.y_scene) / dy, 1, my - 2)
+    ix, iy = int(fx), int(fy)
+    gx = (m[iy, ix + 1] - m[iy, ix - 1]) / (2 * dx)
+    gy = (m[iy + 1, ix] - m[iy - 1, ix]) / (2 * dy)
+    n = np.array([-gx, -gy, 1.0])
+    return n / np.linalg.norm(n)
+
+
+def rotate_to_align_with_mesh(cobjs: CobjSet, i: int, mesh, world):
+    """Rotate a grounded cube about its COM so its resting normal
+    matches the local mesh normal (rotate_to_align_with_mesh /
+    adjust_cobj_resting_normal, movable_cobj.cpp:495-509).  Returns
+    (cobjs', rotated_bool)."""
+    import numpy as np
+    lo = np.minimum(np.asarray(cobjs.p1[i]), np.asarray(cobjs.p2[i]))
+    hi = np.maximum(np.asarray(cobjs.p1[i]), np.asarray(cobjs.p2[i]))
+    com = 0.5 * (lo + hi)
+    supp = mesh_normal_at(mesh, world, com[0], com[1])
+    rest = np.array([0.0, 0.0, 1.0])    # cube resting normal, negated up
+    if supp @ rest > 0.999:
+        return cobjs, False             # already aligned
+    axis = np.cross(supp, rest)
+    axis = axis / max(np.linalg.norm(axis), 1e-12)
+    angle = float(np.arccos(np.clip(supp @ rest, -1.0, 1.0)))
+    corners = _cube_corners(lo, hi).astype(np.float64)
+    out = _rodrigues(corners, com, axis, -angle)
+    return _box_to_polygon(cobjs, i, out), True
+
+
+def binary_search_drop(cobjs: CobjSet, i: int, mesh_min_z: float,
+                       max_drop: float, iters: int = 20) -> float:
+    """Largest downward translation of cube i that stays
+    penetration-free against the ground and other cubes — the
+    reference's get_max_cobj_move_delta binary split
+    (movable_cobj.cpp:699-713) specialized to the drop vector."""
+    import numpy as np
+    lo = np.minimum(np.asarray(cobjs.p1[i]), np.asarray(cobjs.p2[i]))
+    hi = np.maximum(np.asarray(cobjs.p1[i]), np.asarray(cobjs.p2[i]))
+    corners = _cube_corners(lo, hi).astype(np.float64)
+
+    def free(t):
+        return not _corners_blocked(
+            corners - np.array([0.0, 0.0, t * max_drop]),
+            cobjs, i, mesh_min_z)
+
+    if free(1.0):
+        return max_drop
+    t_lo, t_hi = 0.0, 1.0
+    for _ in range(iters):
+        mid = 0.5 * (t_lo + t_hi)
+        if free(mid):
+            t_lo = mid
+        else:
+            t_hi = mid
+    return t_lo * max_drop
+
+
 def check_unstable_hull(cobjs: CobjSet, i: int, mesh_min_z: float):
     """Axis-aligned projection of the hull decision, for tip_cube: maps
     the lever direction onto the dominant (+-1, dim) tip direction."""
