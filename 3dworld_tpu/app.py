@@ -72,13 +72,43 @@ def run_ground(config: str, frames: int, num_objects: int,
     return scene
 
 
-def run_tiled(frames: int, seed: int, chunk: int = 16):
+def _world_hash(w, tm) -> str:
+    """Deterministic digest of the live tiled-world state (cars, peds,
+    building people, tile keys) — the replay-equality check target."""
+    import hashlib
+    h = hashlib.sha256()
+    for a in (w.cars.seg, w.cars.t, w.peds.x, w.peds.y):
+        h.update(np.ascontiguousarray(np.asarray(a)).tobytes())
+    if w.last_probe is not None:
+        h.update(np.ascontiguousarray(np.asarray(w.last_probe)).tobytes())
+    h.update(",".join(map(str, sorted(tm.tiles))).encode())
+    return h.hexdigest()[:16]
+
+
+def run_tiled(frames: int, seed: int, chunk: int = 16,
+              record: str | None = None, replay: str | None = None):
+    """Tiled-city loop with session record/replay (`-uel` semantics,
+    u_event.cpp:23-60): `record` writes an event journal (srand seed +
+    per-chunk camera inputs) plus per-chunk state hashes; `replay`
+    drives the loop from a journal instead of the default camera path
+    and must reproduce the hashes bit-identically."""
     import numpy as np
     from .models.world import make_tiled_world
     from .terrain.tiles import TileManager
     from .terrain.mesh import TerrainConfig
     from .utils.constants import WorldConst
     from .city import assemble as CA
+    from .utils import events as EV
+
+    journal = rp = None
+    if replay:
+        rp = EV.Replay(EV.EventJournal.load(replay))
+        for (_f, kind, payload) in rp.events_for_frame(0):
+            if kind == EV.EV_SRAND:
+                seed = int(payload[0])
+    if record:
+        journal = EV.EventJournal()
+        journal.record(0, EV.EV_SRAND, seed)
     tm = TileManager(cfg=TerrainConfig(mesh_seed=seed),
                      world=WorldConst(mesh_x=64, mesh_y=64), tile_size=64)
     # full live city over a flat region (gen_cities + traffic init)
@@ -95,17 +125,26 @@ def run_tiled(frames: int, seed: int, chunk: int = 16):
     w = make_tiled_world(tm, cw, builders=[(interior, 48, objs)],
                          seed=seed, chunk=chunk, num_birds=8,
                          num_trains=2)
-    cam = 0.0
+    cam, cam_y = 0.0, 0.0
+    hashes = []
     i = 0
     while i < frames:
         k = min(chunk, frames - i)
+        if rp is not None:
+            # recorded camera input for this chunk (EV_CAMERA rows)
+            for (_f, kind, payload) in rp.events_for_frame(i):
+                if kind == EV.EV_CAMERA:
+                    cam, cam_y, k = payload[0], payload[1], int(payload[2])
+        if journal is not None:
+            journal.record(i, EV.EV_CAMERA, cam, cam_y, k)
         t0 = time.perf_counter()
-        created, deleted = w.step_chunk(cam, 0.0, frames=k)
+        created, deleted = w.step_chunk(cam, cam_y, frames=k)
         cam += 0.8 * k
         acts = (np.bincount(w.last_probe[:, 4].astype(np.int32),
                             minlength=5).tolist()
                 if w.last_probe is not None else [])
         dt = (time.perf_counter() - t0) / k
+        hashes.append(_world_hash(w, tm))
         print(json.dumps({"frame": i + k - 1, "mode": "tiled",
                           "chained": k,
                           "tiles": len(tm.tiles),
@@ -113,8 +152,14 @@ def run_tiled(frames: int, seed: int, chunk: int = 16):
                           "peds": int(w.peds.x.shape[0]),
                           "bldg_people_acts": acts,
                           "created": len(created), "deleted": len(deleted),
+                          "hash": hashes[-1],
                           "ms": round(dt * 1e3, 1)}))
         i += k
+    if journal is not None:
+        journal.save(record)
+        with open(record + ".hashes.json", "w") as f:
+            json.dump(hashes, f)
+    w.frame_hashes = hashes
     return w
 
 
