@@ -31,6 +31,9 @@ class CityWorld:
     buildings: list = field(default_factory=list)
     helis: object = None
     helipads: object = None
+    skyways: list = field(default_factory=list)   # structures.Skyway
+    power: object = None                          # structures.PowerLines
+    ug_elevators: list = field(default_factory=list)
     frame: int = 0
 
 
@@ -59,9 +62,17 @@ def build_city(heightmap, water_z: float = -0.5, num_cities: int = 2,
         pads = jnp.asarray(CT.make_helipads(bl))
         if pads.shape[0] > 0:
             helis = CT.make_helis(num_helis, np.asarray(pads), seed=seed)
+    # plot-spanning structures: skyways between tall buildings, power
+    # poles + wires along roads, underground parking elevators
+    # (city_obj_placer.cpp skyway/power/ug_elevator placement)
+    from . import structures as CS
+    skyways = CS.place_skyways(bl)
+    power = CS.place_power_lines(net)
+    ug = CS.place_ug_elevators(net.blocks, seed=seed)
     return CityWorld(net=net, graph=graph, stoplights=sl, cars=cars,
                      peds=peds, ped_nav=nav, buildings=bl,
-                     helis=helis, helipads=pads)
+                     helis=helis, helipads=pads,
+                     skyways=skyways, power=power, ug_elevators=ug)
 
 
 def city_frame(cw: CityWorld, key) -> CityWorld:
