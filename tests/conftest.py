@@ -15,6 +15,19 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent XLA compilation cache: compile time dominates the quick
+# tier (most tests trace large programs on tiny data), and the cache
+# survives across runs so repeat CI passes skip the compiles entirely.
+# Lives inside the repo tree (gitignored) so a checkout keeps its cache.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:
+    pass    # older jax without these options: cold compiles only
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 

@@ -132,7 +132,7 @@ def test_point_defense_intercepts_torpedoes(defs, ct):
 
     def total_damage(rows, frames=120):
         f = _mk(defs, rows)
-        cs = CB.make_combat_state(f, ct_t, pool_size=128)
+        cs = CB.make_combat_state(f, ct_t, pool_size=64)
         out = _run(cs, ct_t, frames)
         sh = np.asarray(out.fleet.shields)
         ar = np.asarray(out.fleet.armor)
@@ -180,7 +180,7 @@ def test_boarding_capture_flips_alignment(defs, ct):
     f = f._replace(shields=np.array([tbl[BSHUTTLE, 3], 0.0], np.float32),
                    armor=np.array([tbl[BSHUTTLE, 2],
                                    0.2 * tbl[FRIGATE, 2]], np.float32))
-    cs = CB.make_combat_state(f, ct, pool_size=32)
+    cs = CB.make_combat_state(f, ct, pool_size=64)
     out = _run(cs, ct, 10)
     al = np.asarray(out.fleet.align)
     cap = np.asarray(out.captured)
@@ -193,7 +193,7 @@ def test_no_capture_with_shields_up(defs, ct):
     tbl = SC.ship_class_table(defs)
     gap = 0.8 * CB.BOARD_REACH * (tbl[BSHUTTLE, 7] + tbl[FRIGATE, 7])
     f = _mk(defs, [(BSHUTTLE, 0, (0, 0, 0)), (FRIGATE, 1, (gap, 0, 0))])
-    cs = CB.make_combat_state(f, ct, pool_size=32)
+    cs = CB.make_combat_state(f, ct, pool_size=64)
     out = _run(cs, ct, 5)
     assert np.asarray(out.fleet.align)[1] == 1
     assert not np.asarray(out.captured)[1]

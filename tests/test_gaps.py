@@ -584,6 +584,7 @@ def test_movable_tipping():
     assert int(MV.apply_tipping(c3, 0.0).shape[1]) == COLL_CUBE
 
 
+@pytest.mark.slow
 def test_building_indir_manager_and_game_score():
     """building_indir_light_mgr_t queue semantics + Gameplay.cpp kill
     credit and blood decals."""
@@ -793,6 +794,7 @@ def test_spray_paint():
     assert not hit3                                # sky: no paint
 
 
+@pytest.mark.slow
 def test_full_weapon_table_and_hitscan():
     """The 20-weapon table transcription (Gameplay.cpp:71-93): ammo /
     cooldown bookkeeping, shotgun multi-pellet spawn with firing error,

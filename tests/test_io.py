@@ -730,6 +730,7 @@ def test_dxt_block_compression():
 
 @pytest.mark.skipif(not os.path.isdir("/root/reference/textures"),
                     reason="reference texture tree absent")
+@pytest.mark.slow
 def test_reference_texture_assets_load():
     """The reference's shipped textures/ tree is the default asset
     source (round-2 verdict: every id was a procedural stand-in): the

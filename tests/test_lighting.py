@@ -11,7 +11,8 @@ from w3d.physics.cobjs import COLL_CUBE, COLL_SPHERE
 from w3d.utils.constants import WorldConst
 
 W = WorldConst(mesh_x=32, mesh_y=32, mesh_z=16)
-PARAMS = T.TraceParams(max_bounces=4, samples_per_segment=8, line_length=16.0)
+PARAMS = T.TraceParams(max_bounces=3, samples_per_segment=6, line_length=16.0,
+                       mesh_steps=12)
 
 
 def floor_scene():
@@ -216,7 +217,7 @@ def test_ice_stops_rays_at_water_plane_when_frozen():
     wpz = -1.0
 
     def run(temp):
-        params = T.TraceParams(max_bounces=4, samples_per_segment=8,
+        params = T.TraceParams(max_bounces=3, samples_per_segment=6,
                                line_length=16.0, water_plane_z=wpz,
                                temperature=temp)
         grid = L.make_light_grid(W)
@@ -508,9 +509,10 @@ def test_compact_tracer_unbiased():
     grid1 = L.make_light_grid(W)
     grid2 = L.make_light_grid(W)
     g_full = T.compute_sky_lighting(grid1, co, MESH, 16384, seed=3,
-                                    params=T.TraceParams())
+                                    params=T.TraceParams(max_bounces=4))
     g_comp = T.compute_sky_lighting(grid2, co, MESH, 16384, seed=3,
-                                    params=T.TraceParams(compact=True))
+                                    params=T.TraceParams(max_bounces=4,
+                                                          compact=True))
     e_full = float(jnp.sum(g_full.sv))
     e_comp = float(jnp.sum(g_comp.sv))
     assert e_full > 0
@@ -528,9 +530,13 @@ def test_auto_transmission_gate_bitwise():
     co = floor_scene()           # all alpha == 1
     assert not bool((np.asarray(co.alpha) < 1.0).any())
     g1 = T.compute_sky_lighting(L.make_light_grid(W), co, MESH, 4096,
-                                seed=5, params=T.TraceParams(transmission=True))
+                                seed=5, params=T.TraceParams(
+                                    max_bounces=3, samples_per_segment=6,
+                                    transmission=True))
     g2 = T.compute_sky_lighting(L.make_light_grid(W), co, MESH, 4096,
-                                seed=5, params=T.TraceParams(transmission=False))
+                                seed=5, params=T.TraceParams(
+                                    max_bounces=3, samples_per_segment=6,
+                                    transmission=False))
     np.testing.assert_array_equal(np.asarray(g1.sv), np.asarray(g2.sv))
     np.testing.assert_array_equal(np.asarray(g1.sc_r), np.asarray(g2.sc_r))
 

@@ -16,6 +16,10 @@ from w3d.scene import cobj as SC
 
 W = WorldConst(mesh_x=32, mesh_y=32, mesh_z=16)
 MESH = jnp.full((W.mesh_y, W.mesh_x), -0.6, jnp.float32)
+# small trace graph for the quick tier: compile time dominates these
+# tests (the 8-bounce default unrolls a graph ~3x this size); behavior
+# under test (psum merge, determinism, energy parity) is bounce-agnostic
+P3 = T.TraceParams(max_bounces=3, samples_per_segment=6, mesh_steps=12)
 
 
 def floor_scene():
@@ -39,7 +43,7 @@ def test_sharded_sky_bake_runs_and_merges(dev_mesh):
     grid = L.make_light_grid(W)
     out = LP.compute_sky_lighting_sharded(dev_mesh, grid, co, MESH,
                                           num_rays=8 * 2048, batch=2048,
-                                          seed=1, world=W)
+                                          seed=1, world=W, params=P3)
     sv = np.asarray(out.sv)
     assert np.isfinite(sv).all()
     assert sv.sum() > 0
@@ -68,10 +72,10 @@ def test_sharded_matches_single_device_statistically(dev_mesh):
     co = floor_scene()
     n = 8 * 2048
     sharded = LP.compute_sky_lighting_sharded(
-        dev_mesh, L.make_light_grid(W), co, MESH, num_rays=n, batch=2048,
+        dev_mesh, L.make_light_grid(W), co, MESH, num_rays=n, batch=2048, params=P3,
         seed=3, world=W)
     single = T.compute_sky_lighting(
-        L.make_light_grid(W), co, MESH, n, seed=3, world=W, batch=2048)
+        L.make_light_grid(W), co, MESH, n, seed=3, world=W, batch=2048, params=P3)
     es = float(jnp.sum(sharded.sv))
     e1 = float(jnp.sum(single.sv))
     assert e1 > 0
@@ -83,7 +87,7 @@ def test_sharded_global_bake(dev_mesh):
     grid = L.make_light_grid(W)
     out = LP.compute_global_lighting_sharded(
         dev_mesh, grid, co, MESH, num_rays=8 * 1024, batch=1024,
-        sun_dir=(0.3, 0.2, -0.9), seed=2, world=W)
+        sun_dir=(0.3, 0.2, -0.9), seed=2, world=W, params=P3)
     gv = np.asarray(out.gv)
     assert np.isfinite(gv).all()
     assert gv.sum() > 0
@@ -96,10 +100,10 @@ def test_sharded_bake_accumulates_onto_existing(dev_mesh):
     co = floor_scene()
     base = LP.compute_sky_lighting_sharded(
         dev_mesh, L.make_light_grid(W), co, MESH, num_rays=8 * 512,
-        batch=512, seed=4, world=W)
+        batch=512, seed=4, world=W, params=P3)
     twice = LP.compute_sky_lighting_sharded(
         dev_mesh, base, co, MESH, num_rays=8 * 512, batch=512, seed=5,
-        world=W)
+        world=W, params=P3)
     d1 = float(jnp.sum(base.sv))
     d2 = float(jnp.sum(twice.sv))
     # second bake adds a comparable delta on top (not ndev x base)
@@ -115,9 +119,9 @@ def test_sharded_bake_nonmultiple_ray_count(dev_mesh):
     n = 8 * 1500                       # per-device 1500, batch 1024 -> 2 batches of 1024+476
     sharded = LP.compute_sky_lighting_sharded(
         dev_mesh, L.make_light_grid(W), co, MESH, num_rays=n, batch=1024,
-        seed=9, world=W)
+        seed=9, world=W, params=P3)
     single = T.compute_sky_lighting(
-        L.make_light_grid(W), co, MESH, n, seed=9, world=W, batch=1024)
+        L.make_light_grid(W), co, MESH, n, seed=9, world=W, batch=1024, params=P3)
     es = float(jnp.sum(sharded.sv))
     e1 = float(jnp.sum(single.sv))
     assert abs(es - e1) / e1 < 0.12, (es, e1)

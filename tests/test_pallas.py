@@ -179,6 +179,7 @@ def test_pallas_sample_mesh_matches_xla():
         assert float(jnp.abs(a - b).max()) < 1e-6
 
 
+@pytest.mark.slow
 def test_spatial_sort_repair_matches_full_sort():
     """Comb repair == full sort on (a) a random population (cond
     fallback) and (b) a slightly-drifted sorted one (repair path); the

@@ -113,6 +113,7 @@ def test_sharded_shadow_carry_mode_axis_aligned_bitwise():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_sharded_shadow_carry_mode_drift_close():
     """With lateral drift the carry mode's edge interpolation reorders
     max/interp; the shadow masks still agree except at a small fraction

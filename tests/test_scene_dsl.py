@@ -7,6 +7,7 @@ import glob
 import os
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 import w3d
@@ -358,6 +359,7 @@ def test_hmap_params_and_toggles_bound():
     assert cfg2.display_mode == 0x10
 
 
+@pytest.mark.slow
 def test_ground_trees_register_trunk_cobjs(tmp_path):
     """ntrees > 0 places trees above water with trunk collision
     cylinders in the scene cobj set (regen_trees + tree cobjs)."""

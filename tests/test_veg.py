@@ -1,5 +1,6 @@
 """Vegetation tests: trees, grass, scenery."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -34,6 +35,7 @@ def test_tree_placement_deterministic():
     assert not np.array_equal(np.asarray(a[0]), np.asarray(c[0]))
 
 
+@pytest.mark.slow
 def test_gen_trees_geometry():
     k = jax.random.key(1)
     n = 16
@@ -187,6 +189,7 @@ def _tree_fixture():
     return VT, ts, ls
 
 
+@pytest.mark.slow
 def test_leaves_fall_over_time():
     """drop_leaves sheds an occasional leaf (reference temp0 quirk
     preserved: temperature does not modulate the rate); fully damaged

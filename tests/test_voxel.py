@@ -269,6 +269,7 @@ def test_diagonal_contact_is_not_support():
     assert f[2, 3, 3]
 
 
+@pytest.mark.slow
 def test_marching_tets_lod_levels():
     """LOD tri lists (voxels.h:188): strided extraction gives coarser,
     cheaper isosurfaces of the same field that still bound the solid."""
