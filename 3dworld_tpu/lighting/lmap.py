@@ -76,20 +76,39 @@ def cell_index(grid: LightGrid, x, y, z, world: WorldConst):
     return flat, ok
 
 
-def accumulate(grid: LightGrid, ltype: int, flat_idx, ok, r, g, b, w) -> LightGrid:
+def accumulate(grid: LightGrid, ltype: int, flat_idx, ok, r, g, b, w,
+               shards: int = 1) -> LightGrid:
     """Scatter-add one batch of weighted color samples into the volume.
 
     Equivalent of `add_path_to_lmcs`'s per-cell accumulation
     (ray_trace.cpp:222-253): color*weight into the ltype's RGB channels,
     SIGNED weight into the weight channel (sky/global) — cobj-accum
     delta rays carry negative weight and must subtract from the weight
-    channel exactly what the positive bake added."""
+    channel exactly what the positive bake added.
+
+    `shards` > 1 splits the sample stream into that many independent
+    scatters into PRIVATE zero volumes, summed afterwards.  TPU scatters
+    serialize per index but independent scatters overlap near-perfectly
+    (measured: 4 channel scatters cost the same wall time as 1), so
+    sharding cuts the deposit wall ~shards-fold for large batches at the
+    price of `shards` temporary volumes."""
     nz, ny, nx = grid.shape
     n_cells = nz * ny * nx
     idx = jnp.where(ok, flat_idx, n_cells)  # OOB -> dropped
 
-    def sc(vol, vals):
-        return vol.reshape(-1).at[idx].add(vals, mode="drop").reshape(vol.shape)
+    n = idx.shape[0]
+    if shards > 1 and n % shards == 0:
+        idx_s = idx.reshape(shards, -1)
+
+        def sc(vol, vals):
+            vals_s = vals.reshape(shards, -1)
+            parts = [jnp.zeros((n_cells,), vol.dtype)
+                     .at[idx_s[g]].add(vals_s[g], mode="drop")
+                     for g in range(shards)]
+            return (vol.reshape(-1) + sum(parts)).reshape(vol.shape)
+    else:
+        def sc(vol, vals):
+            return vol.reshape(-1).at[idx].add(vals, mode="drop").reshape(vol.shape)
 
     if ltype == LIGHTING_SKY:
         return grid._replace(

@@ -79,6 +79,18 @@ class TraceParams(NamedTuple):
                                    # they need fewer jittered samples
                                    # than the long bounce-0 sky segment.
                                    # compact path only.
+    deposit_shards: int = 0        # split each deposit scatter into this
+                                   # many independent streams into private
+                                   # volumes (summed after).  Independent
+                                   # TPU scatters overlap near-perfectly,
+                                   # so shards cut the serialized deposit
+                                   # wall ~shards-fold (lmap.accumulate).
+                                   # 0 = auto (8 for big batches, 1 small).
+    cobj_types: tuple = ()         # static shape-type presence for the
+                                   # intersect (ops.ray.present_types);
+                                   # () = unknown -> every formula block
+                                   # stays in the graph.  Set by the
+                                   # compute_* drivers via _auto_types.
 
 
 def _luminance(r, g, b):
@@ -101,7 +113,7 @@ def landscape_color_map(mesh, world: WorldConst, biome_noise=None):
 
 
 def _accumulate_segment(grid, ltype, ox, oy, oz, dx, dy, dz, t_hit, w, cr, cg, cb,
-                        alive, S, world):
+                        alive, S, world, shards: int = 1):
     """Walk each ray's segment [0, t_hit] with S jittered samples and
     scatter color*weight/S into the volume (add_path_to_lmcs).
 
@@ -140,7 +152,7 @@ def _accumulate_segment(grid, ltype, ox, oy, oz, dx, dy, dz, t_hit, w, cr, cg, c
     rv = jnp.broadcast_to(cr[:, None], ts.shape).reshape(-1)
     gv = jnp.broadcast_to(cg[:, None], ts.shape).reshape(-1)
     bv = jnp.broadcast_to(cb[:, None], ts.shape).reshape(-1)
-    return L.accumulate(grid, ltype, idx, ok, rv, gv, bv, wv)
+    return L.accumulate(grid, ltype, idx, ok, rv, gv, bv, wv, shards=shards)
 
 
 @functools.partial(jax.jit, static_argnames=("ltype", "params", "world"))
@@ -170,6 +182,10 @@ def trace_batch(
     N = ox.shape[0]
     LL = params.line_length
     frozen = params.temperature <= W_FREEZE_POINT
+    # static gate: a water plane far below any scene content can't be
+    # crossed — compile the whole water/ice branch out (the plane z is a
+    # static param, so this costs nothing at runtime)
+    water_on = params.water_plane_z > -1.0e8
     state = dict(ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
                  w=w0, w0=w0, r=cr, g=cg, b=cb,
                  alive=jnp.ones((N,), bool), grid=grid)
@@ -184,16 +200,20 @@ def trace_batch(
         ox, oy, oz = st["ox"], st["oy"], st["oz"]
         dx, dy, dz = st["dx"], st["dy"], st["dz"]
         N = ox.shape[0]          # may shrink between bounces (compact)
+        dep_shards = params.deposit_shards or (4 if N * S >= 262144 else 1)
         w_init = st["w0"]
         tmax = jnp.full((N,), LL)
+        present = params.cobj_types or None
         if params.transmission:
             chit, ct, cnx, cny, cnz, coh, ct_exit = R.ray_cobjs_nearest(
-                ox, oy, oz, dx, dy, dz, tmax, cobjs, with_exit=True)
+                ox, oy, oz, dx, dy, dz, tmax, cobjs, with_exit=True,
+                present=present)
         else:
             # exit-t feeds only the transmission chord; skip its
             # per-shape far-hit math when the branch is gated off
             chit, ct, cnx, cny, cnz, coh = R.ray_cobjs_nearest(
-                ox, oy, oz, dx, dy, dz, tmax, cobjs, with_exit=False)
+                ox, oy, oz, dx, dy, dz, tmax, cobjs, with_exit=False,
+                present=present)
             ct_exit = ct
         if params.exact_mesh:
             mhit, mt = R.ray_heightfield_dda(ox, oy, oz, dx, dy, dz, tmax,
@@ -211,23 +231,28 @@ def trace_batch(
         # water plane from above either stops at the ice surface (frozen)
         # or attenuates through the water volume
         wpz = params.water_plane_z
-        hz0 = oz + t * dz
-        crossed = hit & (oz >= wpz) & (hz0 < wpz)
-        if frozen:
-            t_ice = (wpz - oz) / jnp.where(jnp.abs(dz) < 1e-9, -1e-9, dz)
-            t = jnp.where(crossed, t_ice, t)
-            ice_coll = crossed
+        if not water_on:
+            ice_coll = jnp.zeros((N,), bool)
             water_coll = jnp.zeros((N,), bool)
         else:
-            ice_coll = jnp.zeros((N,), bool)
-            water_coll = crossed
+            hz0 = oz + t * dz
+            crossed = hit & (oz >= wpz) & (hz0 < wpz)
+            if frozen:
+                t_ice = (wpz - oz) / jnp.where(jnp.abs(dz) < 1e-9, -1e-9, dz)
+                t = jnp.where(crossed, t_ice, t)
+                ice_coll = crossed
+                water_coll = jnp.zeros((N,), bool)
+            else:
+                ice_coll = jnp.zeros((N,), bool)
+                water_coll = crossed
 
         alive = st["alive"]
         contrib = alive & hit    # un-hit rays deposit nothing (ray_trace.cpp:341)
         grid2 = _accumulate_segment(
             st["grid"], ltype, ox, oy, oz, dx, dy, dz, t,
             st["w"] * contrib.astype(jnp.float32), st["r"], st["g"], st["b"],
-            jnp.ones((N,), jnp.float32), S, world)
+            jnp.ones((N,), jnp.float32), S, world,
+            shards=dep_shards)
 
         # hit point + normal (ice: always +z, ray_trace.cpp:301)
         hx = ox + t * dx
@@ -245,16 +270,20 @@ def trace_batch(
         # water volume attenuation (ray_trace.cpp:347-365): solid WATER_C
         # * 0.95, channel atten 1 - min(1, uw_scale * 0.8 * dist), dist =
         # 2x the underwater optical path; shallow-angle rays die
-        dzc = jnp.where(jnp.abs(dz) < 1e-6, -1e-6, dz)
-        wdist = jnp.where(water_coll, -2.0 * jnp.maximum(wpz - hz, 0.0) / dzc, 0.0)
-        wr = WATER_C[0] * 0.95 * (1.0 - jnp.minimum(1.0, UW_ATTEN_SCALE[0] * 0.8 * wdist))
-        wg = WATER_C[1] * 0.95 * (1.0 - jnp.minimum(1.0, UW_ATTEN_SCALE[1] * 0.8 * wdist))
-        wb = WATER_C[2] * 0.95 * (1.0 - jnp.minimum(1.0, UW_ATTEN_SCALE[2] * 0.8 * wdist))
-        too_shallow = water_coll & (dz > -1e-6)
-        wlum = jnp.where(water_coll, _luminance(wr, wg, wb), 1.0)
-        watt_r = jnp.where(water_coll, wr, 1.0)
-        watt_g = jnp.where(water_coll, wg, 1.0)
-        watt_b = jnp.where(water_coll, wb, 1.0)
+        if water_on:
+            dzc = jnp.where(jnp.abs(dz) < 1e-6, -1e-6, dz)
+            wdist = jnp.where(water_coll, -2.0 * jnp.maximum(wpz - hz, 0.0) / dzc, 0.0)
+            wr = WATER_C[0] * 0.95 * (1.0 - jnp.minimum(1.0, UW_ATTEN_SCALE[0] * 0.8 * wdist))
+            wg = WATER_C[1] * 0.95 * (1.0 - jnp.minimum(1.0, UW_ATTEN_SCALE[1] * 0.8 * wdist))
+            wb = WATER_C[2] * 0.95 * (1.0 - jnp.minimum(1.0, UW_ATTEN_SCALE[2] * 0.8 * wdist))
+            too_shallow = water_coll & (dz > -1e-6)
+            wlum = jnp.where(water_coll, _luminance(wr, wg, wb), 1.0)
+            watt_r = jnp.where(water_coll, wr, 1.0)
+            watt_g = jnp.where(water_coll, wg, 1.0)
+            watt_b = jnp.where(water_coll, wb, 1.0)
+        else:
+            too_shallow = jnp.zeros((N,), bool)
+            wlum = watt_r = watt_g = watt_b = jnp.float32(1.0)
 
         # albedo: cobj color (one-hot reduce) or sampled landscape color
         acr = coh @ cobjs.color_r
@@ -338,7 +367,7 @@ def trace_batch(
                 st["r"] * acr * watt_r, st["g"] * acg * watt_g,
                 st["b"] * acb * watt_b,
                 jnp.ones((N,), jnp.float32), S,
-                world)
+                world, shards=dep_shards)
             # stochastic branch pick, importance-compensated.  When
             # keep_t gates the transmitted branch off entirely, its
             # probability must be zero too — otherwise the reflected
@@ -527,6 +556,59 @@ def _auto_transmission(params: TraceParams, cobjs) -> TraceParams:
     return params
 
 
+def _auto_specular(params: TraceParams, cobjs, snow_depth=None) -> TraceParams:
+    """Gate the specular-scatter block off when nothing can be specular:
+    no cobj with specular > 0, no ice (temperature above freezing), no
+    snow cover.  With aspec == 0 everywhere do_spec is all-false and the
+    blurred-mirror math contributes nothing — skipping it is bitwise
+    identical and saves 3 normal draws + ~20 elementwise ops per bounce."""
+    if not params.specular_enabled:
+        return params
+    if params.temperature <= W_FREEZE_POINT or snow_depth is not None:
+        return params
+    if bool((np.asarray(cobjs.specular) > 0.0).any()):
+        return params
+    return params._replace(specular_enabled=False)
+
+
+def _auto_types(params: TraceParams, cobjs) -> TraceParams:
+    """Record the scene's shape-type presence statically so the traced
+    intersect compiles out absent formula families (2-3x on the dense
+    [N,M] test for typical 2-3-type scenes)."""
+    if params.cobj_types:
+        return params
+    return params._replace(cobj_types=R.present_types(cobjs))
+
+
+def _auto_gates(params: TraceParams, cobjs, snow_depth=None) -> TraceParams:
+    """All static scene-derived gates in one call."""
+    params = _auto_transmission(params, cobjs)
+    params = _auto_specular(params, cobjs, snow_depth)
+    return _auto_types(params, cobjs)
+
+
+@functools.partial(jax.jit, static_argnames=("nfull", "batch", "params",
+                                             "world"))
+def _trace_sky_batches(grid, cobjs, mesh, seed, nfull: int, batch: int,
+                       params: TraceParams, world: WorldConst,
+                       land_color, snow_depth):
+    """`nfull` full sky batches chained in ONE device program (lax.scan
+    over the batch index).  The per-batch key schedule is identical to
+    the host-loop path, so results are bitwise the same — this exists
+    purely to remove per-batch host dispatch (~30 un-jitted ray-gen ops
+    per batch over the device link)."""
+    def body(g, i):
+        k = w3d_rng.key(seed, 0x5C1, i)
+        rays = sky_rays(jax.random.fold_in(k, 1), batch, world,
+                        ray_weight=float(batch))
+        g = trace_batch(g, cobjs, mesh, *rays, jax.random.fold_in(k, 2),
+                        ltype=L.LIGHTING_SKY, params=params, world=world,
+                        land_color=land_color, snow_depth=snow_depth)
+        return g, None
+    grid, _ = jax.lax.scan(body, grid, jnp.arange(nfull))
+    return grid
+
+
 def compute_sky_lighting(grid, cobjs, mesh, num_rays: int, seed: int = 0,
                          params: TraceParams = TraceParams(),
                          world: WorldConst = DEFAULT_WORLD,
@@ -540,13 +622,26 @@ def compute_sky_lighting(grid, cobjs, mesh, num_rays: int, seed: int = 0,
     ratio is scale-invariant) and incremental cobj-accum deltas compose
     linearly on it; call `normalize_sky` only where mean colors are
     explicitly wanted."""
-    params = _auto_transmission(params, cobjs)
-    nb = -(-num_rays // batch)
-    for i in range(nb):
-        k = w3d_rng.key(seed, 0x5C1, i)
-        n = min(batch, num_rays - i * batch)
-        rays = sky_rays(jax.random.fold_in(k, 1), n, world,
-                        ray_weight=float(n))
+    params = _auto_gates(params, cobjs, snow_depth)
+    nfull, rem = divmod(num_rays, batch)
+    if nfull >= 2:      # chain full batches in-graph (one dispatch)
+        grid = _trace_sky_batches(grid, cobjs, mesh, jnp.int32(seed),
+                                  nfull, batch, params, world,
+                                  land_color, snow_depth)
+    else:
+        for i in range(nfull):
+            k = w3d_rng.key(seed, 0x5C1, i)
+            rays = sky_rays(jax.random.fold_in(k, 1), batch, world,
+                            ray_weight=float(batch))
+            grid = trace_batch(grid, cobjs, mesh, *rays,
+                               jax.random.fold_in(k, 2),
+                               ltype=L.LIGHTING_SKY, params=params,
+                               world=world, land_color=land_color,
+                               snow_depth=snow_depth)
+    if rem:
+        k = w3d_rng.key(seed, 0x5C1, nfull)
+        rays = sky_rays(jax.random.fold_in(k, 1), rem, world,
+                        ray_weight=float(rem))
         grid = trace_batch(grid, cobjs, mesh, *rays, jax.random.fold_in(k, 2),
                            ltype=L.LIGHTING_SKY, params=params, world=world,
                            land_color=land_color, snow_depth=snow_depth)
@@ -558,7 +653,7 @@ def compute_local_lighting(grid, cobjs, mesh, lights, rays_per_light: int,
                            world: WorldConst = DEFAULT_WORLD,
                            land_color=None, snow_depth=None):
     """LIGHTING_LOCAL: one batch per configured light source."""
-    params = _auto_transmission(params, cobjs)
+    params = _auto_gates(params, cobjs, snow_depth)
     for li, (pos, color) in enumerate(lights):
         k = w3d_rng.key(seed, 0x10CA1, li)
         rays = local_rays(jax.random.fold_in(k, 1), rays_per_light, pos, color,
@@ -651,7 +746,7 @@ def compute_scene_lighting(grid, cobjs, mesh, light_specs, rays_per_light: int,
     """LIGHTING_LOCAL over the scene-DSL light list (SceneParse.lights +
     .cube_lights): the end-to-end path from 'L'/'V'/'U' commands to the
     lighting volume."""
-    params = _auto_transmission(params, cobjs)
+    params = _auto_gates(params, cobjs, snow_depth)
     for li, spec in enumerate(light_specs):
         if getattr(spec, "kind", "diffuse") == "ambient":
             continue   # ambient lights tint the base lmap, not ray-traced

@@ -14,6 +14,12 @@ vertical cylinder (xy-quadratic + caps), polygon (plane + inside test);
 capsule / rotated (tapered) cylinder / torus intersect exactly (cone
 quadratic + end discs/spheres; torus via Newton refinement of the
 quartic from the bounding-sphere entry).
+
+Each shape family's formula block only enters the compiled graph when
+the scene actually CONTAINS that type (host-known presence check on the
+concrete cobj set).  The dense test otherwise pays for all 7 formulas on
+every cobj; real scenes use 2-3 types, so this is a 2-3x cut in VPU work
+on the tracer's hottest op.  Traced cobj sets keep every block.
 """
 
 from __future__ import annotations
@@ -32,29 +38,14 @@ _EPS = 1e-9
 _BIG = 1e30
 
 
-def ray_cobjs_nearest(ox, oy, oz, dx, dy, dz, tmax, c: CobjSet,
-                      with_exit: bool = False):
-    """Nearest intersection of N rays against all cobjs.
-
-    Inputs [N] each (directions need not be normalized — t is in direction
-    units).  Returns (hit [N], t [N], nx, ny, nz [N], idx_onehot [N,M]);
-    with `with_exit` a 7th element `t_exit` [N] — the far intersection of
-    the SAME (nearest) cobj along the ray, used by the lighting tracer's
-    straight-through transmission chord (ray_trace.cpp:418-456).
-    """
-    OX, OY, OZ = ox[:, None], oy[:, None], oz[:, None]       # [N,1]
-    DX, DY, DZ = dx[:, None], dy[:, None], dz[:, None]
-
-    inv = lambda d: 1.0 / jnp.where(jnp.abs(d) < _EPS, jnp.where(d < 0, -_EPS, _EPS), d)
-
-    # --- cube: slab method ---
+def _isect_cube(c, OX, OY, OZ, DX, DY, DZ, ix, iy, iz):
+    """Slab test.  Returns (t, (nx,ny,nz), t_exit)."""
     lox = jnp.minimum(c.p1[:, 0], c.p2[:, 0])
     hix = jnp.maximum(c.p1[:, 0], c.p2[:, 0])
     loy = jnp.minimum(c.p1[:, 1], c.p2[:, 1])
     hiy = jnp.maximum(c.p1[:, 1], c.p2[:, 1])
     loz = jnp.minimum(c.p1[:, 2], c.p2[:, 2])
     hiz = jnp.maximum(c.p1[:, 2], c.p2[:, 2])
-    ix, iy, iz = inv(DX), inv(DY), inv(DZ)
     t1x = (lox - OX) * ix
     t2x = (hix - OX) * ix
     t1y = (loy - OY) * iy
@@ -78,44 +69,43 @@ def ray_cobjs_nearest(ox, oy, oz, dx, dy, dz, tmax, c: CobjSet,
     ncx = jnp.where(use_x, -jnp.sign(DX), 0.0)
     ncy = jnp.where(use_y, -jnp.sign(DY), 0.0)
     ncz = jnp.where(use_z, -jnp.sign(DZ), 0.0)
+    tx_cube = jnp.where(cube_hit, tf, t_cube)
+    return t_cube, (ncx, ncy, ncz), tx_cube
 
-    # --- sphere (also the torus bounding sphere for the Newton seed) ---
-    is_sph_like = (c.shape == COLL_SPHERE)
-    mid = 0.5 * (c.p1 + c.p2)
-    cx0 = jnp.where(c.shape == COLL_SPHERE, c.p1[:, 0], mid[:, 0])
-    cy0 = jnp.where(c.shape == COLL_SPHERE, c.p1[:, 1], mid[:, 1])
-    cz0 = jnp.where(c.shape == COLL_SPHERE, c.p1[:, 2], mid[:, 2])
-    seg_half = 0.5 * jnp.sqrt(jnp.sum((c.p2 - c.p1) ** 2, -1))
-    rs = jnp.where(c.shape == COLL_SPHERE, c.r1,
-                   jnp.where(c.shape == COLL_TORUS, c.r1 + c.r2,
-                             seg_half + jnp.maximum(c.r1, c.r2)))
-    # torus bounding sphere centers on p1 (ring center), not mid
-    cx0 = jnp.where(c.shape == COLL_TORUS, c.p1[:, 0], cx0)
-    cy0 = jnp.where(c.shape == COLL_TORUS, c.p1[:, 1], cy0)
-    cz0 = jnp.where(c.shape == COLL_TORUS, c.p1[:, 2], cz0)
-    LX = OX - cx0
-    LY = OY - cy0
-    LZ = OZ - cz0
-    a = DX * DX + DY * DY + DZ * DZ
+
+def _isect_sphere(c, OX, OY, OZ, DX, DY, DZ, a):
+    """True spheres: center p1, radius r1."""
+    LX = OX - c.p1[:, 0]
+    LY = OY - c.p1[:, 1]
+    LZ = OZ - c.p1[:, 2]
     b = 2.0 * (LX * DX + LY * DY + LZ * DZ)
-    cc = LX * LX + LY * LY + LZ * LZ - rs * rs
+    cc = LX * LX + LY * LY + LZ * LZ - c.r1 * c.r1
     disc = b * b - 4.0 * a * cc
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     t_s = (-b - sq) / (2.0 * a)
     sph_hit = (disc > 0.0) & (t_s > _EPS)
     t_sph = jnp.where(sph_hit, t_s, _BIG)
-    hx = OX + t_s * DX - cx0
-    hy = OY + t_s * DY - cy0
-    hz = OZ + t_s * DZ - cz0
+    hx = OX + t_s * DX - c.p1[:, 0]
+    hy = OY + t_s * DY - c.p1[:, 1]
+    hz = OZ + t_s * DZ - c.p1[:, 2]
     hl = jnp.maximum(jnp.sqrt(hx * hx + hy * hy + hz * hz), _EPS)
-    nsx, nsy, nsz = hx / hl, hy / hl, hz / hl
+    # exit: valid far root whenever the quadratic has one ahead (an
+    # origin inside the sphere still needs an exit for transmission)
+    t_s2 = (-b + sq) / (2.0 * a)
+    tx_sph = jnp.where((disc > 0.0) & (t_s2 > _EPS), t_s2, t_sph)
+    return t_sph, (hx / hl, hy / hl, hz / hl), tx_sph
 
-    # --- capsule / rotated (tapered) cylinder: EXACT cone quadratic ---
-    # Axis A=p1, B=p2, unit u, length L; radius r(s) = r1 + (s/L)(r2-r1).
-    # Side surface: |P-A|^2 - s^2 = r(s)^2 with s = (P-A).u — a quadratic
-    # in ray t (the line_intersect_cylinder math of Math3d.cpp, done
-    # branchlessly).  Rot-cylinders add flat end discs; capsules add end
-    # spheres of radius r1/r2.
+
+def _isect_tapered(c, OX, OY, OZ, DX, DY, DZ, a, want_caps, want_rcyl):
+    """Capsule / rotated (tapered) cylinder: EXACT cone quadratic.
+
+    Axis A=p1, B=p2, unit u, length L; radius r(s) = r1 + (s/L)(r2-r1).
+    Side surface: |P-A|^2 - s^2 = r(s)^2 with s = (P-A).u — a quadratic
+    in ray t (the line_intersect_cylinder math of Math3d.cpp, done
+    branchlessly).  Rot-cylinders add flat end discs; capsules add end
+    spheres of radius r1/r2.  Returns a dict with the requested family
+    results: t/caps normals/exits keyed 'caps' and 'rcyl'.
+    """
     ux_ = c.p2[:, 0] - c.p1[:, 0]
     uy_ = c.p2[:, 1] - c.p1[:, 1]
     uz_ = c.p2[:, 2] - c.p1[:, 2]
@@ -146,37 +136,8 @@ def ray_cobjs_nearest(ox, oy, oz, dx, dy, dz, tmax, c: CobjSet,
 
     t_side_rc = jnp.minimum(side_t(jnp.minimum(tc1, tc2)),
                             side_t(jnp.maximum(tc1, tc2)))
-    # flat end discs (rot-cylinder check_ends)
+    t_side_far = side_t(jnp.maximum(tc1, tc2))
     s_d_s = jnp.where(jnp.abs(s_d) < _EPS, _EPS, s_d)
-    t_d0 = -s_w / s_d_s
-    t_dL = (Lax - s_w) / s_d_s
-
-    def disc_t(tcand, rad_end):
-        px_ = wx_ + tcand * DX
-        py_ = wy_ + tcand * DY
-        pz_ = wz_ + tcand * DZ
-        s_at = px_ * ux_ + py_ * uy_ + pz_ * uz_
-        r2d = px_ * px_ + py_ * py_ + pz_ * pz_ - s_at * s_at
-        ok = (tcand > _EPS) & (r2d <= rad_end * rad_end)
-        return jnp.where(ok, tcand, _BIG)
-
-    t_rcyl = jnp.minimum(t_side_rc,
-                         jnp.minimum(disc_t(t_d0, c.r1), disc_t(t_dL, c.r2)))
-    # capsule: side + end SPHERES (r1 at A, r2 at B)
-    def end_sphere_t(ex0, ey0, ez0, rr):
-        lx = OX - ex0
-        ly = OY - ey0
-        lz = OZ - ez0
-        bb = 2.0 * (lx * DX + ly * DY + lz * DZ)
-        cc2 = lx * lx + ly * ly + lz * lz - rr * rr
-        dd = bb * bb - 4.0 * a * cc2
-        tt = (-bb - jnp.sqrt(jnp.maximum(dd, 0.0))) / (2.0 * a)
-        return jnp.where((dd > 0.0) & (tt > _EPS), tt, _BIG)
-
-    t_caps = jnp.minimum(
-        t_side_rc,
-        jnp.minimum(end_sphere_t(c.p1[:, 0], c.p1[:, 1], c.p1[:, 2], c.r1),
-                    end_sphere_t(c.p2[:, 0], c.p2[:, 1], c.p2[:, 2], c.r2)))
 
     def cone_normal(tbest):
         px_ = wx_ + tbest * DX
@@ -191,40 +152,116 @@ def ray_cobjs_nearest(ox, oy, oz, dx, dy, dz, tmax, c: CobjSet,
         gl = jnp.maximum(jnp.sqrt(gx * gx + gy * gy + gz * gz), _EPS)
         return gx / gl, gy / gl, gz / gl
 
-    def rc_normal(tbest):
-        # side -> cone gradient; ends -> +-axis
-        on_side = jnp.abs(tbest - t_side_rc) < 1e-6
-        gx, gy, gz = cone_normal(tbest)
-        s_at = s_w + tbest * s_d
-        sgn = jnp.where(s_at > 0.5 * Lax, 1.0, -1.0)
-        return (jnp.where(on_side, gx, sgn * ux_),
-                jnp.where(on_side, gy, sgn * uy_),
-                jnp.where(on_side, gz, sgn * uz_))
+    out = {}
+    if want_rcyl:
+        # flat end discs (rot-cylinder check_ends)
+        t_d0 = -s_w / s_d_s
+        t_dL = (Lax - s_w) / s_d_s
 
-    nrcx, nrcy, nrcz = rc_normal(t_rcyl)
+        def disc_t(tcand, rad_end):
+            px_ = wx_ + tcand * DX
+            py_ = wy_ + tcand * DY
+            pz_ = wz_ + tcand * DZ
+            s_at = px_ * ux_ + py_ * uy_ + pz_ * uz_
+            r2d = px_ * px_ + py_ * py_ + pz_ * pz_ - s_at * s_at
+            ok = (tcand > _EPS) & (r2d <= rad_end * rad_end)
+            return jnp.where(ok, tcand, _BIG)
 
-    def caps_normal(tbest):
-        on_side = jnp.abs(tbest - t_side_rc) < 1e-6
-        gx, gy, gz = cone_normal(tbest)
-        # end-sphere normal from the nearer end center
-        s_at = s_w + tbest * s_d
-        near_b = s_at > 0.5 * Lax
-        exc = jnp.where(near_b, c.p2[:, 0], c.p1[:, 0])
-        eyc = jnp.where(near_b, c.p2[:, 1], c.p1[:, 1])
-        ezc = jnp.where(near_b, c.p2[:, 2], c.p1[:, 2])
-        sx_ = OX + tbest * DX - exc
-        sy_ = OY + tbest * DY - eyc
-        sz_ = OZ + tbest * DZ - ezc
-        sl_ = jnp.maximum(jnp.sqrt(sx_ * sx_ + sy_ * sy_ + sz_ * sz_), _EPS)
-        return (jnp.where(on_side, gx, sx_ / sl_),
-                jnp.where(on_side, gy, sy_ / sl_),
-                jnp.where(on_side, gz, sz_ / sl_))
+        t_rcyl = jnp.minimum(t_side_rc,
+                             jnp.minimum(disc_t(t_d0, c.r1),
+                                         disc_t(t_dL, c.r2)))
 
-    ncpx, ncpy, ncpz = caps_normal(t_caps)
+        def rc_normal(tbest):
+            # side -> cone gradient; ends -> +-axis
+            on_side = jnp.abs(tbest - t_side_rc) < 1e-6
+            gx, gy, gz = cone_normal(tbest)
+            s_at = s_w + tbest * s_d
+            sgn = jnp.where(s_at > 0.5 * Lax, 1.0, -1.0)
+            return (jnp.where(on_side, gx, sgn * ux_),
+                    jnp.where(on_side, gy, sgn * uy_),
+                    jnp.where(on_side, gz, sgn * uz_))
 
-    # --- torus: Newton refinement of the quartic from the bounding-
-    # sphere entry (line_torus_intersect semantics, Math3d.cpp:835+);
-    # axis = unit c.p2, ring radius r1, tube radius r2 ---
+        tx_rcyl = jnp.maximum(
+            jnp.where(t_side_far < _BIG, t_side_far, -_BIG),
+            jnp.maximum(jnp.where(disc_t(t_d0, c.r1) < _BIG, t_d0, -_BIG),
+                        jnp.where(disc_t(t_dL, c.r2) < _BIG, t_dL, -_BIG)))
+        tx_rcyl = jnp.where(tx_rcyl > -_BIG, tx_rcyl, t_rcyl)
+        out["rcyl"] = (t_rcyl, rc_normal(t_rcyl), tx_rcyl)
+
+    if want_caps:
+        # capsule: side + end SPHERES (r1 at A, r2 at B)
+        def end_sphere_t(ex0, ey0, ez0, rr):
+            lx = OX - ex0
+            ly = OY - ey0
+            lz = OZ - ez0
+            bb = 2.0 * (lx * DX + ly * DY + lz * DZ)
+            cc2 = lx * lx + ly * ly + lz * lz - rr * rr
+            dd = bb * bb - 4.0 * a * cc2
+            tt = (-bb - jnp.sqrt(jnp.maximum(dd, 0.0))) / (2.0 * a)
+            return jnp.where((dd > 0.0) & (tt > _EPS), tt, _BIG)
+
+        t_caps = jnp.minimum(
+            t_side_rc,
+            jnp.minimum(
+                end_sphere_t(c.p1[:, 0], c.p1[:, 1], c.p1[:, 2], c.r1),
+                end_sphere_t(c.p2[:, 0], c.p2[:, 1], c.p2[:, 2], c.r2)))
+
+        def caps_normal(tbest):
+            on_side = jnp.abs(tbest - t_side_rc) < 1e-6
+            gx, gy, gz = cone_normal(tbest)
+            # end-sphere normal from the nearer end center
+            s_at = s_w + tbest * s_d
+            near_b = s_at > 0.5 * Lax
+            exc = jnp.where(near_b, c.p2[:, 0], c.p1[:, 0])
+            eyc = jnp.where(near_b, c.p2[:, 1], c.p1[:, 1])
+            ezc = jnp.where(near_b, c.p2[:, 2], c.p1[:, 2])
+            sx_ = OX + tbest * DX - exc
+            sy_ = OY + tbest * DY - eyc
+            sz_ = OZ + tbest * DZ - ezc
+            sl_ = jnp.maximum(jnp.sqrt(sx_ * sx_ + sy_ * sy_ + sz_ * sz_),
+                              _EPS)
+            return (jnp.where(on_side, gx, sx_ / sl_),
+                    jnp.where(on_side, gy, sy_ / sl_),
+                    jnp.where(on_side, gz, sz_ / sl_))
+
+        # capsule exit: max over the far cone-side root and the far
+        # roots of both end spheres (a bounding-sphere exit would be a
+        # gross over-estimate — up to L+2r chords)
+        def end_sphere_tfar(ex0, ey0, ez0, rr):
+            lx = OX - ex0
+            ly = OY - ey0
+            lz = OZ - ez0
+            bb = 2.0 * (lx * DX + ly * DY + lz * DZ)
+            cc2 = lx * lx + ly * ly + lz * lz - rr * rr
+            dd = bb * bb - 4.0 * a * cc2
+            tt = (-bb + jnp.sqrt(jnp.maximum(dd, 0.0))) / (2.0 * a)
+            return jnp.where((dd > 0.0) & (tt > _EPS), tt, -_BIG)
+
+        tx_caps = jnp.maximum(
+            jnp.where(t_side_far < _BIG, t_side_far, -_BIG),
+            jnp.maximum(
+                end_sphere_tfar(c.p1[:, 0], c.p1[:, 1], c.p1[:, 2], c.r1),
+                end_sphere_tfar(c.p2[:, 0], c.p2[:, 1], c.p2[:, 2], c.r2)))
+        tx_caps = jnp.where(tx_caps > -_BIG, tx_caps, t_caps)
+        out["caps"] = (t_caps, caps_normal(t_caps), tx_caps)
+    return out
+
+
+def _isect_torus(c, OX, OY, OZ, DX, DY, DZ, a):
+    """Newton refinement of the quartic from the bounding-sphere entry
+    (line_torus_intersect semantics, Math3d.cpp:835+); axis = unit c.p2,
+    ring center c.p1, ring radius r1, tube radius r2."""
+    # bounding sphere: center p1, radius r1+r2
+    rs = c.r1 + c.r2
+    LX = OX - c.p1[:, 0]
+    LY = OY - c.p1[:, 1]
+    LZ = OZ - c.p1[:, 2]
+    b = 2.0 * (LX * DX + LY * DY + LZ * DZ)
+    cc = LX * LX + LY * LY + LZ * LZ - rs * rs
+    disc = b * b - 4.0 * a * cc
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_s = (-b - sq) / (2.0 * a)
+
     def torus_F_dF(tt):
         qx_ = OX + tt * DX - c.p1[:, 0]
         qy_ = OY + tt * DY - c.p1[:, 1]
@@ -241,30 +278,20 @@ def ray_cobjs_nearest(ox, oy, oz, dx, dy, dz, tmax, c: CobjSet,
         dF = 4.0 * K * qd - 4.0 * c.r1 * c.r1 * (2.0 * qd - 2.0 * qu * du)
         return F, dF
 
-    is_tor = c.shape == COLL_TORUS
     t_n = jnp.maximum(t_s, _EPS)          # seed at bounding-sphere entry
     # gate on the bounding sphere being AHEAD at all (far root > eps):
     # a ray starting inside the r1+r2 sphere — e.g. a bounce ray leaving
     # the torus surface, or an AO sample under a ring — must still be
     # able to hit; gating on the near root made those rays miss
-    t_s2_pre = (-b + sq) / (2.0 * a)
-    sph_ahead = (disc > 0.0) & (t_s2_pre > _EPS)
-    try:        # concrete cobj sets (closed over under jit) skip the loop
-        has_torus = bool((np.asarray(c.shape) == COLL_TORUS).any())
-    except Exception:   # traced shapes: keep the loop in the graph
-        has_torus = True
-    if has_torus:
-        for _ in range(6):
-            Fv, dFv = torus_F_dF(t_n)
-            t_n = t_n - Fv / jnp.where(jnp.abs(dFv) < _EPS, _EPS, dFv)
-        Fv, _ = torus_F_dF(t_n)
-        scale4 = jnp.maximum(c.r1, _EPS) ** 4
-        tor_ok = sph_ahead & (jnp.abs(Fv) < 1e-3 * scale4) & (t_n > _EPS)
-        t_torus = jnp.where(tor_ok, t_n, _BIG)
-    else:
-        # torus-free scene (the common case): compile out the Newton
-        # loop entirely (same pattern as the static water flag)
-        t_torus = jnp.full_like(t_n, _BIG)
+    t_s2 = (-b + sq) / (2.0 * a)
+    sph_ahead = (disc > 0.0) & (t_s2 > _EPS)
+    for _ in range(6):
+        Fv, dFv = torus_F_dF(t_n)
+        t_n = t_n - Fv / jnp.where(jnp.abs(dFv) < _EPS, _EPS, dFv)
+    Fv, _ = torus_F_dF(t_n)
+    scale4 = jnp.maximum(c.r1, _EPS) ** 4
+    tor_ok = sph_ahead & (jnp.abs(Fv) < 1e-3 * scale4) & (t_n > _EPS)
+    t_torus = jnp.where(tor_ok, t_n, _BIG)
 
     def torus_normal(tt):
         qx_ = OX + tt * DX - c.p1[:, 0]
@@ -282,9 +309,14 @@ def ray_cobjs_nearest(ox, oy, oz, dx, dy, dz, tmax, c: CobjSet,
         gl = jnp.maximum(jnp.sqrt(gx * gx + gy * gy + gz * gz), _EPS)
         return gx / gl, gy / gl, gz / gl
 
-    ntx, nty, ntz = torus_normal(t_torus)
+    # torus exit: the bounding-sphere far root as a transmission-chord
+    # upper bound
+    tx_tor = jnp.where(sph_ahead, t_s2, t_torus)
+    return t_torus, torus_normal(t_torus), tx_tor
 
-    # --- vertical cylinder: xy quadratic + z clip + caps ---
+
+def _isect_vcyl(c, OX, OY, OZ, DX, DY, DZ, iz):
+    """Vertical cylinder: xy quadratic + z clip + caps."""
     rc = jnp.maximum(c.r1, c.r2)
     zlo = jnp.minimum(c.p1[:, 2], c.p2[:, 2])
     zhi = jnp.maximum(c.p1[:, 2], c.p2[:, 2])
@@ -301,10 +333,12 @@ def ray_cobjs_nearest(ox, oy, oz, dx, dy, dz, tmax, c: CobjSet,
     # caps
     t_top = (zhi - OZ) * iz
     t_bot = (zlo - OZ) * iz
+
     def cap_ok(t_c):
         xx = OX + t_c * DX - c.p1[:, 0]
         yy = OY + t_c * DY - c.p1[:, 1]
         return (t_c > _EPS) & (xx * xx + yy * yy <= rc * rc)
+
     top_ok = cap_ok(t_top)
     bot_ok = cap_ok(t_bot)
     t_cyl = jnp.where(side_ok, t_side, _BIG)
@@ -318,12 +352,24 @@ def ray_cobjs_nearest(ox, oy, oz, dx, dy, dz, tmax, c: CobjSet,
     ncyx = jnp.where(from_side, hxc / hlc, 0.0)
     ncyy = jnp.where(from_side, hyc / hlc, 0.0)
     ncyz = jnp.where(from_side, 0.0, -jnp.sign(DZ))
+    # exit: max valid side/cap t
+    t_side2 = (-b2 + sq2) / jnp.maximum(2.0 * a2, _EPS)
+    z_at2 = OZ + t_side2 * DZ
+    side2_ok = (disc2 > 0.0) & (t_side2 > _EPS) & (z_at2 >= zlo) & (z_at2 <= zhi)
+    tx_cyl = jnp.maximum(jnp.where(side2_ok, t_side2, -_BIG),
+                         jnp.maximum(jnp.where(top_ok, t_top, -_BIG),
+                                     jnp.where(bot_ok, t_bot, -_BIG)))
+    tx_cyl = jnp.where(cyl_hit & (tx_cyl > -_BIG), tx_cyl, t_cyl)
+    return t_cyl, (ncyx, ncyy, ncyz), tx_cyl
 
-    # --- polygon: plane + inside test ---
+
+def _isect_polygon(c, OX, OY, OZ, DX, DY, DZ):
+    """Plane + inside test; thickness r1 feeds the exit chord."""
     pnx, pny, pnz = c.pnorm[:, 0], c.pnorm[:, 1], c.pnorm[:, 2]
     denom = DX * pnx + DY * pny + DZ * pnz
     t_pl = (((c.pts[:, 0, 0] - OX) * pnx + (c.pts[:, 0, 1] - OY) * pny
-             + (c.pts[:, 0, 2] - OZ) * pnz) / jnp.where(jnp.abs(denom) < _EPS, _EPS, denom))
+             + (c.pts[:, 0, 2] - OZ) * pnz)
+            / jnp.where(jnp.abs(denom) < _EPS, _EPS, denom))
     qx = OX + t_pl * DX
     qy = OY + t_pl * DY
     qz = OZ + t_pl * DZ
@@ -345,29 +391,113 @@ def ray_cobjs_nearest(ox, oy, oz, dx, dy, dz, tmax, c: CobjSet,
     poly_hit = inside & (t_pl > _EPS)
     t_poly = jnp.where(poly_hit, t_pl, _BIG)
     side_sign = -jnp.sign(denom)
-    npx, npy, npz = pnx * side_sign, pny * side_sign, pnz * side_sign
+    tx_poly = t_poly + jnp.maximum(c.r1, 0.0) / jnp.maximum(jnp.abs(denom),
+                                                            0.1)
+    return t_poly, (pnx * side_sign, pny * side_sign, pnz * side_sign), tx_poly
 
-    is_cube = c.shape == COLL_CUBE
-    is_cyl = c.shape == COLL_CYLINDER
-    is_poly = c.shape == COLL_POLYGON
-    is_caps = c.shape == COLL_CAPSULE
-    is_rcyl = c.shape == COLL_CYLINDER_ROT
-    preds = [is_cube, is_cyl, is_poly, is_caps, is_rcyl, is_tor,
-             is_sph_like]
-    t_all = jnp.select(preds,
-                       [t_cube, t_cyl, t_poly, t_caps, t_rcyl, t_torus,
-                        t_sph], default=jnp.float32(_BIG))
+
+def present_types(c: CobjSet):
+    """Host-side: the sorted tuple of shape types actually present in a
+    CONCRETE cobj set — pass it as `ray_cobjs_nearest(..., present=...)`
+    from inside jit (where c is traced and can't be inspected) so absent
+    shape families compile out."""
+    sh_host = np.asarray(c.shape)
+    all_t = (COLL_CUBE, COLL_SPHERE, COLL_CYLINDER, COLL_CYLINDER_ROT,
+             COLL_POLYGON, COLL_CAPSULE, COLL_TORUS)
+    return tuple(t for t in all_t if bool((sh_host == t).any()))
+
+
+def ray_cobjs_nearest(ox, oy, oz, dx, dy, dz, tmax, c: CobjSet,
+                      with_exit: bool = False, present=None):
+    """Nearest intersection of N rays against all cobjs.
+
+    Inputs [N] each (directions need not be normalized — t is in direction
+    units).  Returns (hit [N], t [N], nx, ny, nz [N], idx_onehot [N,M]);
+    with `with_exit` a 7th element `t_exit` [N] — the far intersection of
+    the SAME (nearest) cobj along the ray, used by the lighting tracer's
+    straight-through transmission chord (ray_trace.cpp:418-456).
+
+    `present` (a static tuple from `present_types`) names the shape
+    families in the scene; under jit the cobj arrays are traced, so
+    without it every family's formula block stays in the graph.
+    """
+    OX, OY, OZ = ox[:, None], oy[:, None], oz[:, None]       # [N,1]
+    DX, DY, DZ = dx[:, None], dy[:, None], dz[:, None]
+
+    inv = lambda d: 1.0 / jnp.where(jnp.abs(d) < _EPS,
+                                    jnp.where(d < 0, -_EPS, _EPS), d)
+
+    if present is None:
+        try:    # concrete cobj sets: compile out absent shape families
+            present = present_types(c)
+        except Exception:   # traced shape array: keep every block
+            present = (COLL_CUBE, COLL_SPHERE, COLL_CYLINDER,
+                       COLL_CYLINDER_ROT, COLL_POLYGON, COLL_CAPSULE,
+                       COLL_TORUS)
+    has_cube = COLL_CUBE in present
+    has_sph = COLL_SPHERE in present
+    has_cyl = COLL_CYLINDER in present
+    has_rcyl = COLL_CYLINDER_ROT in present
+    has_poly = COLL_POLYGON in present
+    has_caps = COLL_CAPSULE in present
+    has_torus = COLL_TORUS in present
+
+    a = DX * DX + DY * DY + DZ * DZ
+
+    # (pred [M], t [N,M], (nx,ny,nz), t_exit [N,M]) per present family
+    cands = []
+    if has_cube or has_cyl:
+        iz = inv(DZ)
+    if has_cube:
+        ix, iy = inv(DX), inv(DY)
+        t_k, n_k, tx_k = _isect_cube(c, OX, OY, OZ, DX, DY, DZ, ix, iy, iz)
+        cands.append((c.shape == COLL_CUBE, t_k, n_k, tx_k))
+    if has_cyl:
+        t_k, n_k, tx_k = _isect_vcyl(c, OX, OY, OZ, DX, DY, DZ, iz)
+        cands.append((c.shape == COLL_CYLINDER, t_k, n_k, tx_k))
+    if has_poly:
+        t_k, n_k, tx_k = _isect_polygon(c, OX, OY, OZ, DX, DY, DZ)
+        cands.append((c.shape == COLL_POLYGON, t_k, n_k, tx_k))
+    if has_caps or has_rcyl:
+        fam = _isect_tapered(c, OX, OY, OZ, DX, DY, DZ, a,
+                             want_caps=has_caps, want_rcyl=has_rcyl)
+        if has_caps:
+            t_k, n_k, tx_k = fam["caps"]
+            cands.append((c.shape == COLL_CAPSULE, t_k, n_k, tx_k))
+        if has_rcyl:
+            t_k, n_k, tx_k = fam["rcyl"]
+            cands.append((c.shape == COLL_CYLINDER_ROT, t_k, n_k, tx_k))
+    if has_torus:
+        t_k, n_k, tx_k = _isect_torus(c, OX, OY, OZ, DX, DY, DZ, a)
+        cands.append((c.shape == COLL_TORUS, t_k, n_k, tx_k))
+    if has_sph:
+        t_k, n_k, tx_k = _isect_sphere(c, OX, OY, OZ, DX, DY, DZ, a)
+        cands.append((c.shape == COLL_SPHERE, t_k, n_k, tx_k))
+
+    if not cands:   # empty / all-NULL cobj set
+        n = ox.shape[0]
+        zero = jnp.zeros((n,))
+        oh = jnp.zeros((n, c.size))
+        big = jnp.full((n,), _BIG)
+        if with_exit:
+            return (jnp.zeros((n,), bool), big, zero, zero, zero, oh, big)
+        return (jnp.zeros((n,), bool), big, zero, zero, zero, oh)
+
+    preds = [p for (p, _, _, _) in cands]
+    t_all = jnp.select(preds, [t for (_, t, _, _) in cands],
+                       default=jnp.float32(_BIG))
     t_all = jnp.where(c.shape == COLL_NULL, _BIG, t_all)
     t_all = jnp.where(t_all <= tmax[:, None], t_all, _BIG)
-    nx_all = jnp.select(preds, [ncx, ncyx, npx, ncpx, nrcx, ntx, nsx],
+    nx_all = jnp.select(preds, [n[0] for (_, _, n, _) in cands],
                         default=jnp.float32(0.0))
-    ny_all = jnp.select(preds, [ncy, ncyy, npy, ncpy, nrcy, nty, nsy],
+    ny_all = jnp.select(preds, [n[1] for (_, _, n, _) in cands],
                         default=jnp.float32(0.0))
-    nz_all = jnp.select(preds, [ncz, ncyz, npz, ncpz, nrcz, ntz, nsz],
+    nz_all = jnp.select(preds, [n[2] for (_, _, n, _) in cands],
                         default=jnp.float32(1.0))
 
     i = jnp.argmin(t_all, axis=-1)
-    oh = (i[:, None] == jnp.arange(c.size, dtype=jnp.int32)[None, :]).astype(ox.dtype)
+    oh = (i[:, None] == jnp.arange(c.size, dtype=jnp.int32)[None, :]).astype(
+        ox.dtype)
     t_best = jnp.sum(t_all * oh, -1)
     hit = t_best < _BIG
     if not with_exit:
@@ -375,54 +505,7 @@ def ray_cobjs_nearest(ox, oy, oz, dx, dy, dz, tmax, c: CobjSet,
                 jnp.sum(nx_all * oh, -1), jnp.sum(ny_all * oh, -1),
                 jnp.sum(nz_all * oh, -1), oh)
 
-    # far intersection of the same shape along the same ray (transmission
-    # chord): cube tf slab exit, sphere far quadratic root, cylinder max
-    # valid side/cap t, polygon entry + thickness/cos
-    tx_cube = jnp.where(cube_hit, tf, t_cube)
-    t_s2 = (-b + sq) / (2.0 * a)
-    tx_sph = jnp.where(sph_hit, t_s2, t_sph)
-    t_side2 = (-b2 + sq2) / jnp.maximum(2.0 * a2, _EPS)
-    z_at2 = OZ + t_side2 * DZ
-    side2_ok = (disc2 > 0.0) & (t_side2 > _EPS) & (z_at2 >= zlo) & (z_at2 <= zhi)
-    tx_cyl = jnp.maximum(jnp.where(side2_ok, t_side2, -_BIG),
-                         jnp.maximum(jnp.where(top_ok, t_top, -_BIG),
-                                     jnp.where(bot_ok, t_bot, -_BIG)))
-    tx_cyl = jnp.where(cyl_hit & (tx_cyl > -_BIG), tx_cyl, t_cyl)
-    tx_poly = t_poly + jnp.maximum(c.r1, 0.0) / jnp.maximum(jnp.abs(denom), 0.1)
-    # caps/rot-cyl exact far side; torus uses the bounding-sphere far
-    # root as a transmission-chord upper bound
-    t_side_far = side_t(jnp.maximum(tc1, tc2))
-    tx_rcyl = jnp.maximum(
-        jnp.where(t_side_far < _BIG, t_side_far, -_BIG),
-        jnp.maximum(jnp.where(disc_t(t_d0, c.r1) < _BIG, t_d0, -_BIG),
-                    jnp.where(disc_t(t_dL, c.r2) < _BIG, t_dL, -_BIG)))
-    tx_rcyl = jnp.where(tx_rcyl > -_BIG, tx_rcyl, t_rcyl)
-    # capsule exit: max over the far cone-side root and the far roots of
-    # both end spheres (the old bounding-sphere exit was a gross
-    # over-estimate — up to L+2r chords — and blew up to _BIG whenever
-    # the bounding-sphere ENTRY was behind the origin)
-    def end_sphere_tfar(ex0, ey0, ez0, rr):
-        lx = OX - ex0
-        ly = OY - ey0
-        lz = OZ - ez0
-        bb = 2.0 * (lx * DX + ly * DY + lz * DZ)
-        cc2 = lx * lx + ly * ly + lz * lz - rr * rr
-        dd = bb * bb - 4.0 * a * cc2
-        tt = (-bb + jnp.sqrt(jnp.maximum(dd, 0.0))) / (2.0 * a)
-        return jnp.where((dd > 0.0) & (tt > _EPS), tt, -_BIG)
-
-    tx_caps = jnp.maximum(
-        jnp.where(t_side_far < _BIG, t_side_far, -_BIG),
-        jnp.maximum(end_sphere_tfar(c.p1[:, 0], c.p1[:, 1], c.p1[:, 2], c.r1),
-                    end_sphere_tfar(c.p2[:, 0], c.p2[:, 1], c.p2[:, 2], c.r2)))
-    tx_caps = jnp.where(tx_caps > -_BIG, tx_caps, t_caps)
-    # sphere/torus exits: valid far root whenever the quadratic has one
-    # ahead (the sph_hit gate rejected origins inside the sphere, making
-    # the exit _BIG and corrupting transmission chords)
-    tx_sph_safe = jnp.where((disc > 0.0) & (t_s2 > _EPS), t_s2, t_sph)
-    tx_all = jnp.select(preds,
-                        [tx_cube, tx_cyl, tx_poly, tx_caps, tx_rcyl,
-                         tx_sph_safe, tx_sph_safe],
+    tx_all = jnp.select(preds, [tx for (_, _, _, tx) in cands],
                         default=jnp.float32(_BIG))
     t_exit = jnp.sum(jnp.maximum(tx_all, t_all) * oh, -1)
     return (hit, t_best,
@@ -438,12 +521,32 @@ def ray_heightfield(ox, oy, oz, dx, dy, dz, tmax, mesh, world: WorldConst,
     refined by one interpolation.  Returns (hit [N], t [N]).
 
     Heights are sampled with the one-hot-matmul bilinear sampler.
+    Samples are placed on the sub-range of [0, tmax] that overlaps the
+    mesh's XY footprint (sky rays start far outside it): same step
+    count, ~3x finer effective resolution, and rays that never cross
+    the footprint can't hit at all (the reference's mesh is finite).
     """
     from ..physics.step import sample_mesh
 
     N = ox.shape[0]
+    my, mx = mesh.shape
+    hx = 0.5 * mx * world.dx
+    hy = 0.5 * my * world.dy
+
+    def axis_range(o, d, lo, hi):
+        dsafe = jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+        ta = (lo - o) / dsafe
+        tb = (hi - o) / dsafe
+        return jnp.minimum(ta, tb), jnp.maximum(ta, tb)
+
+    t0x, t1x = axis_range(ox, dx, -hx, hx)
+    t0y, t1y = axis_range(oy, dy, -hy, hy)
+    t0m = jnp.maximum(jnp.maximum(t0x, t0y), 0.0)
+    t1m = jnp.minimum(jnp.minimum(t1x, t1y), tmax)
+    span = jnp.maximum(t1m - t0m, 0.0)
+
     ts = (jnp.arange(1, num_steps + 1, dtype=jnp.float32) / num_steps)  # [S]
-    t_grid = ts[None, :] * tmax[:, None]                                # [N,S]
+    t_grid = t0m[:, None] + ts[None, :] * span[:, None]                 # [N,S]
 
     def below_at(tcol):
         x = ox + tcol * dx
@@ -462,7 +565,10 @@ def ray_heightfield(ox, oy, oz, dx, dy, dz, tmax, mesh, world: WorldConst,
 
     (found, t_hit), _ = jax.lax.scan(body, (jnp.zeros(N, bool), jnp.full((N,), _BIG)),
                                      t_grid.T)
-    return found, t_hit
+    # a ray that never crosses the footprint cannot hit (its samples all
+    # collapsed onto t0m and compared against clamped edge heights)
+    crosses = span > 0.0
+    return found & crosses, jnp.where(crosses, t_hit, _BIG)
 
 
 def cosine_hemisphere_dirs(key, nx, ny, nz, shape):
