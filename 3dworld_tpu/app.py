@@ -22,17 +22,24 @@ import numpy as np
 
 
 def run_ground(config: str, frames: int, num_objects: int,
-               chain: int = 32):
+               chain: int = 32, game: bool = False, num_smileys: int = 8):
     """Ground-mode loop.  Scenes without platforms chain `chain` frames
     per device dispatch (models.world.ground_frames_chained) so the live
     rate approaches the on-device rate instead of paying the relay
-    round trip per frame; platform scenes run the per-frame path."""
+    round trip per frame; platform scenes run the per-frame path.
+
+    `game` enables FPS game mode (init_game_mode, 3DWorld.cpp): smiley
+    AI agents target/fire each frame (gameplay.ai), their shots spawn
+    projectiles or hitscan rays, and explosions feed back blast damage
+    into both the object pool and the smiley population."""
     import jax.numpy as jnp
     from .scene.loader import load_scene
     from .models.world import ground_frame, ground_frames_chained
     from .gameplay import player as PL
     scene = load_scene(config, num_objects=num_objects)
     ply = PL.make_player(0.0, 0.0, 1.0)
+    if game:
+        return _run_ground_game(scene, ply, frames, num_smileys)
     has_platforms = scene.platforms is not None and scene.platforms.size > 0
     if has_platforms or chain <= 1:
         for i in range(frames):
@@ -69,6 +76,74 @@ def run_ground(config: str, frames: int, num_objects: int,
                           "player_z": round(float(ply.z[0]), 3),
                           "ms": round(dt * 1e3, 1)}))
         i += k
+    return scene
+
+
+def _run_ground_game(scene, ply, frames: int, num_smileys: int = 8,
+                     seed: int = 11):
+    """FPS game-mode frame loop: physics frame + deep smiley AI +
+    weapon fire + explosion feedback (update_game_frame +
+    advance_smiley per frame, 3DWorld.cpp display loop with
+    game_mode=1)."""
+    import jax
+    from .models.world import ground_frame
+    from .gameplay import ai as AI
+    from .gameplay import game as GG
+    from .gameplay import frame as GF
+    from .physics import destroy as PD
+    key = jax.random.key(seed)
+    sm = AI.make_ai_smileys(jax.random.fold_in(key, 0), num_smileys)
+    ds = PD.make_destroy_state(scene.cobjs)
+    shots = 0
+    for i in range(frames):
+        t0 = time.perf_counter()
+        scene = ground_frame(scene)
+        sm, fire, _ = AI.step_smileys_ai(sm, jax.random.fold_in(key, 100 + i),
+                                         scene.cobjs)
+        fi = np.where(np.asarray(fire))[0]
+        if len(fi):
+            st = scene.objects
+            free = np.where(np.asarray(st.status) == 0)[0]
+            fptr = 0
+            smx, smy, smz = (np.asarray(sm.x), np.asarray(sm.y),
+                             np.asarray(sm.z))
+            ltx, lty, ltz = (np.asarray(sm.ltx), np.asarray(sm.lty),
+                             np.asarray(sm.ltz))
+            wsel = np.asarray(sm.weapon)
+            for si in fi:
+                wi = int(wsel[si])
+                w = GG.WEAPONS[wi]
+                origin = (float(smx[si]), float(smy[si]),
+                          float(smz[si]) + 0.05)
+                d = (float(ltx[si] - smx[si]), float(lty[si] - smy[si]),
+                     float(ltz[si] - smz[si]))
+                if w[1] is None:    # hitscan (m16/shotgun/laser/melee)
+                    st, _, _ = GG.fire_hitscan(st, scene.cobjs, origin, d,
+                                               wi, scene.table)
+                else:
+                    ns = w[5]
+                    st = GG.fire_weapon(st, free[fptr:fptr + ns].tolist(),
+                                        wi, origin, d, scene.table)
+                    fptr += ns
+                shots += 1
+            scene.objects = st
+        res = GF.update_game_frame(scene.objects, scene.cobjs, ds,
+                                   scene.table,
+                                   key=jax.random.fold_in(key, 500 + i))
+        scene.objects, scene.cobjs = res.state, res.cobjs
+        # blast damage reaches the smiley population too (Gameplay.cpp
+        # blast_radius smiley damage)
+        for (ex, ey, ez, er) in res.explosions:
+            d2 = ((sm.x - ex) ** 2 + (sm.y - ey) ** 2 + (sm.z - ez) ** 2)
+            f = np.maximum(1.0 - np.sqrt(np.asarray(d2)) / max(er, 1e-6),
+                           0.0)
+            sm = sm._replace(health=sm.health - 100.0 * f)
+        alive = int((np.asarray(sm.health) > 0).sum())
+        print(json.dumps({
+            "frame": i, "mode": "ground-game", "smileys": alive,
+            "shots": shots, "explosions": int(len(res.explosions)),
+            "live": int((np.asarray(scene.objects.status) > 0).sum()),
+            "ms": round((time.perf_counter() - t0) * 1e3, 1)}))
     return scene
 
 
@@ -264,9 +339,13 @@ def main(argv=None):
                     help="frames chained per device dispatch (tiled mode)")
     ap.add_argument("--objects", type=int, default=2000)
     ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--game", action="store_true",
+                    help="FPS game mode: smiley AI + weapons (ground)")
+    ap.add_argument("--smileys", type=int, default=8)
     args = ap.parse_args(argv)
     if args.mode == "ground":
-        run_ground(args.config, args.frames, args.objects)
+        run_ground(args.config, args.frames, args.objects,
+                   game=args.game, num_smileys=args.smileys)
     elif args.mode == "tiled":
         run_tiled(args.frames, args.seed, chunk=args.chunk)
     else:
