@@ -93,6 +93,309 @@ def step_flock(a: AnimalState, zmin, zmax,
 
 
 # ---------------------------------------------------------------------------
+# tiled-terrain birds (animals.cpp bird_t::update :259 + vect_bird_t::flock
+# :297): straight flight with random small turns, plus the reference's
+# three xy flocking forces applied at CONSTANT speed
+# (apply_force_xy_const_vel :277 — force turns the bird, never slows it)
+# ---------------------------------------------------------------------------
+
+BIRD_SPEED = 0.05      # animals.h BIRD_SPEED-equivalent in scene units
+
+
+def step_birds(a: AnimalState, key, neighbor_dist: float = 0.5,
+               fticks: float = 1.0):
+    """One bird frame, vectorized over the population.
+
+    bird_t::update: with probability 1/2 per bird per frame, jitter the
+    direction by up to 5% and renormalize (speed preserved).  Then
+    vect_bird_t::flock applies separation (0.05/d^2 within 0.2 nd^2),
+    cohesion (0.05 toward the neighborhood mean within 0.3 nd^2) and
+    alignment (0.5 x mean velocity within 0.25 nd^2), divided by mass
+    100, as an xy force that TURNS the constant-speed velocity."""
+    n = a.px.shape[0]
+    k1, k2, k3 = jax.random.split(key, 3)
+    speed = jnp.sqrt(a.vx ** 2 + a.vy ** 2 + a.vz ** 2) + 1e-12
+    # random 5% direction jitter on half the birds (rand()&1)
+    do_turn = jax.random.uniform(k1, (n,)) < 0.5
+    jx = 0.05 * jax.random.uniform(k2, (n,), minval=-1.0, maxval=1.0)
+    jy = 0.05 * jax.random.uniform(k3, (n,), minval=-1.0, maxval=1.0)
+    vx = a.vx + jnp.where(do_turn, jx * speed, 0.0)
+    vy = a.vy + jnp.where(do_turn, jy * speed, 0.0)
+    vm = jnp.sqrt(vx * vx + vy * vy + a.vz ** 2) + 1e-12
+    vx, vy, vz = vx * speed / vm, vy * speed / vm, a.vz * speed / vm
+
+    # flock forces (xy distances only, like the reference)
+    nd_sq = neighbor_dist * neighbor_dist
+    ex = a.px[:, None] - a.px[None, :]
+    ey = a.py[:, None] - a.py[None, :]
+    dxy_sq = ex * ex + ey * ey
+    ii = jnp.arange(n)
+    not_self = ii[:, None] != ii[None, :]
+    sep = not_self & (dxy_sq < 0.2 * nd_sq)
+    coh = not_self & (dxy_sq < 0.3 * nd_sq)
+    ali = not_self & (dxy_sq < 0.25 * nd_sq)
+    inv_d2 = jnp.where(sep, 1.0 / jnp.maximum(dxy_sq, 1e-8), 0.0)
+    fx = 0.05 * jnp.sum(ex * inv_d2, axis=1)
+    fy = 0.05 * jnp.sum(ey * inv_d2, axis=1)
+    pc = jnp.maximum(coh.sum(1), 1).astype(jnp.float32)
+    cw = coh.astype(jnp.float32)
+    fx = fx + 0.05 * ((cw @ a.px) / pc - a.px) * (coh.any(1))
+    fy = fy + 0.05 * ((cw @ a.py) / pc - a.py) * (coh.any(1))
+    vc = jnp.maximum(ali.sum(1), 1).astype(jnp.float32)
+    aw = ali.astype(jnp.float32)
+    fx = fx + 0.5 * (aw @ a.vx) / vc * (ali.any(1))
+    fy = fy + 0.5 * (aw @ a.vy) / vc * (ali.any(1))
+    # apply_force_xy_const_vel: add xy force/mass, renormalize to speed
+    vx2 = vx + fx / 100.0
+    vy2 = vy + fy / 100.0
+    vm2 = jnp.sqrt(vx2 * vx2 + vy2 * vy2 + vz * vz) + 1e-12
+    vx, vy, vz = vx2 * speed / vm2, vy2 * speed / vm2, vz * speed / vm2
+    return a._replace(px=a.px + vx * fticks, py=a.py + vy * fticks,
+                      pz=a.pz + vz * fticks, vx=vx, vy=vy, vz=vz)
+
+
+# ---------------------------------------------------------------------------
+# tiled-terrain fish (animals.cpp fish_t::update :219): scatter from the
+# player, drag back to cruise speed, random heading updates, shallow-water
+# revert
+# ---------------------------------------------------------------------------
+
+FISH_SPEED = 0.002
+
+
+def gen_fish(key, n: int, mesh, water_z: float, world,
+             half_height: float = 0.01) -> AnimalState:
+    """fish_t::gen: random xy in range, keep only where water depth >
+    0.1; z uniform in [mesh + 1.6 hh, water_z - 2 hh] (disabled fish get
+    kind -1)."""
+    from ..physics.step import sample_mesh
+    ks = jax.random.split(key, 4)
+    px = jax.random.uniform(ks[0], (n,), minval=-world.x_scene,
+                            maxval=world.x_scene)
+    py = jax.random.uniform(ks[1], (n,), minval=-world.y_scene,
+                            maxval=world.y_scene)
+    h, *_ = sample_mesh(jnp.asarray(mesh), px, py, world)
+    depth = water_z - h
+    fzmin = h + 1.6 * half_height
+    fzmax = water_z - 2.0 * half_height
+    ok = (depth > 0.1) & (fzmin < fzmax)
+    u = jax.random.uniform(ks[2], (n,))
+    pz = fzmin + u * jnp.maximum(fzmax - fzmin, 0.0)
+    ang = jax.random.uniform(ks[3], (n,), minval=0.0, maxval=2 * np.pi)
+    sp = FISH_SPEED
+    return AnimalState(px=px, py=py, pz=pz,
+                       vx=sp * jnp.cos(ang), vy=sp * jnp.sin(ang),
+                       vz=jnp.zeros((n,)),
+                       kind=jnp.where(ok, A_FISH, -1).astype(jnp.int32))
+
+
+def step_fish(a: AnimalState, key, mesh, world, player_pos,
+              half_height: float = 0.01, fticks: float = 1.0):
+    """fish_t::update, vectorized: within 15 r of the player swim
+    directly AWAY at 10x cruise speed (xy only); when fast, drag by
+    0.96^fticks; else 1/128 chance of a +-25% heading jitter.  A move
+    into water shallower than 1.5 half-heights reverts and re-rolls the
+    heading (or freezes when chased)."""
+    from ..physics.step import sample_mesh
+    n = a.px.shape[0]
+    k1, k2, k3 = jax.random.split(key, 3)
+    alive = a.kind >= 0
+    dx = a.px - player_pos[0]
+    dy = a.py - player_pos[1]
+    dz = a.pz - player_pos[2]
+    d = jnp.sqrt(dx * dx + dy * dy + dz * dz) + 1e-9
+    radius = 2.0 * half_height
+    chased = d < 15.0 * radius
+    away = jnp.sqrt(dx * dx + dy * dy) + 1e-9
+    vx = jnp.where(chased, 10.0 * FISH_SPEED * dx / away, a.vx)
+    vy = jnp.where(chased, 10.0 * FISH_SPEED * dy / away, a.vy)
+    vz = jnp.where(chased, 0.0, a.vz)
+    speed = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+    far = d > 20.0 * radius
+    drag = far & (speed > FISH_SPEED)
+    scale = jnp.where(drag, 0.96 ** fticks, 1.0)
+    vx, vy, vz = vx * scale, vy * scale, vz * scale
+    rnd = far & ~drag & (jax.random.randint(k1, (n,), 0, 128) == 0)
+    jx = 0.25 * jax.random.uniform(k2, (n,), minval=-1.0, maxval=1.0)
+    jy = 0.25 * jax.random.uniform(k3, (n,), minval=-1.0, maxval=1.0)
+    vm = jnp.sqrt(vx * vx + vy * vy) + 1e-12
+    nvx = (vx / vm + jx)
+    nvy = (vy / vm + jy)
+    nvm = jnp.sqrt(nvx * nvx + nvy * nvy) + 1e-12
+    vx = jnp.where(rnd, speed * nvx / nvm, vx)
+    vy = jnp.where(rnd, speed * nvy / nvm, vy)
+    # try the move; revert where the water is too shallow
+    px = a.px + vx * fticks
+    py = a.py + vy * fticks
+    pz = a.pz + vz * fticks
+    h, *_ = sample_mesh(jnp.asarray(mesh), px, py, world)
+    too_shallow = (pz - 1.5 * half_height) < h
+    ang = jax.random.uniform(jax.random.fold_in(k1, 1), (n,),
+                             minval=0.0, maxval=2 * np.pi)
+    vx = jnp.where(too_shallow,
+                   jnp.where(chased, 0.0, FISH_SPEED * jnp.cos(ang)), vx)
+    vy = jnp.where(too_shallow,
+                   jnp.where(chased, 0.0, FISH_SPEED * jnp.sin(ang)), vy)
+    px = jnp.where(too_shallow, a.px, px)
+    py = jnp.where(too_shallow, a.py, py)
+    pz = jnp.where(too_shallow, a.pz, pz)
+    keep = alive
+    return a._replace(px=jnp.where(keep, px, a.px),
+                      py=jnp.where(keep, py, a.py),
+                      pz=jnp.where(keep, pz, a.pz),
+                      vx=jnp.where(keep, vx, 0.0),
+                      vy=jnp.where(keep, vy, 0.0),
+                      vz=jnp.where(keep, vz, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# butterflies (animals.cpp butterfly_t::update :335): acceleration random
+# walks, xy heading rotation, altitude band over mesh/water, destination
+# seek with rest at arrival and explore phases (update_dest :436)
+# ---------------------------------------------------------------------------
+
+class ButterflyState(NamedTuple):
+    px: jax.Array
+    py: jax.Array
+    pz: jax.Array
+    dirx: jax.Array      # unit xy heading
+    diry: jax.Array
+    speed: jax.Array     # nominal forward speed
+    fwd_accel: jax.Array     # the three [-1,1] accel random walks
+    rot_accel: jax.Array
+    alt_accel: jax.Array
+    speed_factor: jax.Array  # [0.5, 1.5]
+    rot_rate: jax.Array      # [-1, 1]
+    alt_change: jax.Array    # [-1, 1]
+    rest_time: jax.Array     # frames left resting at a flower
+    explore_time: jax.Array  # frames of free roam before seeking a dest
+    dest_x: jax.Array
+    dest_y: jax.Array
+    dest_z: jax.Array
+    dest_valid: jax.Array    # bool
+
+
+BFLY_RADIUS = 0.02
+BFLY_SPEED = 0.004
+
+
+def make_butterflies(key, n: int, world) -> ButterflyState:
+    ks = jax.random.split(key, 4)
+    px = jax.random.uniform(ks[0], (n,), minval=-world.x_scene,
+                            maxval=world.x_scene)
+    py = jax.random.uniform(ks[1], (n,), minval=-world.y_scene,
+                            maxval=world.y_scene)
+    ang = jax.random.uniform(ks[2], (n,), minval=0.0, maxval=2 * np.pi)
+    alt = jax.random.uniform(ks[3], (n,), minval=0.2, maxval=0.8)
+    z = lambda v=0.0: jnp.full((n,), v)
+    return ButterflyState(
+        px=px, py=py, pz=alt, dirx=jnp.cos(ang), diry=jnp.sin(ang),
+        speed=z(BFLY_SPEED), fwd_accel=z(), rot_accel=z(), alt_accel=z(),
+        speed_factor=z(1.0), rot_rate=z(), alt_change=z(),
+        rest_time=z(), explore_time=z(60.0),
+        dest_x=px, dest_y=py, dest_z=alt,
+        dest_valid=jnp.zeros((n,), bool))
+
+
+def step_butterflies(b: ButterflyState, key, mesh, world,
+                     water_z: float = -1.0e9, fticks: float = 1.0,
+                     flowers_xyz=None):
+    """One butterfly frame (butterfly_t::update).  `flowers_xyz` is an
+    optional ([K],[K],[K]) tuple of flower positions (the reference's
+    choose_butterfly_dest picks tile flowers/plants); destinations are
+    sampled from it when exploring ends."""
+    from ..physics.step import sample_mesh
+    n = b.px.shape[0]
+    ks = jax.random.split(key, 6)
+    resting = b.rest_time > 0.0
+    rest_time = jnp.maximum(b.rest_time - fticks, 0.0)
+    lift_off = resting & (rest_time <= 0.0)
+    explore_time = jnp.where(lift_off,
+                             15.0 + 15.0 * jax.random.uniform(ks[0], (n,)),
+                             jnp.maximum(b.explore_time - fticks, 0.0))
+    alt_change0 = jnp.where(lift_off, 0.5, b.alt_change)
+
+    # the three accel random walks (update_accel: +-0.25 fticks clip pm1)
+    upd = lambda acc, k: jnp.clip(
+        acc + 0.25 * fticks * jax.random.uniform(k, (n,), minval=-1.0,
+                                                 maxval=1.0), -1.0, 1.0)
+    fwd = upd(b.fwd_accel, ks[1])
+    rot = upd(b.rot_accel, ks[2])
+    alt = upd(b.alt_accel, ks[3])
+    uf = 0.01 * fticks
+    speed_factor = jnp.clip(b.speed_factor + uf * fwd, 0.5, 1.5)
+    rot_rate = jnp.clip(b.rot_rate + uf * rot, -1.0, 1.0)
+    alt_change = jnp.clip(alt_change0 + uf * alt, -1.0, 1.0)
+    delta_t = speed_factor * fticks
+    rot_angle = 0.0005 * 2 * np.pi * delta_t * rot_rate * 100.0
+    ca, sa = jnp.cos(rot_angle), jnp.sin(rot_angle)
+    dirx = b.dirx * ca - b.diry * sa
+    diry = b.dirx * sa + b.diry * ca
+
+    # destination bias (dest_valid branch): blend heading toward dest
+    ddx = b.dest_x - b.px
+    ddy = b.dest_y - b.py
+    rel_xy = jnp.sqrt(ddx * ddx + ddy * ddy) / BFLY_RADIUS
+    alignment = jnp.where(b.dest_valid,
+                          1.0 - jnp.minimum(0.005 * rel_xy, 1.0), 0.0)
+    dl = jnp.sqrt(ddx * ddx + ddy * ddy) + 1e-9
+    blend = 0.3 * alignment + 0.1
+    bx = jnp.where(b.dest_valid, (1 - blend) * dirx + blend * ddx / dl, dirx)
+    by = jnp.where(b.dest_valid, (1 - blend) * diry + blend * ddy / dl, diry)
+    bl = jnp.sqrt(bx * bx + by * by) + 1e-9
+    dirx, diry = bx / bl, by / bl
+    # altitude toward dest when aligned (alt_change += 2 v^2 sign(dz))
+    v = jnp.maximum(alignment - 0.5, 0.0)
+    dz = b.dest_z - b.pz
+    alt_change = jnp.clip(
+        alt_change + 2.0 * v * v * jnp.sign(dz)
+        * jnp.minimum(jnp.abs(dz) / BFLY_RADIUS, 1.0), -1.0, 1.0)
+
+    move = ~resting | lift_off
+    px = b.px + jnp.where(move, b.speed * dirx * delta_t * 10.0, 0.0)
+    py = b.py + jnp.where(move, b.speed * diry * delta_t * 10.0, 0.0)
+    pz = b.pz + jnp.where(move, 0.4 * alt_change * delta_t * BFLY_RADIUS, 0.0)
+
+    # altitude band over terrain/water (get_butterfly_min/max_alt)
+    h, *_ = sample_mesh(jnp.asarray(mesh), px, py, world)
+    zmin_val = jnp.maximum(h, water_z) + 2.0 * BFLY_RADIUS
+    max_alt = 0.10 * (world.x_scene + world.y_scene)
+    pz = jnp.clip(pz, zmin_val, zmin_val + max_alt)
+
+    # arrival: rest 5-10 s (at flowers), clear dest
+    at_dest = b.dest_valid & (dl < 4.0 * BFLY_RADIUS)
+    rest_time = jnp.where(at_dest,
+                          5.0 + 5.0 * jax.random.uniform(ks[4], (n,)),
+                          rest_time)
+    dest_valid = b.dest_valid & ~at_dest
+    # pick a new dest 10% of frames once exploring ends
+    if flowers_xyz is not None:
+        fx, fy, fz = flowers_xyz
+        K = fx.shape[0]
+        pick = (~dest_valid) & (explore_time <= 0.0) & ~resting & \
+            (jax.random.uniform(ks[5], (n,)) < 0.1)
+        fi = jax.random.randint(jax.random.fold_in(ks[5], 1), (n,), 0, K)
+        # ignore dests behind us (dot(dir, dest-pos) < 0)
+        ndx = fx[fi] - px
+        ndy = fy[fi] - py
+        ahead = (dirx * ndx + diry * ndy) > 0.0
+        pick = pick & ahead
+        dest_x = jnp.where(pick, fx[fi], b.dest_x)
+        dest_y = jnp.where(pick, fy[fi], b.dest_y)
+        dest_z = jnp.where(pick, fz[fi], b.dest_z)
+        dest_valid = dest_valid | pick
+    else:
+        dest_x, dest_y, dest_z = b.dest_x, b.dest_y, b.dest_z
+
+    return b._replace(px=px, py=py, pz=pz, dirx=dirx, diry=diry,
+                      fwd_accel=fwd, rot_accel=rot, alt_accel=alt,
+                      speed_factor=speed_factor, rot_rate=rot_rate,
+                      alt_change=alt_change, rest_time=rest_time,
+                      explore_time=explore_time, dest_x=dest_x,
+                      dest_y=dest_y, dest_z=dest_z, dest_valid=dest_valid)
+
+
+# ---------------------------------------------------------------------------
 # building spiders (building_animals.cpp:1005-1140 update_spiders)
 # ---------------------------------------------------------------------------
 

@@ -96,6 +96,78 @@ def cut_grass_at(block: GrassBlock, cx, cy, radius, height_frac=0.25):
 
 
 # ---------------------------------------------------------------------------
+# flowers (flower_manager_t::add_flowers, grass.cpp:813-839): per-cell
+# flower_density * grass_density flowers, a sine-noise density test, and
+# colors {WHITE, YELLOW, LT_BLUE} from a second noise field
+# ---------------------------------------------------------------------------
+
+FLOWER_COLORS = ((1.0, 1.0, 1.0),     # WHITE
+                 (1.0, 1.0, 0.0),     # YELLOW
+                 (0.6, 0.8, 1.0))     # LT_BLUE
+
+
+class FlowerSet(NamedTuple):
+    """SoA flowers for one tile block (flower_t fields)."""
+
+    x: jax.Array
+    y: jax.Array
+    z: jax.Array
+    nx: jax.Array       # facing normal (mostly +z)
+    ny: jax.Array
+    nz: jax.Array
+    radius: jax.Array
+    height: jax.Array
+    color: jax.Array    # [N, 3]
+    alive: jax.Array    # density-gated mask
+
+
+def gen_flowers(seed: int, tile_x0: float, tile_y0: float, zvals,
+                grass_weight, world, flower_density: float = 1.0,
+                grass_length: float = 0.02, grass_width: float = 0.002,
+                max_per_cell: int = 2) -> FlowerSet:
+    """Flowers for a tile: cells with grass density >= 0.5 spawn up to
+    round(flower_density * density) flowers, gated by a hashed noise
+    test (the reference's two force_sine density_gen fields are stood in
+    by two xxhash-derived fields; same mechanism: one gates placement,
+    one picks the color)."""
+    my, mx = zvals.shape
+    n = my * mx * max_per_cell
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    cell = idx // max_per_cell
+    slot = (idx % max_per_cell).astype(jnp.float32)
+    h1 = w3d_rng.xxhash_u32(idx, seed=seed + 0xF10)
+    h2 = w3d_rng.xxhash_u32(idx, seed=seed + 0xF11)
+    h3 = w3d_rng.xxhash_u32(idx, seed=seed + 0xF12)
+    h4 = w3d_rng.xxhash_u32(cell.astype(jnp.uint32), seed=seed + 0xF13)
+    h5 = w3d_rng.xxhash_u32(cell.astype(jnp.uint32), seed=seed + 0xF14)
+    u = lambda h: (h >> 8).astype(jnp.float32) / (1 << 24)
+    u1, u2, u3, dval, cval = u(h1), u(h2), u(h3), u(h4), u(h5)
+    gden = jnp.take(grass_weight.reshape(-1), cell)
+    num_per_bin = jnp.round(flower_density * gden)
+    keep = (gden >= 0.5) & (slot < num_per_bin)
+    # density-function test (dval + jitter > hthresh -> skip)
+    keep = keep & ((dval + 0.2 * (u1 - 0.5)) <= 0.75)
+    cy = (cell // mx).astype(jnp.float32)
+    cx = (cell % mx).astype(jnp.float32)
+    x = (tile_x0 + cx + u1) * world.dx
+    y = (tile_y0 + cy + u2) * world.dy
+    z = jnp.take(zvals.reshape(-1), cell)
+    height = grass_length * (0.85 + 0.15 * u2)
+    radius = grass_width * (1.5 + 1.0 * u3)
+    # normal: +z with +-0.2 jitter
+    jx = 0.2 * (2.0 * u1 - 1.0)
+    jy = 0.2 * (2.0 * u3 - 1.0)
+    nl = jnp.sqrt(jx * jx + jy * jy + 1.0)
+    cols = jnp.asarray(FLOWER_COLORS, jnp.float32)
+    cidx = (0.5 * 3 * (cval + 0.25 * (2.0 * u3 - 1.0))).astype(jnp.int32) % 3
+    return FlowerSet(
+        x=x, y=y, z=z + height,
+        nx=jx / nl, ny=jy / nl, nz=1.0 / nl,
+        radius=radius, height=height,
+        color=cols[cidx], alive=keep)
+
+
+# ---------------------------------------------------------------------------
 # ground fire spread (enable_grass_fire / add_ground_fire: fire creeps
 # across grass cells, biased downwind, consuming fuel)
 # ---------------------------------------------------------------------------

@@ -307,3 +307,115 @@ def test_scenery_per_kind_geometry():
 
     co = VS.scenery_cobjs(s, logs, plants, rocks)
     assert int((np.asarray(co.shape) >= 0).sum()) >= int(np.asarray(s.valid).sum())
+
+
+# ---------------------------------------------------------------------------
+# round-5 depth: flowers, reference bird/fish/butterfly behaviors
+# ---------------------------------------------------------------------------
+
+def test_flowers_only_in_dense_grass():
+    """add_flowers (grass.cpp:813): cells below 0.5 grass density get no
+    flowers; dense grass gets flower_density-scaled counts with valid
+    colors/geometry."""
+    gw_dense = jnp.full((16, 16), 0.9)
+    gw_sparse = jnp.full((16, 16), 0.3)
+    zv = jnp.zeros((16, 16))
+    fd = VG.gen_flowers(3, 0.0, 0.0, zv, gw_dense, W, flower_density=1.0)
+    fs = VG.gen_flowers(3, 0.0, 0.0, zv, gw_sparse, W, flower_density=1.0)
+    n_dense = int(np.asarray(fd.alive).sum())
+    n_sparse = int(np.asarray(fs.alive).sum())
+    assert n_dense > 20
+    assert n_sparse == 0
+    a = np.asarray(fd.alive)
+    col = np.asarray(fd.color)[a]
+    assert col.min() >= 0.0 and col.max() <= 1.0
+    # flowers sit above the mesh by their height
+    z = np.asarray(fd.z)[a]
+    h = np.asarray(fd.height)[a]
+    assert np.allclose(z, h, atol=1e-6)
+    # normals mostly up
+    assert float(np.asarray(fd.nz)[a].min()) > 0.9
+    # density scales the count
+    f2 = VG.gen_flowers(3, 0.0, 0.0, zv, gw_dense, W, flower_density=2.0)
+    assert int(np.asarray(f2.alive).sum()) > n_dense
+
+
+def test_bird_flight_and_flocking():
+    """bird_t::update + vect_bird_t::flock: constant speed preserved
+    through turns; separated birds converge (cohesion) while close pairs
+    spread (separation)."""
+    from w3d.veg import animals as A
+    k = jax.random.key(0)
+    a = A.make_animals(k, 24, A.A_BIRD, center=(0, 0, 1.0), spread=0.3)
+    sp0 = np.sqrt(np.asarray(a.vx) ** 2 + np.asarray(a.vy) ** 2
+                  + np.asarray(a.vz) ** 2)
+    b = a
+    for i in range(20):
+        b = A.step_birds(b, jax.random.fold_in(k, i))
+    sp1 = np.sqrt(np.asarray(b.vx) ** 2 + np.asarray(b.vy) ** 2
+                  + np.asarray(b.vz) ** 2)
+    # const-velocity forces: speeds unchanged (apply_force_xy_const_vel)
+    np.testing.assert_allclose(sp1, sp0, rtol=1e-4)
+    # alignment: velocity directions become more similar
+    def dir_spread(s):
+        vx, vy = np.asarray(s.vx), np.asarray(s.vy)
+        m = np.sqrt(vx**2 + vy**2) + 1e-12
+        ux, uy = vx / m, vy / m
+        return 1.0 - np.hypot(ux.mean(), uy.mean())
+    assert dir_spread(b) < dir_spread(a)
+
+
+def test_fish_scatter_from_player_and_shallow_revert():
+    from w3d.veg import animals as A
+    mesh = jnp.full((32, 32), -1.0)
+    k = jax.random.key(1)
+    f = A.gen_fish(k, 64, mesh, water_z=-0.2, world=W)
+    alive = np.asarray(f.kind) >= 0
+    assert alive.sum() > 32     # deep flat water: most spawn
+    z = np.asarray(f.pz)[alive]
+    assert (z > -1.0).all() and (z < -0.2).all()
+    # player right at one fish: it swims away fast
+    px0 = float(np.asarray(f.px)[alive][0])
+    py0 = float(np.asarray(f.py)[alive][0])
+    f2 = A.step_fish(f, jax.random.fold_in(k, 9), mesh, W,
+                     (px0 + 0.01, py0, -0.5))
+    i0 = np.where(alive)[0][0]
+    vx = float(np.asarray(f2.vx)[i0])
+    sp = abs(vx)
+    assert sp > 5.0 * A.FISH_SPEED       # 10x scatter speed, away (-x)
+    assert vx < 0.0
+    # shallow mesh: moves revert (positions pinned)
+    mesh_hi = jnp.full((32, 32), -0.21)  # water depth 0.01 everywhere
+    f3 = A.step_fish(f, jax.random.fold_in(k, 10), mesh_hi, W,
+                     (100.0, 100.0, 0.0))
+    np.testing.assert_allclose(np.asarray(f3.px), np.asarray(f.px),
+                               atol=1e-6)
+
+
+def test_butterflies_band_and_rest():
+    from w3d.veg import animals as A
+    mesh = jnp.zeros((32, 32))
+    k = jax.random.key(2)
+    b = A.make_butterflies(k, 32, W)
+    fx = jnp.asarray([0.5]); fy = jnp.asarray([0.5]); fz = jnp.asarray([0.1])
+    for i in range(30):
+        b = A.step_butterflies(b, jax.random.fold_in(k, i), mesh, W,
+                               flowers_xyz=(fx, fy, fz))
+    # altitude band respected: above terrain, below max altitude
+    z = np.asarray(b.pz)
+    zmin = 2.0 * A.BFLY_RADIUS
+    zmax = zmin + 0.10 * (W.x_scene + W.y_scene) + 1e-5
+    assert (z >= zmin - 1e-5).all() and (z <= zmax + 0.05).all()
+    # accel walks stay clipped
+    assert np.abs(np.asarray(b.rot_rate)).max() <= 1.0
+    assert (np.asarray(b.speed_factor) >= 0.5).all()
+    assert (np.asarray(b.speed_factor) <= 1.5).all()
+    # a butterfly placed AT the flower with a valid dest starts resting
+    b2 = b._replace(px=b.px.at[0].set(0.5), py=b.py.at[0].set(0.5),
+                    dest_x=b.dest_x.at[0].set(0.5),
+                    dest_y=b.dest_y.at[0].set(0.5),
+                    dest_valid=b.dest_valid.at[0].set(True))
+    b3 = A.step_butterflies(b2, jax.random.fold_in(k, 99), mesh, W,
+                            flowers_xyz=(fx, fy, fz))
+    assert float(b3.rest_time[0]) > 0.0
+    assert not bool(b3.dest_valid[0])
