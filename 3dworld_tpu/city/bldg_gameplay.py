@@ -146,6 +146,9 @@ _PROPS.update({
     RC.F_HW_PIPE:       (0.0, 0.0, False, False, 0.0),
     RC.F_GAS_PIPE:      (0.0, 0.0, False, False, 0.0),
     RC.F_PIPE_RISER:    (0.0, 0.0, False, False, 0.0),
+    # interaction-surface kinds (round 5): fixed to walls, not lootable
+    RC.F_LIGHT_SWITCH:  (0.0, 0.0, False, False, 0.0),
+    RC.F_BLINDS:        (25.0, 4.0, False, False, 0.0),
 })
 MAX_CARRY_WEIGHT = 200.0  # lbs, reference player_inventory weight limit
 

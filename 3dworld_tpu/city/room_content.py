@@ -65,7 +65,11 @@ F_TANK, F_CONV_BELT = 69, 70
  F_PAINT_CAN, F_BALL, F_SPRAYCAN, F_TRASHCAN, F_FIRE_EXT, F_FLASHLIGHT,
  F_SEWER_PIPE, F_CW_PIPE, F_HW_PIPE, F_GAS_PIPE,
  F_PIPE_RISER) = range(71, 98)
-NUM_FURNITURE_KINDS = 98
+# round-5 interaction surface (building_interact.cpp): wall light
+# switches by doors (add_light_switches_to_room), window blinds in
+# bedrooms (add_window_coverings)
+F_LIGHT_SWITCH, F_BLINDS = 98, 99
+NUM_FURNITURE_KINDS = 100
 
 # building types (building_defs.h:137 BTYPE_*; the subset with distinct
 # interior content models here)
@@ -1537,6 +1541,22 @@ def furnish_rooms(interior, floor_height: float, seed: int,
         out.add(ri, F_CEIL_LIGHT, lcx - 0.05 * scale, lcy - 0.05 * scale,
                 z0 + 0.97 * fh, lcx + 0.05 * scale, lcy + 0.05 * scale,
                 z0 + fh)
+        # a wall light switch beside each door at hand height
+        # (add_light_switches_to_room, building_interact.cpp: switches
+        # toggle the room's ceiling light)
+        for (dx, dy) in rdoors[:2]:
+            # beside the door, clamped inside the room
+            sx = min(max(dx + 0.12 * scale, room.x1), room.x2 - 0.03 * scale)
+            sy = min(max(dy + 0.02 * scale, room.y1), room.y2 - 0.03 * scale)
+            out.add(ri, F_LIGHT_SWITCH, sx, sy, z0 + 0.35 * fh,
+                    sx + 0.025 * scale, sy + 0.012 * scale,
+                    z0 + 0.42 * fh)
+        if rtype in (R_BEDROOM, R_HOTEL):
+            # window blinds on one exterior-ish wall (add_window_coverings)
+            bx = room.x1 + 0.02 * scale
+            by = 0.5 * (room.y1 + room.y2)
+            out.add(ri, F_BLINDS, bx, by - 0.15 * scale, z0 + 0.4 * fh,
+                    bx + 0.01 * scale, by + 0.15 * scale, z0 + 0.9 * fh)
         gen = _COMPOSITE_GENS.get(rtype)
         if rtype in (R_FACTORY, R_DATACENTER, R_UTILITY, R_SERVER):
             _ceiling_pipes(out, rg, ri, room, z0, fh, scale)

@@ -734,8 +734,11 @@ def test_room_content_composite_generators():
                                  RC.F_CABINET, RC.F_TOWEL_RACK,
                                  RC.F_CUBICLE, RC.F_CEIL_LIGHT,
                                  RC.F_FLOOR_CLOTHES, RC.F_PIPE,
-                                 RC.F_DUCT):
-                continue   # flat/wall/ceiling/scattered don't block
+                                 RC.F_DUCT, RC.F_LIGHT_SWITCH,
+                                 RC.F_BLINDS):
+                # flat/wall/ceiling/scattered don't block; switches are
+                # INTENTIONALLY beside doors (building_interact.cpp)
+                continue
             room = i.rooms[objs.rooms[k]]
             if room.floor != fl:
                 continue
