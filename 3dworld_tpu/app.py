@@ -200,6 +200,17 @@ def run_tiled(frames: int, seed: int, chunk: int = 16,
     w = make_tiled_world(tm, cw, builders=[(interior, 48, objs)],
                          seed=seed, chunk=chunk, num_birds=8,
                          num_trains=2)
+    # tiled-terrain fauna (animals.cpp): terrain bird flock + butterflies
+    # + fish, chained on-device per chunk over the camera tile's mesh
+    # (separate from the city's perch birds above)
+    import jax
+    from .veg import animals as VA
+    wl = WorldConst(mesh_x=64, mesh_y=64)
+    fk = jax.random.key(seed ^ 0xFA0A)
+    fauna_birds = VA.make_animals(fk, 16, VA.A_BIRD, center=(0.0, 0.0, 1.0))
+    fauna_bfly = VA.make_butterflies(jax.random.fold_in(fk, 1), 16, wl)
+    fauna_water_z = -0.4
+    fauna_fish = None    # spawned from the first camera tile's mesh
     cam, cam_y = 0.0, 0.0
     hashes = []
     i = 0
@@ -214,6 +225,18 @@ def run_tiled(frames: int, seed: int, chunk: int = 16,
             journal.record(i, EV.EV_CAMERA, cam, cam_y, k)
         t0 = time.perf_counter()
         created, deleted = w.step_chunk(cam, cam_y, frames=k)
+        # fauna over the camera tile's mesh, chained the same k frames
+        ct = tm.tiles.get(tm.camera_tile(cam, cam_y))
+        if ct is not None:
+            import jax.numpy as jnp
+            mesh_t = jnp.asarray(ct.zvals[:64, :64])
+            if fauna_fish is None:
+                fauna_fish = VA.gen_fish(jax.random.fold_in(fk, 2), 32,
+                                         mesh_t, fauna_water_z, wl)
+            fauna_birds, fauna_bfly, fauna_fish = VA.step_tiled_fauna(
+                fauna_birds, fauna_bfly, fauna_fish,
+                jax.random.fold_in(fk, 100 + i), mesh_t, wl,
+                fauna_water_z, cam, cam_y, frames=k)
         cam += 0.8 * k
         acts = (np.bincount(w.last_probe[:, 4].astype(np.int32),
                             minlength=5).tolist()
@@ -226,6 +249,11 @@ def run_tiled(frames: int, seed: int, chunk: int = 16,
                           "cars": int(w.cars.seg.shape[0]),
                           "peds": int(w.peds.x.shape[0]),
                           "bldg_people_acts": acts,
+                          "fauna": [int(fauna_birds.px.shape[0]),
+                                    int(fauna_bfly.px.shape[0]),
+                                    int((np.asarray(fauna_fish.kind) >= 0
+                                         ).sum()) if fauna_fish is not None
+                                    else 0],
                           "created": len(created), "deleted": len(deleted),
                           "hash": hashes[-1],
                           "ms": round(dt * 1e3, 1)}))

@@ -395,6 +395,29 @@ def step_butterflies(b: ButterflyState, key, mesh, world,
                       dest_y=dest_y, dest_z=dest_z, dest_valid=dest_valid)
 
 
+@functools.partial(jax.jit, static_argnames=("frames", "world"))
+def step_tiled_fauna(birds: AnimalState, bfly: ButterflyState,
+                     fish: AnimalState, key, mesh, world,
+                     water_z: float, player_x, player_y, frames: int = 1):
+    """Chain `frames` frames of the tiled-terrain fauna — birds (flock),
+    butterflies (accel walks + altitude band), fish (scatter/cruise) —
+    in one device program (the per-tile update loop of
+    tile_draw_t::update_animals, animals.cpp, fused like the city
+    frame)."""
+    def body(carry, i):
+        b, f, u = carry
+        kk = jax.random.fold_in(key, i)
+        b = step_birds(b, jax.random.fold_in(kk, 1))
+        f = step_butterflies(f, jax.random.fold_in(kk, 2), mesh, world,
+                             water_z=water_z)
+        u = step_fish(u, jax.random.fold_in(kk, 3), mesh, world,
+                      (player_x, player_y, water_z))
+        return (b, f, u), None
+    (birds, bfly, fish), _ = jax.lax.scan(body, (birds, bfly, fish),
+                                          jnp.arange(frames))
+    return birds, bfly, fish
+
+
 # ---------------------------------------------------------------------------
 # building spiders (building_animals.cpp:1005-1140 update_spiders)
 # ---------------------------------------------------------------------------
