@@ -285,12 +285,16 @@ def trace_batch(
             too_shallow = jnp.zeros((N,), bool)
             wlum = watt_r = watt_g = watt_b = jnp.float32(1.0)
 
-        # albedo: cobj color (one-hot reduce) or sampled landscape color
-        acr = coh @ cobjs.color_r
-        acg = coh @ cobjs.color_g
-        acb = coh @ cobjs.color_b
-        aspec = coh @ cobjs.specular
-        ashine = coh @ cobjs.shine
+        # albedo + material attributes: ONE [N,M]@[M,8] matmul instead of
+        # 8 matvecs (each re-read the [N,M] one-hot from HBM; fusing
+        # them cuts that traffic 8x — part of the measured residual)
+        attr = jnp.stack([cobjs.color_r, cobjs.color_g, cobjs.color_b,
+                          cobjs.specular, cobjs.shine, cobjs.alpha,
+                          cobjs.refract_ix, cobjs.light_atten], axis=1)
+        av = coh @ attr                                        # [N, 8]
+        acr, acg, acb = av[:, 0], av[:, 1], av[:, 2]
+        aspec, ashine = av[:, 3], av[:, 4]
+        calpha, cref_ix, catten = av[:, 5], av[:, 6], av[:, 7]
         gy, gx = _mesh_cell(hx, hy)
         if land_color is not None:
             lcr = land_color[gy, gx, 0]
@@ -332,9 +336,6 @@ def trace_batch(
         # chord [t, t_exit] (the reference itself ignores bending for the
         # weight and notes the chord-distance shortcut), attenuated by
         # get_light_transmit's exp(-light_atten * chord)
-        calpha = coh @ cobjs.alpha
-        cref_ix = coh @ cobjs.refract_ix
-        catten = coh @ cobjs.light_atten
         cobj_coll = hit & ~use_mesh & ~ice_coll
         if params.transmission:
             semi = cobj_coll & (calpha < 1.0)
@@ -398,14 +399,16 @@ def trace_batch(
             rx_ = dx - 2.0 * vdotn * nx
             ry_ = dy - 2.0 * vdotn * ny
             rz_ = dz - 2.0 * vdotn * nz
-            jx = jax.random.normal(k2, (N,))
-            jy = jax.random.normal(k3, (N,))
-            jz = jax.random.normal(jax.random.fold_in(k2, 1), (N,))
-            jl = jnp.sqrt(jx * jx + jy * jy + jz * jz) + 1e-9
+            # random unit vector from 2 draws (cylinder map; same
+            # distribution as the normalized gaussian triple, 3x fewer
+            # threefry draws and no Box-Muller)
+            jz = 2.0 * jax.random.uniform(k2, (N,)) - 1.0
+            jang = (2.0 * np.pi) * jax.random.uniform(k3, (N,))
+            jr = jnp.sqrt(jnp.maximum(1.0 - jz * jz, 0.0))
             blur = 1.0 / jnp.sqrt(jnp.maximum(ashine, 1.0))
-            spx = rx_ + blur * jx / jl
-            spy = ry_ + blur * jy / jl
-            spz = rz_ + blur * jz / jl
+            spx = rx_ + blur * jr * jnp.cos(jang)
+            spy = ry_ + blur * jr * jnp.sin(jang)
+            spz = rz_ + blur * jz
             spl = jnp.sqrt(spx * spx + spy * spy + spz * spz) + 1e-9
             do_spec = (aspec > 0.0) & (ashine > 1.0) & \
                       (jax.random.uniform(jax.random.fold_in(k3, 2), (N,)) < aspec)

@@ -573,15 +573,22 @@ def ray_heightfield(ox, oy, oz, dx, dy, dz, tmax, mesh, world: WorldConst,
 
 def cosine_hemisphere_dirs(key, nx, ny, nz, shape):
     """Cosine-weighted scatter directions (the reference's normal-offset
-    unit sphere trick: v = normalize(n + random_unit), ray_trace.cpp:482)."""
-    kx, ky, kz = jax.random.split(key, 3)
-    rx = jax.random.normal(kx, shape)
-    ry = jax.random.normal(ky, shape)
-    rz = jax.random.normal(kz, shape)
-    rl = jnp.sqrt(rx * rx + ry * ry + rz * rz) + _EPS
-    vx = nx + rx / rl
-    vy = ny + ry / rl
-    vz = nz + rz / rl
+    unit sphere trick: v = normalize(n + random_unit), ray_trace.cpp:482).
+
+    The random unit vector comes from the cylinder-area map
+    (z = 2u-1, angle = 2 pi v) — exactly uniform on the sphere from TWO
+    uniform draws, vs the gaussian-triple's six draws + three
+    Box-Muller transcendentals (the RNG soup was measured at ~half the
+    production bounce cost)."""
+    ku, kv = jax.random.split(key)
+    z = 2.0 * jax.random.uniform(ku, shape) - 1.0
+    ang = (2.0 * np.pi) * jax.random.uniform(kv, shape)
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    rx = r * jnp.cos(ang)
+    ry = r * jnp.sin(ang)
+    vx = nx + rx
+    vy = ny + ry
+    vz = nz + z
     vl = jnp.sqrt(vx * vx + vy * vy + vz * vz) + _EPS
     return vx / vl, vy / vl, vz / vl
 

@@ -130,3 +130,28 @@ def test_tile_budget_priority_double_buffer():
     # unbudgeted update fills the remainder synchronously
     rest, _ = tm.update(0.0, 0.0)
     assert all(k in tm.tiles for k in rest)
+
+
+def test_per_tile_grass_and_flowers():
+    """grass_tile_manager_t semantics: resident tiles generate per-blade
+    grass + flowers from their own biome weights, deterministically per
+    (tx, ty)."""
+    import numpy as np
+    from w3d.terrain.tiles import TileManager
+    from w3d.terrain.mesh import TerrainConfig
+    from w3d.utils.constants import WorldConst
+    tm = TileManager(cfg=TerrainConfig(mesh_seed=3),
+                     world=WorldConst(mesh_x=64, mesh_y=64), tile_size=64)
+    tm.update(0.0, 0.0)
+    tm.flush()
+    key = next(iter(tm.tiles))
+    g1 = tm.grass_for_tile(key)
+    g2 = tm.grass_for_tile(key)
+    np.testing.assert_array_equal(np.asarray(g1.x), np.asarray(g2.x))
+    # blades only where grass weight allows; heights zero where culled
+    h = np.asarray(g1.height)
+    assert (h >= 0).all()
+    f = tm.flowers_for_tile(key)
+    alive = np.asarray(f.alive)
+    # flowers are a subset phenomenon; count is bounded by the blades
+    assert alive.sum() <= h.size
