@@ -91,6 +91,23 @@ class TraceParams(NamedTuple):
                                    # () = unknown -> every formula block
                                    # stays in the graph.  Set by the
                                    # compute_* drivers via _auto_types.
+    uniform_color0: bool = False   # promise: every input ray carries the
+                                   # SAME (cr,cg,cb) — true for all the
+                                   # driver ray sources.  Lets bounce 0's
+                                   # deposit scatter ONLY the weight
+                                   # channel (1 scatter instead of 4 on
+                                   # ~2/3 of all samples; channel
+                                   # scatters don't fuse on TPU).
+                                   # compact path only.
+    compact_shift: int = 0         # tighten the RR population schedule
+                                   # by this many halvings: slots after
+                                   # bounce b = N >> (b+1+shift).  Sky
+                                   # bakes measure 22%/13%/6.5% alive
+                                   # after bounces 1-3 (dome rays escape
+                                   # upward), so shift=1 sizes slots to
+                                   # the population with ~4% RR clipping
+                                   # instead of 2x empty slots.  Still
+                                   # unbiased (survivors upweighted).
 
 
 def _luminance(r, g, b):
@@ -112,17 +129,16 @@ def landscape_color_map(mesh, world: WorldConst, biome_noise=None):
     return jnp.einsum("lyx,lc->yxc", w, cols)
 
 
-def _accumulate_segment(grid, ltype, ox, oy, oz, dx, dy, dz, t_hit, w, cr, cg, cb,
-                        alive, S, world, shards: int = 1):
-    """Walk each ray's segment [0, t_hit] with S jittered samples and
-    scatter color*weight/S into the volume (add_path_to_lmcs).
-
-    Samples are importance-placed on the sub-range of the segment that
+def _segment_samples(grid, ox, oy, oz, dx, dy, dz, t_hit, w, alive, S,
+                     world):
+    """Shared sample placement for the segment deposits: S jittered
+    samples importance-placed on the sub-range of [0, t_hit] that
     overlaps the light volume's AABB (sky-dome segments start far
-    outside it — uniform [0, t_hit] placement wasted over half the
-    samples on out-of-volume positions that deposit nothing).  Each
-    sample's weight carries the (t1-t0)/t_hit range compensation, so
-    the per-cell expectation is EXACTLY the uniform estimator's."""
+    outside it — uniform placement wasted over half the samples on
+    out-of-volume positions that deposit nothing).  Each sample's
+    weight carries the (t1-t0)/t_hit range compensation, so the
+    per-cell expectation is EXACTLY the uniform estimator's.
+    Returns (flat idx [N*S], ok [N*S], wv [N*S])."""
     nz, ny, nx = grid.shape
     hx = 0.5 * nx * world.dx
     hy = 0.5 * ny * world.dy
@@ -145,14 +161,50 @@ def _accumulate_segment(grid, ltype, ox, oy, oz, dx, dy, dz, t_hit, w, cr, cg, c
     px = ox[:, None] + ts * dx[:, None]
     py = oy[:, None] + ts * dy[:, None]
     pz = oz[:, None] + ts * dz[:, None]
-    idx, ok = L.cell_index(grid, px.reshape(-1), py.reshape(-1), pz.reshape(-1), world)
+    idx, ok = L.cell_index(grid, px.reshape(-1), py.reshape(-1),
+                           pz.reshape(-1), world)
     comp = span / jnp.maximum(t_hit, 1e-12)        # range compensation
     wv = jnp.broadcast_to((w * alive * comp / S)[:, None],
                           ts.shape).reshape(-1)
-    rv = jnp.broadcast_to(cr[:, None], ts.shape).reshape(-1)
-    gv = jnp.broadcast_to(cg[:, None], ts.shape).reshape(-1)
-    bv = jnp.broadcast_to(cb[:, None], ts.shape).reshape(-1)
+    return idx, ok, wv
+
+
+def _accumulate_segment(grid, ltype, ox, oy, oz, dx, dy, dz, t_hit, w, cr, cg, cb,
+                        alive, S, world, shards: int = 1):
+    """Walk each ray's segment [0, t_hit] with S jittered samples and
+    scatter color*weight/S into the volume (add_path_to_lmcs)."""
+    idx, ok, wv = _segment_samples(grid, ox, oy, oz, dx, dy, dz, t_hit, w,
+                                   alive, S, world)
+    n = ox.shape[0]
+    sshape = (n, S)
+    rv = jnp.broadcast_to(cr[:, None], sshape).reshape(-1)
+    gv = jnp.broadcast_to(cg[:, None], sshape).reshape(-1)
+    bv = jnp.broadcast_to(cb[:, None], sshape).reshape(-1)
     return L.accumulate(grid, ltype, idx, ok, rv, gv, bv, wv, shards=shards)
+
+
+def _accumulate_segment_wonly(wbuf, grid, ox, oy, oz, dx, dy, dz, t_hit, w,
+                              alive, S, world, shards: int = 1):
+    """Weight-only segment deposit into a flat [n_cells] buffer: when
+    every ray in the batch carries the SAME color (always true at
+    bounce 0 — sky/sun/point-light sources are uniform), the three
+    color channels are color * (weight sum), recovered by one multiply
+    at the end of the batch.  ONE scatter instead of four on the
+    batch's largest deposit (bounce 0 is ~2/3 of all samples; channel
+    scatters don't fuse on TPU — measured 4x the per-index cost)."""
+    idx, ok, wv = _segment_samples(grid, ox, oy, oz, dx, dy, dz, t_hit, w,
+                                   alive, S, world)
+    n_cells = wbuf.shape[0]
+    idxd = jnp.where(ok, idx, n_cells)
+    m = idxd.shape[0]
+    if shards > 1 and m % shards == 0:
+        idx_s = idxd.reshape(shards, -1)
+        wv_s = wv.reshape(shards, -1)
+        parts = [jnp.zeros((n_cells,), wbuf.dtype)
+                 .at[idx_s[g]].add(wv_s[g], mode="drop")
+                 for g in range(shards)]
+        return wbuf + sum(parts)
+    return wbuf.at[idxd].add(wv, mode="drop")
 
 
 @functools.partial(jax.jit, static_argnames=("ltype", "params", "world"))
@@ -196,10 +248,12 @@ def trace_batch(
         gy = jnp.clip(jnp.round(hy * world.dy_inv + my // 2), 0, my - 1)
         return gy.astype(jnp.int32), gx.astype(jnp.int32)
 
-    def bounce(st, key_d, S=params.samples_per_segment):
+    def bounce(st, key_d, S=params.samples_per_segment, w_only=False):
         ox, oy, oz = st["ox"], st["oy"], st["oz"]
         dx, dy, dz = st["dx"], st["dy"], st["dz"]
         N = ox.shape[0]          # may shrink between bounces (compact)
+        # measured in-graph: shards=4 on the big deposits is ~10% faster
+        # than unsharded (54.6 vs 60.2 ms/batch); more shards flat
         dep_shards = params.deposit_shards or (4 if N * S >= 262144 else 1)
         w_init = st["w0"]
         tmax = jnp.full((N,), LL)
@@ -248,11 +302,18 @@ def trace_batch(
 
         alive = st["alive"]
         contrib = alive & hit    # un-hit rays deposit nothing (ray_trace.cpp:341)
-        grid2 = _accumulate_segment(
-            st["grid"], ltype, ox, oy, oz, dx, dy, dz, t,
-            st["w"] * contrib.astype(jnp.float32), st["r"], st["g"], st["b"],
-            jnp.ones((N,), jnp.float32), S, world,
-            shards=dep_shards)
+        if w_only:
+            st["wbuf"] = _accumulate_segment_wonly(
+                st["wbuf"], st["grid"], ox, oy, oz, dx, dy, dz, t,
+                st["w"] * contrib.astype(jnp.float32),
+                jnp.ones((N,), jnp.float32), S, world, shards=dep_shards)
+            grid2 = st["grid"]
+        else:
+            grid2 = _accumulate_segment(
+                st["grid"], ltype, ox, oy, oz, dx, dy, dz, t,
+                st["w"] * contrib.astype(jnp.float32), st["r"], st["g"],
+                st["b"], jnp.ones((N,), jnp.float32), S, world,
+                shards=dep_shards)
 
         # hit point + normal (ice: always +z, ray_trace.cpp:301)
         hx = ox + t * dx
@@ -432,6 +493,8 @@ def trace_batch(
             dx=sdx, dy=sdy, dz=sdz,
             w=w, w0=st["w0"], r=r, g=g, b=b, alive=alive, grid=grid2,
         )
+        if "wbuf" in st:
+            new["wbuf"] = st["wbuf"]
         return new, None
 
     if not params.compact:
@@ -448,15 +511,35 @@ def trace_batch(
     # population control, unbiased in expectation.  w0 rides along (and
     # scales with w) so the relative termination threshold is unchanged.
     st = state
+    if params.uniform_color0:
+        nz_, ny_, nx_ = grid.shape
+        st["wbuf"] = jnp.zeros((nz_ * ny_ * nx_,), jnp.float32)
     s_later = params.samples_later or params.samples_per_segment
+    sh = params.compact_shift
     for b in range(params.max_bounces):
         s_b = params.samples_per_segment if b == 0 else s_later
-        st, _ = bounce(st, jax.random.fold_in(key, b), S=s_b)
-        n_next = max(min(N >> min(b + 1, 4), st["ox"].shape[0]), 1024)
+        st, _ = bounce(st, jax.random.fold_in(key, b), S=s_b,
+                       w_only=params.uniform_color0 and b == 0)
+        n_next = max(min(N >> min(b + 1 + sh, 4 + sh),
+                         st["ox"].shape[0]), 1024)
         if n_next < st["ox"].shape[0]:
             st = _compact_rays(st, jax.random.fold_in(key, 0x707 + b),
                                n_next)
-    return st["grid"]
+    g = st["grid"]
+    if params.uniform_color0:
+        # recover bounce 0's color channels: color x (weight sum)
+        wb = st["wbuf"].reshape(g.shape)
+        c0r, c0g, c0b = cr[0], cg[0], cb[0]
+        if ltype == L.LIGHTING_SKY:
+            g = g._replace(sc_r=g.sc_r + c0r * wb, sc_g=g.sc_g + c0g * wb,
+                           sc_b=g.sc_b + c0b * wb, sv=g.sv + wb)
+        elif ltype == L.LIGHTING_GLOBAL:
+            g = g._replace(gc_r=g.gc_r + c0r * wb, gc_g=g.gc_g + c0g * wb,
+                           gc_b=g.gc_b + c0b * wb, gv=g.gv + wb)
+        else:
+            g = g._replace(lc_r=g.lc_r + c0r * wb, lc_g=g.lc_g + c0g * wb,
+                           lc_b=g.lc_b + c0b * wb)
+    return g
 
 
 def _compact_rays(st: dict, key, keep: int) -> dict:
@@ -471,13 +554,15 @@ def _compact_rays(st: dict, key, keep: int) -> dict:
     scale = jnp.maximum(n_alive / keep, 1.0)
     # one packed row-gather instead of 12 independent gathers (gathers
     # serialize per element on TPU like scatters; rows vectorize)
-    keys_f = [k for k in st if k not in ("grid", "alive")]
+    keys_f = [k for k in st if k not in ("grid", "alive", "wbuf")]
     mat = jnp.stack([st[k] for k in keys_f]
                     + [st["alive"].astype(jnp.float32)], axis=1)
     sel = mat[order]
     out = {k: sel[:, i] for i, k in enumerate(keys_f)}
     out["alive"] = sel[:, len(keys_f)] > 0.5
     out["grid"] = st["grid"]
+    if "wbuf" in st:
+        out["wbuf"] = st["wbuf"]
     boost = jnp.where(out["alive"], scale, 1.0)
     out["w"] = out["w"] * boost
     out["w0"] = out["w0"] * boost
@@ -584,9 +669,14 @@ def _auto_types(params: TraceParams, cobjs) -> TraceParams:
 
 
 def _auto_gates(params: TraceParams, cobjs, snow_depth=None) -> TraceParams:
-    """All static scene-derived gates in one call."""
+    """All static scene-derived gates in one call.  Every driver in this
+    module generates UNIFORM-color ray batches (sky dome / sun / point
+    lights), so the bounce-0 weight-only deposit is also enabled here
+    (compact path only; a no-op otherwise)."""
     params = _auto_transmission(params, cobjs)
     params = _auto_specular(params, cobjs, snow_depth)
+    if params.compact:
+        params = params._replace(uniform_color0=True)
     return _auto_types(params, cobjs)
 
 
@@ -626,6 +716,10 @@ def compute_sky_lighting(grid, cobjs, mesh, num_rays: int, seed: int = 0,
     linearly on it; call `normalize_sky` only where mean colors are
     explicitly wanted."""
     params = _auto_gates(params, cobjs, snow_depth)
+    if params.compact and params.compact_shift == 0:
+        # sky-dome populations collapse fast (most rays escape upward);
+        # size the RR slots to the measured survivor curve
+        params = params._replace(compact_shift=1)
     nfull, rem = divmod(num_rays, batch)
     if nfull >= 2:      # chain full batches in-graph (one dispatch)
         grid = _trace_sky_batches(grid, cobjs, mesh, jnp.int32(seed),
