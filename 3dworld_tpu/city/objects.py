@@ -58,6 +58,20 @@ KIND_TABLE = (
     ("divider",       0.06, 0.40, "edge"),    # divider_t (fence/hedge/wall)
     ("pillar",        0.12, 1.50, "plot"),    # pillar_t (walkway support)
     ("parking_solar", 0.70, 0.70, "plot"),    # parking_solar_t canopy
+    ("flag",          0.06, 1.80, "plot"),    # city_flag_t (pole + flag)
+    ("clothesline",   0.40, 0.80, "yard"),    # clothesline_t (poles + line)
+    ("stopsign",      0.06, 0.90, "isec"),    # stopsign_t
+    ("newsrack",      0.12, 0.40, "isec"),    # newsrack_t (clustered)
+    ("gas_canopy",    0.25, 1.00, "gas"),     # gas_station_t support column
+    ("gas_pump",      0.12, 0.50, "gas"),     # gas_pump_t
+    ("parking_gate",  0.35, 0.40, "lot"),     # parking_gate_t (lot entry)
+    ("park_path",     0.20, 0.02, "park"),    # park_path_t stepping stones
+    ("park_rock",     0.30, 0.25, "park"),    # park_rock_t
+    ("park_fountain", 0.15, 0.40, "park"),    # park_water_fountain_t
+    ("pool_ladder",   0.08, 0.25, "pool"),    # pool_ladder_t
+    ("pool_float",    0.15, 0.08, "pool"),    # pool_float_t
+    ("pool_deck",     0.50, 0.10, "pool"),    # pool_deck_t
+    ("wind_turbine",  0.25, 2.50, "rare"),    # wind_turbine_t
 )
 KIND_NAMES = tuple(k[0] for k in KIND_TABLE)
 KIND_INDEX = {k[0]: i for i, k in enumerate(KIND_TABLE)}
@@ -97,12 +111,23 @@ class CityObjects(NamedTuple):
 def place_city_objects(net, buildings, seed: int = 1,
                        roadside_spacing: float = 6.0,
                        per_block: int = 6,
-                       residential_frac: float = 0.4) -> CityObjects:
+                       residential_frac: float = 0.4,
+                       park_frac: float = 0.25) -> CityObjects:
     """Place detail objects: roadside kinds spaced along segments
     (alternating sides), road-surface kinds sparsely on centerlines,
     plot/yard kinds inside blocks with blocker rejection against
     buildings and each other, dividers along residential block edges
-    (city_obj_placer::place_detail_objects semantics)."""
+    (city_obj_placer::place_detail_objects semantics).
+
+    Structured rules beyond the uniform pools (city_obj_placer.cpp):
+    stop signs at non-stoplight intersection corners (place_stopsigns),
+    newsrack clusters near intersections (add_objs_on_building_sides
+    analog), one gas station per city (canopy columns + pump row,
+    gas_station_t / gas_pump_t), park blocks with stepping-stone paths,
+    rocks and drinking fountains (park_path_t/park_rock_t), swimming
+    pools gain adjacent ladder/float/deck accessories (pool_ladder_t,
+    pool_float_t, pool_deck_t), parking-lot entry gates
+    (parking_gate_t) and rare wind turbines on commercial blocks."""
     rg = RandGen(seed + 21, 2 * seed + 5)
     xs, ys, kinds, rots = [], [], [], []
     bparts = [b.parts[0] for b in buildings] if buildings else []
@@ -147,19 +172,79 @@ def place_city_objects(net, buildings, seed: int = 1,
             if rg.rand() % 5 == 0:
                 try_place(x, y, _SURF[rg.rand() % len(_SURF)])
 
+    # intersections: stop signs on the diagonal corners of non-stoplight
+    # crossings (stopsign_t), newsrack clusters of 1-3 beside every 3rd
+    # intersection (newsrack_t)
+    ss, nr = KIND_INDEX["stopsign"], KIND_INDEX["newsrack"]
+    for j, isec in enumerate(getattr(net, "isecs", ())):
+        off = 0.9
+        if not isec.has_stoplight:
+            try_place(isec.x + off, isec.y + off, ss)
+            try_place(isec.x - off, isec.y - off, ss)
+        if j % 3 == 0:
+            n = 1 + rg.rand() % 3
+            for i in range(n):
+                try_place(isec.x + off + 0.30 * i, isec.y - off, nr)
+
+    gas_done = set()        # one gas station per city
+    turbine_done = set()
     for (x1, y1, x2, y2, city) in net.blocks:
         residential = rg.randd() < residential_frac
+        park = (not residential) and rg.randd() < park_frac
+        cx, cy = 0.5 * (x1 + x2), 0.5 * (y1 + y2)
+        if park:
+            # park block: stepping-stone path along the diagonal, rocks,
+            # a drinking fountain, benches (park_path_t/park_rock_t/
+            # park_water_fountain_t placement in place_residential_plot)
+            diag = np.hypot(x2 - x1, y2 - y1)
+            n = max(int(diag / 0.55), 2)
+            for i in range(n):
+                t = (i + 0.5) / n
+                try_place(x1 + t * (x2 - x1), y1 + t * (y2 - y1),
+                          KIND_INDEX["park_path"])
+            for _ in range(2):
+                try_place(x1 + rg.randd() * (x2 - x1),
+                          y1 + rg.randd() * (y2 - y1),
+                          KIND_INDEX["park_rock"])
+            try_place(cx + 0.8, cy, KIND_INDEX["park_fountain"])
+            try_place(cx - 0.9, cy + 0.6, KIND_INDEX["bench"])
+            continue
+        if not residential and city not in gas_done:
+            # gas station claims the first commercial block with room: a
+            # row of 4 pumps with canopy support columns at both ends
+            # (gas_station_t); the row hugs the block's -y edge so it
+            # coexists with a building deeper in the plot
+            gy = y1 + 0.45
+            placed = sum(try_place(cx - 0.55 + 0.36 * i, gy,
+                                   KIND_INDEX["gas_pump"]) for i in range(4))
+            if placed >= 2:
+                gas_done.add(city)
+                try_place(cx - 1.1, gy, KIND_INDEX["gas_canopy"])
+                try_place(cx + 1.1, gy, KIND_INDEX["gas_canopy"])
+                try_place(x1 + 0.5, cy, KIND_INDEX["parking_gate"])
+                continue
         pool = _YARD if residential else _PLOT
         for _ in range(per_block):
             x = x1 + rg.randd() * max(x2 - x1, 0.1)
             y = y1 + rg.randd() * max(y2 - y1, 0.1)
-            try_place(x, y, pool[rg.rand() % len(pool)])
+            kind = pool[rg.rand() % len(pool)]
+            if try_place(x, y, kind) and kind == KIND_INDEX["swimming_pool"]:
+                # pool accessories hug the pool footprint (pool_ladder_t
+                # at the edge, pool_float_t beside, pool_deck_t alongside)
+                rp = float(KIND_RADIUS[kind])
+                try_place(x + rp + 0.10, y, KIND_INDEX["pool_ladder"])
+                try_place(x, y + rp + 0.17, KIND_INDEX["pool_float"])
+                try_place(x - rp - 0.52, y, KIND_INDEX["pool_deck"])
         if residential:
             # dividers (fence/hedge) along the block's -y edge
             n = max(int((x2 - x1) / 1.0), 1)
             for i in range(n):
                 try_place(x1 + (i + 0.5) * (x2 - x1) / n, y1 + 0.2,
                           KIND_INDEX["divider"])
+        elif city not in turbine_done and rg.rand() % 4 == 0:
+            # rare wind turbine on a commercial block corner
+            turbine_done.add(city)
+            try_place(x2 - 0.6, y2 - 0.6, KIND_INDEX["wind_turbine"])
     return CityObjects(
         x=np.asarray(xs, np.float32), y=np.asarray(ys, np.float32),
         kind=np.asarray(kinds, np.int32), rot=np.asarray(rots, np.float32))

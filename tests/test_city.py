@@ -697,6 +697,41 @@ def test_city_object_catalog_breadth_and_blockers():
     assert int(np.asarray((co.shape >= 0).sum())) >= len(objs.x)
 
 
+def test_city_object_structured_rules():
+    """Structured placement beyond the uniform pools: stop signs at
+    non-stoplight intersections (stopsign_t), newsrack clusters, a gas
+    station row per city (gas_pump_t), park stepping-stone paths
+    (park_path_t), and pool accessories adjacent to placed pools
+    (pool_ladder_t; city_obj_placer.cpp placement rules)."""
+    import numpy as np
+    from w3d.city import objects as CO, plots as CP, roads as CR
+
+    plots = [CP.CityPlot(0, 0, 40, 40, 0.0)]
+    net = CR.gen_city_roads(plots, block_size=8)
+    objs = CO.place_city_objects(net, [], seed=7)
+    kinds = [CO.KIND_NAMES[int(k)] for k in objs.kind]
+    counts = {k: kinds.count(k) for k in set(kinds)}
+    # border intersections have no stoplights -> stop signs exist
+    assert counts.get("stopsign", 0) >= 2
+    assert counts.get("newsrack", 0) >= 1
+    assert counts.get("gas_pump", 0) >= 3     # one station row per city
+    assert counts.get("park_path", 0) >= 4    # at least one park block
+    # every pool ladder is adjacent to some swimming pool
+    pool_i = [i for i, k in enumerate(kinds) if k == "swimming_pool"]
+    for i, k in enumerate(kinds):
+        if k != "pool_ladder":
+            continue
+        d = min(np.hypot(objs.x[i] - objs.x[j], objs.y[i] - objs.y[j])
+                for j in pool_i)
+        assert d < 1.5 * CO.KIND_RADIUS[CO.KIND_INDEX["swimming_pool"]], d
+    # stop signs sit clear of the road surface objects (blocker check ran)
+    r = objs.radius
+    for i in range(len(objs.x)):
+        d2 = (objs.x - objs.x[i]) ** 2 + (objs.y - objs.y[i]) ** 2
+        d2[i] = np.inf
+        assert np.all(d2 >= (r + r[i]) ** 2 - 1e-4), i
+
+
 def test_room_content_composite_generators():
     """Composite room generators (building_room_obj_place.cpp): oriented
     furniture groups, surface items with parent links, wall decorations,
