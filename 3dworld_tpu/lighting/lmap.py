@@ -87,11 +87,13 @@ def accumulate(grid: LightGrid, ltype: int, flat_idx, ok, r, g, b, w,
     channel exactly what the positive bake added.
 
     `shards` > 1 splits the sample stream into that many independent
-    scatters into PRIVATE zero volumes, summed afterwards.  TPU scatters
-    serialize per index but independent scatters overlap near-perfectly
-    (measured: 4 channel scatters cost the same wall time as 1), so
-    sharding cuts the deposit wall ~shards-fold for large batches at the
-    price of `shards` temporary volumes."""
+    scatters into PRIVATE zero volumes, summed afterwards.  NOTE the
+    round-5 re-measurement (docs/DESIGN.md "round 5b"): TPU has no
+    inter-op parallelism, so independent scatters in one graph do NOT
+    overlap — sharding only helps when the per-shard stream gets small
+    enough to change the scatter's memory behavior, and an N-index
+    4-channel deposit costs ~4x a 1-channel one.  Reduce CHANNELS (see
+    trace._accumulate_segment_wonly), not chains."""
     nz, ny, nx = grid.shape
     n_cells = nz * ny * nx
     idx = jnp.where(ok, flat_idx, n_cells)  # OOB -> dropped

@@ -102,6 +102,33 @@ def bench_terrain(jax):
     return _median_spread(rates)
 
 
+def bench_scatter_probe(jax):
+    """Measured scatter-add cost (ns/index) on this relay RIGHT NOW.
+
+    The physics narrow-phase and the lighting deposit are scatter-bound;
+    the relay's per-index scatter cost has been observed to move 4-5x
+    between days (7 ns/idx when the round-5 tracer numbers were taken,
+    32 ns/idx one day later) while MXU-bound terrain was unaffected.
+    Reporting it makes an environmentally slow run self-diagnosing:
+    if physics fps is low AND this probe is high, the chip is slow at
+    scatters today — not a code regression."""
+    import jax.numpy as jnp
+    C = N = 1 << 20
+    key = jax.random.PRNGKey(7)
+    f = jax.jit(lambda idx, v: jnp.zeros((C,), jnp.float32).at[idx].add(v))
+    ts = []
+    for i in range(5):
+        k1, k2 = jax.random.split(jax.random.fold_in(key, i))
+        idx = jax.random.randint(k1, (N,), 0, C, jnp.int32)
+        v = jax.random.uniform(k2, (N,), jnp.float32)
+        t0 = time.perf_counter()
+        float(f(idx, v).sum())
+        if i >= 2:              # 2 warmups
+            ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2] / N * 1e9
+
+
 def bench_physics(jax, pair_every: int = PHYS_PAIR_EVERY):
     from w3d.models import physics_model as PM
     from w3d.utils.constants import WorldConst
@@ -222,6 +249,10 @@ def main():
         return
 
     tiles, tiles_spread = bench_terrain(jax)
+    try:
+        scatter_ns = round(bench_scatter_probe(jax), 1)
+    except Exception:
+        scatter_ns = None
     phys, phys_spread = bench_physics(jax)
     # conservative every-substep cadence reported alongside (VERDICT r3
     # item 8: keep exactness-vs-throughput visible)
@@ -247,6 +278,7 @@ def main():
         "terrain_spread": round(tiles_spread, 3),
         "physics_spread": round(phys_spread, 3),
         "steady_state_ok": bool(tiles_spread < 0.15 and phys_spread < 0.15),
+        "scatter_ns_per_index": scatter_ns,
         "live_tiled_city_ms_per_frame": live_tiled,
         "pair_cadence": f"exact banded pass every {PHYS_PAIR_EVERY} of "
                         f"{PHYS_SUBSTEPS} substeps (reference: once/frame)",
