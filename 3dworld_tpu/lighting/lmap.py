@@ -77,7 +77,7 @@ def cell_index(grid: LightGrid, x, y, z, world: WorldConst):
 
 
 def accumulate(grid: LightGrid, ltype: int, flat_idx, ok, r, g, b, w,
-               shards: int = 1) -> LightGrid:
+               shards: int = 1, sorted_deposit: bool = False) -> LightGrid:
     """Scatter-add one batch of weighted color samples into the volume.
 
     Equivalent of `add_path_to_lmcs`'s per-cell accumulation
@@ -93,10 +93,39 @@ def accumulate(grid: LightGrid, ltype: int, flat_idx, ok, r, g, b, w,
     overlap — sharding only helps when the per-shard stream gets small
     enough to change the scatter's memory behavior, and an N-index
     4-channel deposit costs ~4x a 1-channel one.  Reduce CHANNELS (see
-    trace._accumulate_segment_wonly), not chains."""
+    trace._accumulate_segment_wonly), not chains.
+
+    `sorted_deposit` co-sorts the sample stream by cell id with ONE
+    variadic `lax.sort` shared across the channels, then scatters with
+    `indices_are_sorted=True` so XLA can use the sorted-scatter path
+    (duplicate cells become adjacent runs).  Exact same sums, possibly
+    reordered within a cell (float add order)."""
     nz, ny, nx = grid.shape
     n_cells = nz * ny * nx
     idx = jnp.where(ok, flat_idx, n_cells)  # OOB -> dropped
+
+    if sorted_deposit:
+        if ltype == LIGHTING_SKY:
+            vols = (grid.sc_r, grid.sc_g, grid.sc_b, grid.sv)
+            vals = (r * w, g * w, b * w, w)
+        elif ltype == LIGHTING_GLOBAL:
+            vols = (grid.gc_r, grid.gc_g, grid.gc_b, grid.gv)
+            vals = (r * w, g * w, b * w, w)
+        else:
+            vols = (grid.lc_r, grid.lc_g, grid.lc_b)
+            vals = (r * w, g * w, b * w)
+        srt = jax.lax.sort([idx] + list(vals), num_keys=1)
+        si, svals = srt[0], srt[1:]
+        outs = [vol.reshape(-1)
+                .at[si].add(sv, mode="drop", indices_are_sorted=True)
+                .reshape(vol.shape) for vol, sv in zip(vols, svals)]
+        if ltype == LIGHTING_SKY:
+            return grid._replace(sc_r=outs[0], sc_g=outs[1],
+                                 sc_b=outs[2], sv=outs[3])
+        if ltype == LIGHTING_GLOBAL:
+            return grid._replace(gc_r=outs[0], gc_g=outs[1],
+                                 gc_b=outs[2], gv=outs[3])
+        return grid._replace(lc_r=outs[0], lc_g=outs[1], lc_b=outs[2])
 
     n = idx.shape[0]
     if shards > 1 and n % shards == 0:

@@ -99,6 +99,13 @@ class TraceParams(NamedTuple):
                                    # ~2/3 of all samples; channel
                                    # scatters don't fuse on TPU).
                                    # compact path only.
+    sorted_deposit: bool = False   # co-sort deposit samples by cell id
+                                   # (one variadic lax.sort shared by the
+                                   # channels) and scatter with
+                                   # indices_are_sorted=True.  Same sums;
+                                   # enable if the sorted-scatter path
+                                   # measures faster on the target chip
+                                   # (see bench.py scatter probe).
     compact_shift: int = 0         # tighten the RR population schedule
                                    # by this many halvings: slots after
                                    # bounce b = N >> (b+1+shift).  Sky
@@ -170,7 +177,8 @@ def _segment_samples(grid, ox, oy, oz, dx, dy, dz, t_hit, w, alive, S,
 
 
 def _accumulate_segment(grid, ltype, ox, oy, oz, dx, dy, dz, t_hit, w, cr, cg, cb,
-                        alive, S, world, shards: int = 1):
+                        alive, S, world, shards: int = 1,
+                        sorted_deposit: bool = False):
     """Walk each ray's segment [0, t_hit] with S jittered samples and
     scatter color*weight/S into the volume (add_path_to_lmcs)."""
     idx, ok, wv = _segment_samples(grid, ox, oy, oz, dx, dy, dz, t_hit, w,
@@ -180,11 +188,13 @@ def _accumulate_segment(grid, ltype, ox, oy, oz, dx, dy, dz, t_hit, w, cr, cg, c
     rv = jnp.broadcast_to(cr[:, None], sshape).reshape(-1)
     gv = jnp.broadcast_to(cg[:, None], sshape).reshape(-1)
     bv = jnp.broadcast_to(cb[:, None], sshape).reshape(-1)
-    return L.accumulate(grid, ltype, idx, ok, rv, gv, bv, wv, shards=shards)
+    return L.accumulate(grid, ltype, idx, ok, rv, gv, bv, wv, shards=shards,
+                        sorted_deposit=sorted_deposit)
 
 
 def _accumulate_segment_wonly(wbuf, grid, ox, oy, oz, dx, dy, dz, t_hit, w,
-                              alive, S, world, shards: int = 1):
+                              alive, S, world, shards: int = 1,
+                              sorted_deposit: bool = False):
     """Weight-only segment deposit into a flat [n_cells] buffer: when
     every ray in the batch carries the SAME color (always true at
     bounce 0 — sky/sun/point-light sources are uniform), the three
@@ -196,6 +206,9 @@ def _accumulate_segment_wonly(wbuf, grid, ox, oy, oz, dx, dy, dz, t_hit, w,
                                    alive, S, world)
     n_cells = wbuf.shape[0]
     idxd = jnp.where(ok, idx, n_cells)
+    if sorted_deposit:
+        si, sw = jax.lax.sort([idxd, wv], num_keys=1)
+        return wbuf.at[si].add(sw, mode="drop", indices_are_sorted=True)
     m = idxd.shape[0]
     if shards > 1 and m % shards == 0:
         idx_s = idxd.reshape(shards, -1)
@@ -306,14 +319,15 @@ def trace_batch(
             st["wbuf"] = _accumulate_segment_wonly(
                 st["wbuf"], st["grid"], ox, oy, oz, dx, dy, dz, t,
                 st["w"] * contrib.astype(jnp.float32),
-                jnp.ones((N,), jnp.float32), S, world, shards=dep_shards)
+                jnp.ones((N,), jnp.float32), S, world, shards=dep_shards,
+                sorted_deposit=params.sorted_deposit)
             grid2 = st["grid"]
         else:
             grid2 = _accumulate_segment(
                 st["grid"], ltype, ox, oy, oz, dx, dy, dz, t,
                 st["w"] * contrib.astype(jnp.float32), st["r"], st["g"],
                 st["b"], jnp.ones((N,), jnp.float32), S, world,
-                shards=dep_shards)
+                shards=dep_shards, sorted_deposit=params.sorted_deposit)
 
         # hit point + normal (ice: always +z, ray_trace.cpp:301)
         hx = ox + t * dx
@@ -429,7 +443,8 @@ def trace_batch(
                 st["r"] * acr * watt_r, st["g"] * acg * watt_g,
                 st["b"] * acb * watt_b,
                 jnp.ones((N,), jnp.float32), S,
-                world, shards=dep_shards)
+                world, shards=dep_shards,
+                sorted_deposit=params.sorted_deposit)
             # stochastic branch pick, importance-compensated.  When
             # keep_t gates the transmitted branch off entirely, its
             # probability must be zero too — otherwise the reflected

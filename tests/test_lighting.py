@@ -591,3 +591,41 @@ def test_indir_prioritize_fronts_queue():
         mgr.register_light(i, (0.0, 0.0, float(i)), (1, 1, 1))
     mgr.prioritize(3)
     assert mgr.queue[0] == 3
+
+
+def test_sorted_deposit_matches_plain():
+    """sorted_deposit co-sorts samples by cell and scatters with the
+    sorted-indices fast path — same per-cell sums as the plain scatter
+    (only the float add ORDER within a cell may differ)."""
+    key = jax.random.PRNGKey(3)
+    grid0 = L.make_light_grid(W)
+    n_cells = int(np.prod(grid0.shape))
+    n = 4096
+    ks = jax.random.split(key, 6)
+    idx = jax.random.randint(ks[0], (n,), 0, n_cells + 7, jnp.int32)
+    ok = idx < n_cells
+    r, g, b, w = (jax.random.uniform(k, (n,)) for k in ks[1:5])
+    for ltype in (L.LIGHTING_SKY, L.LIGHTING_GLOBAL, L.LIGHTING_LOCAL):
+        ga = L.accumulate(grid0, ltype, idx, ok, r, g, b, w)
+        gb = L.accumulate(grid0, ltype, idx, ok, r, g, b, w,
+                          sorted_deposit=True)
+        for fa, fb in zip(ga[:-2], gb[:-2]):     # skip z0/dz scalars
+            np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                                       rtol=2e-5, atol=1e-6)
+
+
+def test_sorted_deposit_tracer_end_to_end():
+    """The full tracer with sorted_deposit on agrees with the default
+    path (identical RNG streams; only scatter order differs)."""
+    cobjs = floor_scene()
+    grid0 = L.make_light_grid(W)
+    pa = PARAMS
+    pb = pa._replace(sorted_deposit=True)
+    ga = T.compute_sky_lighting(grid0, cobjs, MESH, 8192, params=pa,
+                                world=W, batch=8192)
+    gb = T.compute_sky_lighting(grid0, cobjs, MESH, 8192, params=pb,
+                                world=W, batch=8192)
+    np.testing.assert_allclose(np.asarray(ga.sv), np.asarray(gb.sv),
+                               rtol=3e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ga.sc_r), np.asarray(gb.sc_r),
+                               rtol=3e-5, atol=1e-6)
