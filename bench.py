@@ -222,6 +222,7 @@ def _preflight(attempts: int = 6, per_wait: int = 300) -> bool:
     probe = ("import jax, jax.numpy as jnp;"
              "print(float((jnp.ones((8,8))*2).sum()))")
     for k in range(attempts):
+        t0 = time.perf_counter()
         try:
             r = subprocess.run([sys.executable, "-c", probe],
                                timeout=per_wait, capture_output=True)
@@ -231,6 +232,10 @@ def _preflight(attempts: int = 6, per_wait: int = 300) -> bool:
             pass
         print(f"# bench preflight: device not responding "
               f"(attempt {k + 1}/{attempts})", file=sys.stderr)
+        # a fast-failing probe (refused connection) must not burn the
+        # retry budget in seconds — wedges recover on minute scales
+        if k + 1 < attempts:
+            time.sleep(max(0.0, per_wait - (time.perf_counter() - t0)))
     return False
 
 
