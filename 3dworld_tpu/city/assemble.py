@@ -34,6 +34,8 @@ class CityWorld:
     skyways: list = field(default_factory=list)   # structures.Skyway
     power: object = None                          # structures.PowerLines
     ug_elevators: list = field(default_factory=list)
+    tunnels: list = field(default_factory=list)   # (building_ix, [TunnelSeg])
+    manholes: list = field(default_factory=list)  # (x, y, radius)
     frame: int = 0
 
 
@@ -69,10 +71,26 @@ def build_city(heightmap, water_z: float = -0.5, num_cities: int = 2,
     skyways = CS.place_skyways(bl)
     power = CS.place_power_lines(net)
     ug = CS.place_ug_elevators(net.blocks, seed=seed)
+    # basement tunnel networks under buildings with basements
+    # (building_tunnels.cpp; grown off the basement room's end wall)
+    tunnels, manholes = [], []
+    if interiors:
+        from . import tunnels as TN
+        for bi, b in enumerate(bl):
+            segs = TN.gen_tunnels(b, bl, params.floor_height,
+                                  seed=seed + bi)
+            if segs:
+                p0 = b.parts[0]
+                _, mh = TN.add_tunnel_objects(
+                    segs, (p0[0], p0[1], p0[3], p0[4]), seed=seed + bi,
+                    ground_z=p0[2])
+                tunnels.append((bi, segs))
+                manholes.extend(mh)
     return CityWorld(net=net, graph=graph, stoplights=sl, cars=cars,
                      peds=peds, ped_nav=nav, buildings=bl,
                      helis=helis, helipads=pads,
-                     skyways=skyways, power=power, ug_elevators=ug)
+                     skyways=skyways, power=power, ug_elevators=ug,
+                     tunnels=tunnels, manholes=manholes)
 
 
 def city_frame(cw: CityWorld, key) -> CityWorld:
