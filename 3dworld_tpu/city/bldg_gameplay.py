@@ -149,6 +149,9 @@ _PROPS.update({
     # interaction-surface kinds (round 5): fixed to walls, not lootable
     RC.F_LIGHT_SWITCH:  (0.0, 0.0, False, False, 0.0),
     RC.F_BLINDS:        (25.0, 4.0, False, False, 0.0),
+    # clocks: value 20, weight 1, takeable (bldg_obj_types TYPE_CLOCK,
+    # building_gameplay.cpp:171)
+    RC.F_CLOCK:         (20.0, 1.0, True, False, 0.0),
 })
 MAX_CARRY_WEIGHT = 200.0  # lbs, reference player_inventory weight limit
 

@@ -69,7 +69,11 @@ F_TANK, F_CONV_BELT = 69, 70
 # switches by doors (add_light_switches_to_room), window blinds in
 # bedrooms (add_window_coverings)
 F_LIGHT_SWITCH, F_BLINDS = 98, 99
-NUM_FURNITURE_KINDS = 100
+# clocks (building_clocks.cpp): analog/digital wall clocks in
+# classrooms, digital nightstand clocks in house bedrooms; display
+# state lives in city/clocks.py
+F_CLOCK = 100
+NUM_FURNITURE_KINDS = 101
 
 # building types (building_defs.h:137 BTYPE_*; the subset with distinct
 # interior content models here)
@@ -436,6 +440,15 @@ def _gen_bedroom(out, pl, rg, ri, room, z0, fh, scale):
                              y + nw, z0 + 0.1 * scale)
                 _surface_items(out, pl, rg, ri, F_NIGHTSTAND, ni, nx_, y,
                                z0 + 0.1 * scale, nw, nw, scale)
+                if rg.rand_bool():
+                    # digital clock on the nightstand facing the bed
+                    # (add_nightstand_clock building_clocks.cpp:211)
+                    from . import clocks as CK
+                    ck, _, _ = CK.nightstand_clock_cube(
+                        (nx_, y, z0, nx_ + nw, y + nw, z0 + 0.1 * scale),
+                        (x + 0.5 * bw, y + 0.5 * bd), fh, rg)
+                    out.add(ri, F_CLOCK, ck[0], ck[1], ck[2], ck[3],
+                            ck[4], ck[5], parent=ni)
     _gen_closet(out, pl, rg, ri, room, z0, fh, scale)
     for kind, w, d, h in ((F_DRESSER, 0.18, 0.1, 0.14),
                           (F_WARDROBE, 0.2, 0.1, 0.3),
@@ -795,6 +808,15 @@ def _gen_classroom(out, pl, rg, ri, room, z0, fh, scale):
                         vc + 0.5 * cb_w)
     out.add(ri, F_CHALKBOARD, x1, y1, z0 + 0.35 * fh, x2, y2,
             z0 + 0.8 * fh, rot=face_back)
+    # wall clock on the back wall facing the class (add_clock_to_cube
+    # via building_room_obj_place.cpp:3456; digital half the time;
+    # digital/analog is carried by the cube aspect — wide+flat=digital)
+    from . import clocks as CK
+    bw_u = (hi, lo)[fdir][dim]
+    ck = CK.wall_clock_cube(bw_u, vc, z0, fh, dim, fdir,
+                            digital=rg.rand_bool())
+    out.add(ri, F_CLOCK, ck[0], ck[1], ck[2], ck[3], ck[4], ck[5],
+            rot=face_front)
     # teacher desk + chair, centered, near the front
     td_u1 = fw + ds * 0.3 * fh
     td_w = 0.8 * fh
