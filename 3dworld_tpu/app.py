@@ -161,12 +161,15 @@ def _world_hash(w, tm) -> str:
 
 
 def run_tiled(frames: int, seed: int, chunk: int = 16,
-              record: str | None = None, replay: str | None = None):
+              record: str | None = None, replay: str | None = None,
+              spectate: bool = False):
     """Tiled-city loop with session record/replay (`-uel` semantics,
     u_event.cpp:23-60): `record` writes an event journal (srand seed +
     per-chunk camera inputs) plus per-chunk state hashes; `replay`
     drives the loop from a journal instead of the default camera path
-    and must reproduce the hashes bit-identically."""
+    and must reproduce the hashes bit-identically.  `spectate` follows
+    the closest city agent with the camera (city_interact.cpp
+    city_spectate_manager_t) instead of the default camera path."""
     import numpy as np
     from .models.world import make_tiled_world
     from .terrain.tiles import TileManager
@@ -212,10 +215,26 @@ def run_tiled(frames: int, seed: int, chunk: int = 16,
     fauna_water_z = -0.4
     fauna_fish = None    # spawned from the first camera tile's mesh
     cam, cam_y = 0.0, 0.0
+    spec = None
+    if spectate:
+        from types import SimpleNamespace
+        from .city import spectate as CSP
+        shim = SimpleNamespace(cars=w.cars, peds=w.peds,
+                               graph=w.road_graph)
+        # toggle from the starting camera; wide radius so the demo city
+        # always yields a followed agent
+        spec = CSP.toggle(CSP.Spectate(), cam, cam_y, shim,
+                          camera_radius=25.0)
     hashes = []
     i = 0
     while i < frames:
         k = min(chunk, frames - i)
+        if spec is not None and spec.mode != CSP.SPEC_NONE:
+            shim = SimpleNamespace(cars=w.cars, peds=w.peds,
+                                   graph=w.road_graph)
+            eye = CSP.camera_state(spec, shim)
+            if eye is not None:
+                cam, cam_y = eye[0], eye[1]
         if rp is not None:
             # recorded camera input for this chunk (EV_CAMERA rows)
             for (_f, kind, payload) in rp.events_for_frame(i):
@@ -370,12 +389,20 @@ def main(argv=None):
     ap.add_argument("--game", action="store_true",
                     help="FPS game mode: smiley AI + weapons (ground)")
     ap.add_argument("--smileys", type=int, default=8)
+    ap.add_argument("--record", default=None,
+                    help="write a session event journal (tiled mode)")
+    ap.add_argument("--replay", default=None,
+                    help="replay a recorded session journal (tiled mode)")
+    ap.add_argument("--spectate", action="store_true",
+                    help="follow the closest city agent (tiled mode)")
     args = ap.parse_args(argv)
     if args.mode == "ground":
         run_ground(args.config, args.frames, args.objects,
                    game=args.game, num_smileys=args.smileys)
     elif args.mode == "tiled":
-        run_tiled(args.frames, args.seed, chunk=args.chunk)
+        run_tiled(args.frames, args.seed, chunk=args.chunk,
+                  record=args.record, replay=args.replay,
+                  spectate=args.spectate)
     else:
         run_universe(args.frames, args.seed, chunk=args.chunk)
 
