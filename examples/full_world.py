@@ -72,7 +72,8 @@ def main(out_dir="/tmp"):
         (x1, y1, z1, x2, y2, z2) = b.parts[0]
         if x2 - x1 < 3 or y2 - y1 < 3:
             continue
-        i = CF.gen_interior((x1, y1, z1, x2, y2, z2), 3, 0.8, seed=11)
+        i = CF.gen_interior((x1, y1, z1, x2, y2, z2), 3, 0.8, seed=11,
+                            has_basement=(people is None))
         b.interior = i
         interiors += 1
         if people is None and i.rooms:
@@ -87,10 +88,26 @@ def main(out_dir="/tmp"):
                 "people_walking": int(8),
                 "name": RC.building_name(RC.BT_OFFICE, 4),
                 "door_signs": len(signs), "book_titles": len(labels)}
+    # basement tunnel network under the first (basement) building
+    # (building_tunnels.cpp) + clocks placed by the furnishing pass
+    from w3d.city import tunnels as TN
+    bsegs = []
+    for b in bl:
+        inter = getattr(b, "interior", None)
+        if inter is not None and any(r.floor < 0 for r in inter.rooms):
+            bsegs = TN.gen_tunnels(b, bl, 0.8, seed=11)
+            if bsegs:
+                p0 = b.parts[0]
+                TN.add_tunnel_objects(bsegs, (p0[0], p0[1], p0[3], p0[4]),
+                                      seed=11, ground_z=p0[2])
+                break
     stats["city"] = {"plots": len(plots), "road_segs": len(net.segs),
                      "bridges": len(bridges), "tunnels": len(tunnels),
                      "buildings": len(bl), "round_buildings": int(n_round),
-                     "interiors": interiors}
+                     "interiors": interiors,
+                     "basement_tunnel_segs": len(bsegs),
+                     "basement_tunnel_gates": sum(
+                         1 for s in bsegs if s.has_gate)}
 
     # --- traffic: cars + trains + helicopters
     graph = TF.build_road_graph(net)
